@@ -1,0 +1,134 @@
+"""Model tests: shapes, determinism, and numerical parity vs a torch CLIP.
+
+The parity test instantiates a small randomly-initialized HuggingFace
+``CLIPModel`` on CPU (no network), converts its weights into the tpualign
+Flax tree, and requires <=1e-3 max drift between the torch and JAX towers —
+the BASELINE.md north-star bound, checked offline.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tpualign.config import ClipVariant, ModelConfig
+from tpualign.models.clip import CLIP, build_clip, init_clip_params
+
+TINY = ClipVariant(
+    name="tiny", embed_dim=64,
+    image_size=32, patch_size=8, vision_width=64, vision_layers=2, vision_heads=4,
+    context_length=16, vocab_size=1000, text_width=64, text_layers=2, text_heads=4,
+)
+
+
+def tiny_model(**kw):
+    return CLIP(variant=TINY, use_quick_gelu=True, compute_dtype=jnp.float32, **kw)
+
+
+def test_shapes_and_normalization():
+    model = tiny_model()
+    params = init_clip_params(model, seed=0)
+    images = jnp.asarray(np.random.default_rng(0).normal(size=(3, 32, 32, 3)), jnp.float32)
+    tokens = jnp.zeros((5, 16), jnp.int32).at[:, 0].set(999)
+    img, txt, scale = model.apply({"params": params}, images, tokens)
+    assert img.shape == (3, 64)
+    assert txt.shape == (5, 64)
+    np.testing.assert_allclose(np.linalg.norm(img, axis=-1), 1.0, atol=1e-5)
+    np.testing.assert_allclose(np.linalg.norm(txt, axis=-1), 1.0, atol=1e-5)
+    assert float(scale) > 0
+
+
+def test_jit_deterministic():
+    model = tiny_model()
+    params = init_clip_params(model, seed=0)
+    images = jnp.ones((2, 32, 32, 3), jnp.float32)
+
+    @jax.jit
+    def f(p, x):
+        return model.apply({"params": p}, x, normalize=True, method=model.encode_image)
+
+    a = np.asarray(f(params, images))
+    b = np.asarray(f(params, images))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_eot_position_gather():
+    """Text features must come from the EOT (max-id) position."""
+    model = tiny_model()
+    params = init_clip_params(model, seed=0)
+    eot = TINY.vocab_size - 1
+    t1 = np.zeros((1, 16), np.int32)
+    t1[0, :4] = [5, 7, 9, eot]
+    t2 = np.zeros((1, 16), np.int32)
+    t2[0, :6] = [5, 7, 9, eot, 3, 3]  # junk after EOT must change nothing? (causal: no)
+    f = lambda t: np.asarray(
+        model.apply({"params": params}, jnp.asarray(t), method=model.encode_text)
+    )
+    # causal mask => positions after EOT cannot influence the EOT feature
+    np.testing.assert_allclose(f(t1), f(t2), atol=1e-5)
+
+
+@pytest.mark.parametrize("tower", ["image", "text"])
+def test_parity_vs_torch_hf(tower):
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+
+    from transformers import CLIPConfig, CLIPModel
+
+    from tpualign.models.loader import convert_hf_clip_state_dict
+
+    torch.manual_seed(0)
+    hf_cfg = CLIPConfig(
+        projection_dim=64,
+        vision_config={
+            "image_size": 32, "patch_size": 8, "hidden_size": 64,
+            "intermediate_size": 256, "num_hidden_layers": 2,
+            "num_attention_heads": 4, "hidden_act": "quick_gelu",
+        },
+        text_config={
+            "vocab_size": 1000, "hidden_size": 64, "intermediate_size": 256,
+            "num_hidden_layers": 2, "num_attention_heads": 4,
+            "max_position_embeddings": 16, "hidden_act": "quick_gelu",
+            "eos_token_id": 999,
+        },
+    )
+    hf = CLIPModel(hf_cfg).eval()
+    params = convert_hf_clip_state_dict(hf.state_dict(), TINY)
+    model = tiny_model()
+
+    rng = np.random.default_rng(1)
+    if tower == "image":
+        x = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
+        with torch.no_grad():
+            ref = hf.get_image_features(
+                pixel_values=torch.from_numpy(x.transpose(0, 3, 1, 2))
+            ).numpy()
+        got = np.asarray(
+            model.apply({"params": params}, jnp.asarray(x), method=model.encode_image)
+        )
+    else:
+        tokens = np.zeros((2, 16), np.int32)
+        tokens[0, :5] = [1, 17, 33, 501, 999]
+        tokens[1, :3] = [1, 250, 999]
+        with torch.no_grad():
+            ref = hf.get_text_features(
+                input_ids=torch.from_numpy(tokens.astype(np.int64)),
+                attention_mask=torch.ones_like(torch.from_numpy(tokens.astype(np.int64))),
+            ).numpy()
+        got = np.asarray(
+            model.apply({"params": params}, jnp.asarray(tokens), method=model.encode_text)
+        )
+
+    drift = np.max(np.abs(got - ref)) / (np.max(np.abs(ref)) + 1e-12)
+    assert drift <= 1e-3, f"{tower} tower drift {drift:.2e} exceeds 1e-3"
+
+
+def test_build_clip_variants():
+    for name in ["ViT-B-32", "ViT-L-14", "ViT-H-14"]:
+        cfg = ModelConfig(model_name=name)
+        m = build_clip(cfg)
+        assert m.variant.embed_dim == cfg.embed_dim
+    assert ModelConfig(model_name="ViT-B/32").variant.name == "ViT-B-32"
+    assert ModelConfig(pretrained="openai").use_quick_gelu
+    assert not ModelConfig(pretrained="laion2b_s34b_b79k").use_quick_gelu

@@ -1,0 +1,336 @@
+"""Typed configuration for the tpualign pipeline.
+
+The reference scatters configuration across ``.env`` lookups duplicated in
+every stage module plus a dead ``config.py`` constants file
+(ref:config.py:1-47, ref:src/insert_clip_embeddings.py:19-34,
+ref:src/pdf_processor.py:53-60). Here a single typed config tree is the only
+source of defaults; every field can be overridden by environment variables
+(same names as the reference ``.env.example``) and by CLI flags.
+
+Unlike the reference — which lets ``CLIP_DIM`` disagree with the model
+(ref:src/insert_clip_embeddings.py:26-27) — the embedding dimension is always
+derived from the model variant.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Mapping, Optional, Sequence
+
+__all__ = [
+    "ClipVariant",
+    "CLIP_VARIANTS",
+    "ModelConfig",
+    "MeshConfig",
+    "DataConfig",
+    "StoreConfig",
+    "PipelineConfig",
+    "load_env_file",
+    "load_config",
+]
+
+
+# ---------------------------------------------------------------------------
+# Model variants
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class ClipVariant:
+    """Architecture hyper-parameters of one CLIP model size.
+
+    Mirrors the three model options of the reference
+    (ref:src/insert_clip_embeddings.py:37-49, ref:README.md:243-246) plus
+    ViT-B-16 as a free extra. ``embed_dim`` is what the reference called
+    ``CLIP_DIM``.
+    """
+
+    name: str
+    embed_dim: int
+    # vision tower
+    image_size: int
+    patch_size: int
+    vision_width: int
+    vision_layers: int
+    vision_heads: int
+    # text tower
+    context_length: int
+    vocab_size: int
+    text_width: int
+    text_layers: int
+    text_heads: int
+
+    @property
+    def grid_size(self) -> int:
+        return self.image_size // self.patch_size
+
+    @property
+    def num_patches(self) -> int:
+        return self.grid_size * self.grid_size
+
+
+CLIP_VARIANTS: Mapping[str, ClipVariant] = {
+    "ViT-B-32": ClipVariant(
+        name="ViT-B-32", embed_dim=512,
+        image_size=224, patch_size=32, vision_width=768, vision_layers=12, vision_heads=12,
+        context_length=77, vocab_size=49408, text_width=512, text_layers=12, text_heads=8,
+    ),
+    "ViT-B-16": ClipVariant(
+        name="ViT-B-16", embed_dim=512,
+        image_size=224, patch_size=16, vision_width=768, vision_layers=12, vision_heads=12,
+        context_length=77, vocab_size=49408, text_width=512, text_layers=12, text_heads=8,
+    ),
+    "ViT-L-14": ClipVariant(
+        name="ViT-L-14", embed_dim=768,
+        image_size=224, patch_size=14, vision_width=1024, vision_layers=24, vision_heads=16,
+        context_length=77, vocab_size=49408, text_width=768, text_layers=12, text_heads=12,
+    ),
+    "ViT-H-14": ClipVariant(
+        name="ViT-H-14", embed_dim=1024,
+        image_size=224, patch_size=14, vision_width=1280, vision_layers=32, vision_heads=16,
+        context_length=77, vocab_size=49408, text_width=1024, text_layers=24, text_heads=16,
+    ),
+}
+
+
+def normalize_model_name(name: str) -> str:
+    """``ViT-B/32`` -> ``ViT-B-32`` (ref:src/insert_clip_embeddings.py:60-73)."""
+    return name.replace("/", "-")
+
+
+# ---------------------------------------------------------------------------
+# Config dataclasses
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Model + numerics configuration.
+
+    ``pretrained`` follows the reference's ``CLIP_PRETRAINED`` env
+    (``openai`` default, ``laion2b_s34b_b79k`` alternative,
+    ref:src/insert_clip_embeddings.py:75-77). OpenAI checkpoints use the
+    QuickGELU activation; LAION checkpoints use exact GELU — derived here,
+    overridable.
+    """
+
+    model_name: str = "ViT-B-32"
+    pretrained: str = "openai"
+    checkpoint_path: Optional[str] = None  # local OpenCLIP/HF checkpoint file
+    quick_gelu: Optional[bool] = None      # None => derived from `pretrained`
+    compute_dtype: str = "bfloat16"        # MXU-friendly default
+    param_dtype: str = "float32"
+    parity_mode: bool = False              # fp32 everywhere for <=1e-3 parity runs
+    remat: bool = False                    # jax.checkpoint the transformer blocks
+
+    @property
+    def variant(self) -> ClipVariant:
+        name = normalize_model_name(self.model_name)
+        if name not in CLIP_VARIANTS:
+            raise ValueError(
+                f"Unknown CLIP model {self.model_name!r}; "
+                f"available: {sorted(CLIP_VARIANTS)}"
+            )
+        return CLIP_VARIANTS[name]
+
+    @property
+    def embed_dim(self) -> int:
+        return self.variant.embed_dim
+
+    @property
+    def use_quick_gelu(self) -> bool:
+        if self.quick_gelu is not None:
+            return self.quick_gelu
+        return self.pretrained == "openai"
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout for SPMD execution.
+
+    Axes:
+      - ``data``  — data parallelism for the embedding stream and the corpus
+        axis of sharded retrieval.
+      - ``model`` — tensor parallelism for the large towers (H-14); 1 for
+        single-chip-sized models.
+
+    The reference has no parallelism at all (SURVEY.md §2.3); this component
+    is new in the rebuild.
+    """
+
+    data: int = 1
+    model: int = 1
+    axis_names: Sequence[str] = ("data", "model")
+
+    @property
+    def num_devices(self) -> int:
+        return self.data * self.model
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Host-side document-processing configuration.
+
+    Field-for-field superset of the reference env surface
+    (ref:src/pdf_processor.py:53-60, ref:.env.example:14-28) plus the
+    constants from the reference's unused ``config.py`` (ref:config.py:20-22).
+    """
+
+    input_dir: str = "data/raw/manuals"
+    output_dir: str = "data/processed"
+    language: str = "nl"
+    use_ocr_fallback: bool = False
+    max_file_size_mb: int = 50
+    allowed_file_types: Sequence[str] = ("pdf", "docx", "doc")
+    soffice_path: str = "soffice"
+    word_to_pdf_timeout_seconds: int = 120
+    min_image_size: int = 5         # vector-figure min w/h (ref:src/pdf_processor.py:436)
+    exclude_terms_file: Optional[str] = None  # operator-in-the-loop exclusion list
+
+    @property
+    def images_dir(self) -> str:
+        return str(Path(self.output_dir) / "images")
+
+
+@dataclass(frozen=True)
+class StoreConfig:
+    """Embedding-store configuration (the pgvector replacement).
+
+    The reference stores embeddings in PostgreSQL+pgvector across four
+    schemas (ref:src/setup_vector_db.py:89-151). Here each schema is a
+    columnar on-disk table set under ``root``; similarity search runs as a
+    sharded on-TPU matmul instead of SQL.
+    """
+
+    root: str = "data/store"
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Weak-supervision-weighted contrastive fine-tuning (rebuild extension;
+    the reference performs no training)."""
+
+    learning_rate: float = 1e-5
+    weight_decay: float = 0.2
+    batch_size: int = 256
+    warmup_steps: int = 200
+    total_steps: int = 2000
+    weak_score_temperature: float = 0.5  # how strongly weak scores weight positives
+    label_smoothing: float = 0.0
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """Top-level pipeline configuration."""
+
+    model: ModelConfig = field(default_factory=ModelConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    store: StoreConfig = field(default_factory=StoreConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    eval_output_dir: str = "evaluation_results"
+    batch_size: int = 256            # embedding batch per step (global)
+    log_level: str = "INFO"
+    seed: int = 0
+
+    def replace(self, **kw) -> "PipelineConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Environment loading
+# ---------------------------------------------------------------------------
+
+
+def load_env_file(path: str = ".env") -> dict:
+    """Minimal ``.env`` parser (python-dotenv equivalent, no dependency).
+
+    Lines of ``KEY=VALUE``; ``#`` comments and blank lines ignored; values may
+    be single- or double-quoted. Does not override variables already in
+    ``os.environ`` (matching python-dotenv's default behavior used at
+    ref:src/insert_clip_embeddings.py:16).
+    """
+    out: dict = {}
+    p = Path(path)
+    if not p.exists():
+        return out
+    for raw in p.read_text(encoding="utf-8").splitlines():
+        line = raw.strip()
+        if not line or line.startswith("#") or "=" not in line:
+            continue
+        key, _, value = line.partition("=")
+        key = key.strip()
+        value = value.strip()
+        if len(value) >= 2 and value[0] == value[-1] and value[0] in "\"'":
+            value = value[1:-1]
+        out[key] = value
+        os.environ.setdefault(key, value)
+    return out
+
+
+def _env(env: Mapping[str, str], key: str, default: str) -> str:
+    return env.get(key, os.environ.get(key, default))
+
+
+def _env_bool(env: Mapping[str, str], key: str, default: bool) -> bool:
+    raw = _env(env, key, str(default))
+    return str(raw).strip().lower() in ("true", "1", "yes", "on")
+
+
+def load_config(
+    env_file: Optional[str] = ".env",
+    overrides: Optional[Mapping[str, str]] = None,
+) -> PipelineConfig:
+    """Build a :class:`PipelineConfig` from defaults + ``.env`` + overrides.
+
+    Environment variable names match the reference ``.env.example``
+    (CLIP_MODEL, CLIP_PRETRAINED, LANGUAGE, USE_OCR_FALLBACK,
+    MAX_FILE_SIZE_MB, ALLOWED_FILE_TYPES, SOFFICE_PATH, LOG_LEVEL, ...).
+    ``CLIP_DIM`` is intentionally ignored: the dimension derives from the
+    model (the reference allowed them to disagree, which would break its own
+    vector(CLIP_DIM) inserts — SURVEY.md §5 config notes).
+    """
+    env: dict = {}
+    if env_file:
+        env.update(load_env_file(env_file))
+    if overrides:
+        env.update({k: str(v) for k, v in overrides.items()})
+
+    model = ModelConfig(
+        model_name=normalize_model_name(_env(env, "CLIP_MODEL", "ViT-B-32")),
+        pretrained=_env(env, "CLIP_PRETRAINED", "openai"),
+        checkpoint_path=_env(env, "CLIP_CHECKPOINT", "") or None,
+        compute_dtype=_env(env, "COMPUTE_DTYPE", "bfloat16"),
+        parity_mode=_env_bool(env, "PARITY_MODE", False),
+    )
+    mesh = MeshConfig(
+        data=int(_env(env, "MESH_DATA", "1")),
+        model=int(_env(env, "MESH_MODEL", "1")),
+    )
+    data = DataConfig(
+        input_dir=_env(env, "INPUT_DIR", "data/raw/manuals"),
+        output_dir=_env(env, "OUTPUT_DIR", "data/processed"),
+        language=_env(env, "LANGUAGE", "nl"),
+        use_ocr_fallback=_env_bool(env, "USE_OCR_FALLBACK", False),
+        max_file_size_mb=int(_env(env, "MAX_FILE_SIZE_MB", "50")),
+        allowed_file_types=tuple(
+            t.strip() for t in _env(env, "ALLOWED_FILE_TYPES", "pdf,docx,doc").split(",") if t.strip()
+        ),
+        soffice_path=_env(env, "SOFFICE_PATH", "soffice"),
+        word_to_pdf_timeout_seconds=int(_env(env, "WORD_TO_PDF_TIMEOUT_SECONDS", "120")),
+        exclude_terms_file=_env(env, "EXCLUDE_TERMS_FILE", "") or None,
+    )
+    store = StoreConfig(root=_env(env, "STORE_DIR", "data/store"))
+    return PipelineConfig(
+        model=model,
+        mesh=mesh,
+        data=data,
+        store=store,
+        eval_output_dir=_env(env, "EVAL_OUTPUT_DIR", "evaluation_results"),
+        batch_size=int(_env(env, "BATCH_SIZE", "256")),
+        log_level=_env(env, "LOG_LEVEL", "INFO"),
+        seed=int(_env(env, "SEED", "0")),
+    )
