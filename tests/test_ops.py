@@ -1,0 +1,143 @@
+"""Ops tests: preprocessing parity, masked top-k semantics, L2 norm."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax.numpy as jnp
+
+from tpualign.ops.preprocess import (
+    CLIP_MEAN,
+    CLIP_STD,
+    normalize_images,
+    pad_to_bucket,
+    preprocess_device,
+    preprocess_host,
+)
+from tpualign.ops.similarity import (
+    NEG_INF,
+    cosine_similarity_matrix,
+    l2_normalize,
+    masked_topk,
+    topk_similarity_search,
+)
+
+
+def test_preprocess_host_matches_torchvision():
+    torch = pytest.importorskip("torch")
+    torchvision = pytest.importorskip("torchvision")
+    from torchvision import transforms
+
+    tv = transforms.Compose([
+        transforms.Resize(224, interpolation=transforms.InterpolationMode.BICUBIC),
+        transforms.CenterCrop(224),
+        transforms.ToTensor(),
+        transforms.Normalize(CLIP_MEAN, CLIP_STD),
+    ])
+    rng = np.random.default_rng(0)
+    img = Image.fromarray(rng.integers(0, 255, (300, 180, 3), dtype=np.uint8))
+    want = tv(img).numpy().transpose(1, 2, 0)
+    got = preprocess_host(img)
+    assert got.shape == (224, 224, 3)
+    np.testing.assert_allclose(got, want, atol=2e-2, rtol=0)
+    # the interiors should be near-exact; only antialias edges differ slightly
+    assert np.abs(got - want).mean() < 2e-3
+
+
+def test_normalize_images_values():
+    x = jnp.full((1, 2, 2, 3), 0.5, jnp.float32)
+    y = np.asarray(normalize_images(x))
+    want = (0.5 - np.asarray(CLIP_MEAN)) / np.asarray(CLIP_STD)
+    np.testing.assert_allclose(y[0, 0, 0], want, atol=1e-6)
+
+
+def test_pad_to_bucket():
+    img = np.ones((40, 60, 3), np.uint8) * 7
+    out, (h, w) = pad_to_bucket(img, 128)
+    assert out.shape == (128, 128, 3)
+    assert (h, w) == (40, 60)
+    assert (out[:40, :60] == 7).all() and (out[40:, :] == 0).all()
+    # oversize gets pre-shrunk
+    big = np.ones((300, 200, 3), np.uint8)
+    out2, (h2, w2) = pad_to_bucket(big, 128)
+    assert max(h2, w2) == 128 and out2.shape == (128, 128, 3)
+
+
+def test_preprocess_device_uniform_image():
+    """A constant-color image must preprocess to the exact normalized color
+    regardless of resize path."""
+    color = np.array([200, 100, 50], np.uint8)
+    img = np.broadcast_to(color, (96, 64, 3)).copy()
+    padded, (h, w) = pad_to_bucket(img, 128)
+    out = np.asarray(
+        preprocess_device(
+            jnp.asarray(padded[None]), jnp.asarray([[h, w]], jnp.int32), image_size=32
+        )
+    )
+    want = (color / 255.0 - np.asarray(CLIP_MEAN)) / np.asarray(CLIP_STD)
+    assert out.shape == (1, 32, 32, 3)
+    np.testing.assert_allclose(out[0], np.broadcast_to(want, (32, 32, 3)), atol=1e-4)
+
+
+def test_preprocess_device_vs_host_gradient():
+    """Device (bilinear) and host (bicubic) paths agree closely on a smooth
+    gradient image."""
+    y = np.linspace(0, 255, 128, dtype=np.float32)[:, None, None]
+    img = np.broadcast_to(y, (128, 96, 3)).astype(np.uint8)
+    host = preprocess_host(Image.fromarray(img), image_size=64)
+    padded, hw = pad_to_bucket(img, 128)
+    dev = np.asarray(
+        preprocess_device(
+            jnp.asarray(padded[None]), jnp.asarray([hw], jnp.int32), image_size=64
+        )
+    )[0]
+    assert np.abs(dev - host).mean() < 0.05
+
+
+def test_l2_normalize():
+    x = jnp.asarray([[3.0, 4.0], [0.0, 0.0]])
+    y = np.asarray(l2_normalize(x))
+    np.testing.assert_allclose(y[0], [0.6, 0.8], atol=1e-6)
+    assert np.isfinite(y[1]).all()  # zero vector must not NaN
+
+
+def test_cosine_similarity_matches_numpy():
+    rng = np.random.default_rng(0)
+    q = rng.normal(size=(5, 16)).astype(np.float32)
+    c = rng.normal(size=(7, 16)).astype(np.float32)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    cn = c / np.linalg.norm(c, axis=1, keepdims=True)
+    got = np.asarray(cosine_similarity_matrix(jnp.asarray(q), jnp.asarray(c), normalized=False))
+    np.testing.assert_allclose(got, qn @ cn.T, atol=1e-5)
+
+
+def test_masked_topk_semantics():
+    sims = jnp.asarray([[0.9, 0.8, 0.7, 0.6]])
+    mask = jnp.asarray([[False, True, True, False]])
+    vals, idx = masked_topk(sims, mask, k=3)
+    vals, idx = np.asarray(vals), np.asarray(idx)
+    assert list(idx[0][:2]) == [1, 2]
+    np.testing.assert_allclose(vals[0][:2], [0.8, 0.7])
+    assert vals[0][2] <= NEG_INF / 2  # fewer candidates than k -> sentinel
+
+
+def test_masked_topk_tie_break_by_index():
+    sims = jnp.asarray([[0.5, 0.5, 0.5]])
+    mask = jnp.ones((1, 3), bool)
+    _, idx = masked_topk(sims, mask, k=3)
+    assert list(np.asarray(idx)[0]) == [0, 1, 2]
+
+
+def test_topk_search_matches_numpy_ranking():
+    rng = np.random.default_rng(1)
+    q = rng.normal(size=(4, 32)).astype(np.float32)
+    c = rng.normal(size=(50, 32)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    mask = rng.random((4, 50)) < 0.5
+    vals, idx = topk_similarity_search(jnp.asarray(q), jnp.asarray(c), jnp.asarray(mask), k=5)
+    sims = q @ c.T
+    for r in range(4):
+        cand = np.where(mask[r])[0]
+        order = cand[np.argsort(-sims[r][cand], kind="stable")][:5]
+        np.testing.assert_array_equal(np.asarray(idx)[r][: len(order)], order)

@@ -1,0 +1,153 @@
+"""Weak-supervision tests: vectorized scores pinned to scalar reference
+semantics, threshold/combination logic, record ordering."""
+
+import numpy as np
+import pytest
+
+from tpualign.weaksup.alignment import compute_alignments, same_page_mask
+from tpualign.weaksup.lexical import lexical_scores
+from tpualign.weaksup.positional import positional_score_scalar, positional_scores
+
+
+def ref_lexical_score(text, terms):
+    """Scalar transcription of ref:src/insert_clip_embeddings.py:144-156."""
+    if not terms:
+        return 0.0
+    lower = text.lower()
+    matching = sum(1 for t in terms if t in lower)
+    return min(1.0, matching / max(len(terms) * 0.1, 1))
+
+
+def test_lexical_scores_match_reference():
+    terms = ["filter", "pomp", "schroef", "deksel", "ventiel",
+             "slang", "klep", "moer", "bout", "ring", "as"]
+    texts = [
+        "Verwijder de filterdeksel en de schroef",
+        "De pomp werkt",
+        "niets relevants hier",
+        "FILTER POMP SCHROEF DEKSEL VENTIEL SLANG KLEP MOER BOUT RING AS",
+    ]
+    got = lexical_scores(texts, terms)
+    want = [ref_lexical_score(t, terms) for t in texts]
+    np.testing.assert_allclose(got, want, atol=1e-7)
+    assert got[3] == 1.0  # capped at 1.0
+
+
+def test_lexical_empty_vocab():
+    np.testing.assert_array_equal(lexical_scores(["abc"], []), [0.0])
+
+
+BBOXES = [
+    [0, 0, 10, 10],
+    [5, 5, 15, 15],      # overlaps first
+    [100, 100, 110, 110],  # disjoint
+    [0, 0, 0, 0],        # degenerate
+    [0, 0, 10, 0],       # zero height
+    [2000, 0, 2010, 10],  # very far -> distance score clamps to 0
+    [0, 0, 10, 10],      # identical to first (IoU = 1)
+]
+
+
+def test_positional_vectorized_matches_scalar():
+    grid = np.asarray(positional_scores(np.asarray(BBOXES, np.float32),
+                                        np.asarray(BBOXES, np.float32)))
+    for i, a in enumerate(BBOXES):
+        for j, b in enumerate(BBOXES):
+            want = positional_score_scalar(a, b)
+            assert abs(grid[i, j] - want) < 1e-6, (i, j, grid[i, j], want)
+
+
+def test_positional_known_values():
+    grid = np.asarray(positional_scores(
+        np.asarray([[0, 0, 10, 10]], np.float32),
+        np.asarray([[5, 5, 15, 15], [20, 0, 30, 10], [0, 0, 10, 10]], np.float32),
+    ))
+    # IoU of two 10x10 boxes overlapping 5x5: 25 / (100+100-25)
+    np.testing.assert_allclose(grid[0, 0], 25 / 175, atol=1e-6)
+    # disjoint, centers (5,5) and (25,5): d=20 -> 1 - 20/1000
+    np.testing.assert_allclose(grid[0, 1], 0.98, atol=1e-6)
+    np.testing.assert_allclose(grid[0, 2], 1.0, atol=1e-6)
+
+
+def test_same_page_mask():
+    images = [
+        {"image_id": "a", "manual_id": "m1", "page": 1},
+        {"image_id": "b", "manual_id": "m1", "page": 2},
+        {"image_id": "c", "manual_id": "m2", "page": 1},
+    ]
+    chunks = [
+        {"chunk_id": "x", "manual_id": "m1", "page": 1},
+        {"chunk_id": "y", "manual_id": "m2", "page": 1},
+    ]
+    mask = same_page_mask(images, chunks)
+    np.testing.assert_array_equal(mask, [[True, False], [False, False], [False, True]])
+
+
+def make_pair(lex_hit_text, img_bbox, chunk_bbox):
+    images = [{"image_id": "i0", "manual_id": "m", "page": 1, "bbox": img_bbox}]
+    chunks = [{"chunk_id": "c0", "manual_id": "m", "page": 1, "bbox": chunk_bbox,
+               "text": lex_hit_text}]
+    return images, chunks
+
+
+def test_alignment_combined_mode():
+    terms = ["filter"]  # one term: denom = max(0.1, 1) = 1 -> score = 1.0 on hit
+    images, chunks = make_pair("de filter", [0, 0, 10, 10], [5, 5, 15, 15])
+    recs = compute_alignments(images, chunks, terms, True, True)
+    # lex = 1.0 > .05; pos = 25/175 ≈ .143 > .05; combined ≈ .571 > .1
+    assert len(recs) == 1
+    img_id, chunk_id, score, a_type = recs[0]
+    assert (img_id, chunk_id, a_type) == ("i0", "c0", "combined")
+    np.testing.assert_allclose(score, (1.0 + 25 / 175) / 2, atol=1e-6)
+
+
+def test_alignment_individual_when_one_fails():
+    # positional fails threshold (degenerate bbox) -> lexical row only
+    images, chunks = make_pair("de filter", [0, 0, 0, 0], [5, 5, 15, 15])
+    recs = compute_alignments(images, chunks, ["filter"], True, True)
+    assert recs == [("i0", "c0", 1.0, "lexical")]
+
+
+def test_alignment_single_strategy_schemas():
+    images, chunks = make_pair("de filter", [0, 0, 10, 10], [5, 5, 15, 15])
+    lex_only = compute_alignments(images, chunks, ["filter"], True, False)
+    assert [r[3] for r in lex_only] == ["lexical"]
+    pos_only = compute_alignments(images, chunks, ["filter"], False, True)
+    assert [r[3] for r in pos_only] == ["positional"]
+    vanilla = compute_alignments(images, chunks, ["filter"], False, False)
+    assert vanilla == []
+
+
+def test_alignment_threshold_suppression():
+    # 20-term vocabulary, chunk hits 1 term: score = 1/2 = .5 > .05 kept;
+    # chunk hitting 0 terms: 0 suppressed.
+    terms = [f"term{i}" for i in range(20)]
+    images = [{"image_id": "i0", "manual_id": "m", "page": 1, "bbox": [0, 0, 10, 10]}]
+    chunks = [
+        {"chunk_id": "c0", "manual_id": "m", "page": 1, "bbox": [0, 0, 0, 0], "text": "has term3"},
+        {"chunk_id": "c1", "manual_id": "m", "page": 1, "bbox": [0, 0, 0, 0], "text": "nothing"},
+    ]
+    recs = compute_alignments(images, chunks, terms, True, False)
+    assert recs == [("i0", "c0", 0.5, "lexical")]
+
+
+def test_alignment_cross_page_excluded():
+    images = [{"image_id": "i0", "manual_id": "m", "page": 1, "bbox": [0, 0, 10, 10]}]
+    chunks = [{"chunk_id": "c0", "manual_id": "m", "page": 2, "bbox": [0, 0, 10, 10],
+               "text": "de filter"}]
+    assert compute_alignments(images, chunks, ["filter"], True, True) == []
+
+
+def test_alignment_record_order_image_major():
+    images = [
+        {"image_id": "i0", "manual_id": "m", "page": 1, "bbox": [0, 0, 10, 10]},
+        {"image_id": "i1", "manual_id": "m", "page": 1, "bbox": [0, 0, 10, 10]},
+    ]
+    chunks = [
+        {"chunk_id": "c0", "manual_id": "m", "page": 1, "bbox": [1, 1, 9, 9], "text": "x"},
+        {"chunk_id": "c1", "manual_id": "m", "page": 1, "bbox": [2, 2, 8, 8], "text": "x"},
+    ]
+    recs = compute_alignments(images, chunks, [], False, True)
+    assert [(r[0], r[1]) for r in recs] == [
+        ("i0", "c0"), ("i0", "c1"), ("i1", "c0"), ("i1", "c1"),
+    ]

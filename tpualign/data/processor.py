@@ -1,0 +1,408 @@
+"""Document processor: images, text chunks, captions, lexical vocabulary.
+
+The rebuild of the reference's ``PDFProcessor`` (ref:src/pdf_processor.py:38)
+on top of the backend protocol in :mod:`tpualign.data.backends`. Behavioral
+parity surface (SURVEY.md §2.5), all preserved:
+
+- idempotent re-runs: delete prior JSON outputs + images dir contents
+  (ref:src/pdf_processor.py:243-267);
+- 3-tier image bbox fallback: native rects -> dict image block (matching
+  xref, else idx-th block) -> zero bbox, with bbox_source
+  native/dict_fallback/unknown (ref:src/pdf_processor.py:345-393);
+- vector figures: drawings with w>=5 and h>=5 as placeholder entries with
+  filename=None (ref:src/pdf_processor.py:427-452);
+- zero-bbox images filtered before saving (ref:src/pdf_processor.py:78-94,989);
+- word->line->chunk pipeline with per-page chunk ids
+  ``{manual}_p{page}_c{idx}`` (1-based page, ref:src/pdf_processor.py:656-695);
+- caption regexes with the first-image-on-page rule
+  (ref:src/pdf_processor.py:818-869);
+- noun vocabulary over the concatenation of all chunk text
+  (ref:src/pdf_processor.py:986-1026);
+- Word documents converted to PDF via LibreOffice then processed as PDFs,
+  hard failure when conversion fails (ref:src/pdf_processor.py:293-318).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import tempfile
+from pathlib import Path
+from typing import Callable, List, Optional
+
+from tpualign.config import DataConfig
+from tpualign.data import chunking
+from tpualign.data.backends import DocumentHandle, open_document
+from tpualign.data.captions import find_captions, link_captions_first_image
+from tpualign.data.lexical import (
+    HeuristicNoun,
+    build_lexical_data,
+    extract_lexical_components,
+    load_spacy,
+    preprocess_text,
+)
+from tpualign.utils.logging import get_logger
+
+log = get_logger("data.processor")
+
+__all__ = ["DocumentProcessor", "filter_invalid_bboxes"]
+
+
+def filter_invalid_bboxes(images: List[dict]) -> List[dict]:
+    """Drop images whose bbox is absent or all-zero (ref:src/pdf_processor.py:78-94)."""
+    if not images:
+        return images
+    valid = [
+        img
+        for img in images
+        if img.get("bbox") and any((c or 0) != 0 for c in img["bbox"])
+    ]
+    dropped = len(images) - len(valid)
+    if dropped:
+        log.info(
+            "Filtered out %d images with zero bounding boxes (%.2f%%)",
+            dropped,
+            100.0 * dropped / len(images),
+        )
+    return valid
+
+
+class DocumentProcessor:
+    """Extract multimodal data from manuals into the processed-JSON layout.
+
+    Outputs (identical schemas to the reference):
+      - ``image_metadata.json``: [{image_id, manual_id, page, bbox,
+        bbox_source, caption, filename, image_type}]
+      - ``text_chunks.json``: [{chunk_id, manual_id, page, bbox, text}]
+      - ``lexical_components.json``: {total_components, total_occurrences,
+        components: [{term, count}]}
+      - ``images/``: extracted raster files named
+        ``{manual}_p{page}_img{idx}.{ext}``
+    """
+
+    def __init__(
+        self,
+        config: DataConfig,
+        nlp: Optional[Callable] = "auto",  # type: ignore[assignment]
+        lexical_fallback: str = "none",  # "none" (reference parity) | "heuristic"
+    ):
+        self.config = config
+        self.input_dir = Path(config.input_dir)
+        self.output_dir = Path(config.output_dir)
+        self.images_dir = Path(config.images_dir)
+        self.language = config.language
+        self.output_dir.mkdir(parents=True, exist_ok=True)
+        self.images_dir.mkdir(parents=True, exist_ok=True)
+
+        if nlp == "auto":
+            nlp = load_spacy(self.language)
+            if nlp is None and lexical_fallback == "heuristic":
+                log.info("spaCy unavailable; using heuristic noun extractor")
+                nlp = HeuristicNoun()
+        self.nlp = nlp
+        # sentence splitting degrades to the regex path for non-spaCy nlp
+        self._sent_nlp = nlp if hasattr(nlp, "pipe") else None
+
+        self.image_metadata: List[dict] = []
+        self.text_chunks: List[dict] = []
+
+    # -- top-level -----------------------------------------------------------
+
+    def process_all_documents(self) -> dict:
+        """Process every supported file in input_dir; save JSON outputs.
+
+        Returns a summary dict {images, chunks, lexical_terms}.
+        """
+        self.image_metadata = []
+        self.text_chunks = []
+
+        # idempotent cleanup (ref:src/pdf_processor.py:252-267)
+        for name in ("image_metadata.json", "text_chunks.json", "lexical_components.json"):
+            p = self.output_dir / name
+            if p.exists():
+                p.unlink()
+        for image in self.images_dir.glob("*"):
+            try:
+                image.unlink()
+            except OSError as e:
+                log.warning("Could not remove %s: %s", image, e)
+
+        all_files: List[Path] = []
+        for file_type in self.config.allowed_file_types:
+            all_files.extend(sorted(self.input_dir.glob(f"*.{file_type}")))
+        # synthetic fixtures are always eligible
+        all_files.extend(sorted(self.input_dir.glob("*.synthdoc.json")))
+
+        if not all_files:
+            log.warning(
+                "No supported files found in %s (types: %s)",
+                self.input_dir,
+                ",".join(self.config.allowed_file_types),
+            )
+            return {"images": 0, "chunks": 0, "lexical_terms": 0}
+
+        log.info("Found %d files to process", len(all_files))
+        for file_path in all_files:
+            try:
+                self.process_single_document(file_path)
+            except Exception as e:  # skip-and-continue (ref:src/pdf_processor.py:283-288)
+                log.error("Error processing %s: %s", file_path, e)
+                continue
+
+        return self.save_extracted_data()
+
+    def process_single_document(self, file_path: Path) -> None:
+        file_path = Path(file_path)
+        if file_path.name.endswith(".synthdoc.json"):
+            manual_id = file_path.name[: -len(".synthdoc.json")]
+        else:
+            manual_id = file_path.stem
+        suffix = file_path.suffix.lower()
+        log.info("Processing %s (%s)", manual_id, suffix)
+
+        if suffix == ".pdf" or file_path.name.endswith(".synthdoc.json"):
+            self._process_paged_document(file_path, manual_id)
+        elif suffix in (".docx", ".doc"):
+            converted = self._convert_word_to_pdf(file_path)
+            if converted is not None and converted.exists():
+                self._process_paged_document(converted, manual_id)
+            else:
+                # no silent zero-bbox Word path (ref:src/pdf_processor.py:314-318)
+                raise RuntimeError(
+                    "Word->PDF conversion failed; aborting to avoid zero-bbox "
+                    "Word extraction."
+                )
+        else:
+            log.warning("Unsupported file type: %s", suffix)
+
+    def _process_paged_document(self, path: Path, manual_id: str) -> None:
+        handle = open_document(path)
+        try:
+            self.extract_images(handle, manual_id)
+            self.extract_text_chunks(handle, manual_id)
+        finally:
+            handle.close()
+        self._log_image_summary(manual_id)
+
+    # -- images ---------------------------------------------------------------
+
+    def extract_images(self, handle: DocumentHandle, manual_id: str) -> None:
+        """Raster images with 3-tier bbox fallback + vector figures
+        (ref:src/pdf_processor.py:326-457)."""
+        for page_num in range(handle.num_pages()):
+            images = handle.page_images(page_num)
+            dict_blocks = None  # lazily fetched, like the reference's get_text("dict")
+            for img_idx, img in enumerate(images):
+                try:
+                    bbox = None
+                    bbox_source = None
+                    if img.rects:
+                        r = img.rects[0]
+                        bbox = [r[0], r[1], r[2], r[3]]
+                        bbox_source = "native"
+                    if bbox is None and img.dict_bbox is not None:
+                        bbox = list(img.dict_bbox)
+                        bbox_source = "dict_fallback"
+                    if bbox is None:
+                        if dict_blocks is None:
+                            dict_blocks = handle.dict_image_blocks(page_num)
+                        if dict_blocks:
+                            fb = dict_blocks[min(img_idx, len(dict_blocks) - 1)]
+                            bbox = list(fb)
+                            bbox_source = "dict_fallback"
+                    if bbox is None:
+                        bbox = [0, 0, 0, 0]
+                        bbox_source = "unknown"
+
+                    image_filename = (
+                        f"{manual_id}_p{page_num + 1}_img{img_idx}.{img.ext}"
+                    )
+                    with open(self.images_dir / image_filename, "wb") as f:
+                        f.write(img.data)
+
+                    self.image_metadata.append(
+                        {
+                            "image_id": f"{manual_id}_p{page_num + 1}_img{img_idx}",
+                            "manual_id": manual_id,
+                            "page": page_num + 1,
+                            "bbox": bbox,
+                            "bbox_source": bbox_source or "unknown",
+                            "caption": None,
+                            "filename": image_filename,
+                            "image_type": "raster_image",
+                        }
+                    )
+                except Exception as e:
+                    log.error(
+                        "Error extracting image %d from page %d: %s",
+                        img_idx, page_num, e,
+                    )
+                    continue
+
+            # vector figures (ref:src/pdf_processor.py:427-452)
+            v_idx = 0
+            for rect in handle.page_drawings(page_num):
+                w = float(rect[2] - rect[0])
+                h = float(rect[3] - rect[1])
+                if w < self.config.min_image_size or h < self.config.min_image_size:
+                    continue
+                self.image_metadata.append(
+                    {
+                        "image_id": f"{manual_id}_p{page_num + 1}_vector{v_idx}",
+                        "manual_id": manual_id,
+                        "page": page_num + 1,
+                        "bbox": [rect[0], rect[1], rect[2], rect[3]],
+                        "bbox_source": "vector",
+                        "caption": None,
+                        "filename": None,
+                        "image_type": "vector_figure",
+                    }
+                )
+                v_idx += 1
+
+    # -- text -------------------------------------------------------------------
+
+    def extract_text_chunks(self, handle: DocumentHandle, manual_id: str) -> None:
+        """Per-page chunk extraction + caption linking
+        (ref:src/pdf_processor.py:527-543)."""
+        for page_num in range(handle.num_pages()):
+            self.text_chunks.extend(
+                self.extract_text_blocks(handle, manual_id, page_num + 1)
+            )
+            self._extract_and_link_captions(handle, manual_id, page_num + 1)
+
+    def extract_text_blocks(
+        self, handle: DocumentHandle, manual_id: str, page_num: int
+    ) -> List[dict]:
+        """Words -> lines -> chunks with bboxes; plain-text line fallback when
+        the page has no word boxes (ref:src/pdf_processor.py:603-718)."""
+        blocks: List[dict] = []
+        try:
+            words = handle.page_words(page_num - 1)
+            if not words:
+                plain_text = handle.page_text(page_num - 1)
+                if plain_text:
+                    for line_idx, line in enumerate(plain_text.split("\n")):
+                        if line.strip():
+                            blocks.append(
+                                {
+                                    "chunk_id": f"{manual_id}_p{page_num}_c{line_idx}",
+                                    "manual_id": manual_id,
+                                    "page": page_num,
+                                    "bbox": [0, 0, 0, 0],
+                                    "text": line.strip(),
+                                }
+                            )
+                return blocks
+
+            lines = chunking.group_words_into_lines(words)
+            chunks = chunking.split_into_instruction_chunks(
+                lines, self.language, self._sent_nlp
+            )
+            for chunk_idx, chunk_text in enumerate(chunks):
+                if not chunk_text.strip():
+                    continue
+                bbox = chunking.chunk_bbox_for_lines(chunk_text, lines)
+                blocks.append(
+                    {
+                        "chunk_id": f"{manual_id}_p{page_num}_c{chunk_idx}",
+                        "manual_id": manual_id,
+                        "page": page_num,
+                        "bbox": bbox,
+                        "text": chunk_text.strip(),
+                    }
+                )
+        except Exception as e:
+            log.error("Error extracting text blocks from page %d: %s", page_num, e)
+        return blocks
+
+    def _extract_and_link_captions(
+        self, handle: DocumentHandle, manual_id: str, page_num: int
+    ) -> None:
+        page_text = handle.page_text(page_num - 1)
+        if not page_text:
+            return
+        captions = find_captions(page_text, self.language)
+        page_images = [
+            img
+            for img in self.image_metadata
+            if img["manual_id"] == manual_id and img["page"] == page_num
+        ]
+        link_captions_first_image(captions, page_images)
+
+    # -- word conversion ---------------------------------------------------------
+
+    def _convert_word_to_pdf(self, word_path: Path) -> Optional[Path]:
+        """LibreOffice headless conversion (ref:src/pdf_processor.py:183-224)."""
+        try:
+            tmp_dir = Path(tempfile.mkdtemp(prefix="word2pdf_"))
+            pdf_out = tmp_dir / f"{word_path.stem}.pdf"
+            subprocess.run(
+                [
+                    self.config.soffice_path,
+                    "--headless",
+                    "--convert-to",
+                    "pdf",
+                    str(word_path),
+                    "--outdir",
+                    str(tmp_dir),
+                ],
+                check=True,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+                timeout=self.config.word_to_pdf_timeout_seconds,
+            )
+            if pdf_out.exists() and pdf_out.stat().st_size > 0:
+                return pdf_out
+        except subprocess.TimeoutExpired:
+            log.error("LibreOffice conversion timed out for %s", word_path)
+        except FileNotFoundError:
+            log.error(
+                "LibreOffice (soffice) not found; set SOFFICE_PATH to its binary"
+            )
+        except Exception as e:
+            log.error("LibreOffice conversion failed for %s: %s", word_path, e)
+        return None
+
+    # -- save ---------------------------------------------------------------------
+
+    def save_extracted_data(self) -> dict:
+        """Filter zero-bbox images, save the three JSONs, build the noun
+        vocabulary (ref:src/pdf_processor.py:986-1026)."""
+        self.image_metadata = filter_invalid_bboxes(self.image_metadata)
+
+        with open(self.output_dir / "image_metadata.json", "w", encoding="utf-8") as f:
+            json.dump(self.image_metadata, f, indent=2)
+        with open(self.output_dir / "text_chunks.json", "w", encoding="utf-8") as f:
+            json.dump(self.text_chunks, f, indent=2)
+
+        all_text = " ".join(chunk["text"] for chunk in self.text_chunks)
+        processed = preprocess_text(all_text)
+        components = extract_lexical_components(processed, self.nlp)
+        lexical_data = build_lexical_data(components)
+        with open(
+            self.output_dir / "lexical_components.json", "w", encoding="utf-8"
+        ) as f:
+            json.dump(lexical_data, f, indent=2)
+
+        log.info(
+            "Saved %d images, %d text chunks, %d unique lexical components",
+            len(self.image_metadata),
+            len(self.text_chunks),
+            lexical_data["total_components"],
+        )
+        return {
+            "images": len(self.image_metadata),
+            "chunks": len(self.text_chunks),
+            "lexical_terms": lexical_data["total_components"],
+        }
+
+    def _log_image_summary(self, manual_id: str) -> None:
+        mine = [m for m in self.image_metadata if m["manual_id"] == manual_id]
+        native = sum(1 for m in mine if m["bbox_source"] == "native")
+        vector = sum(1 for m in mine if m["bbox_source"] == "vector")
+        log.info(
+            "Image extraction summary for %s: native=%d vector=%d total=%d",
+            manual_id, native, vector, len(mine),
+        )

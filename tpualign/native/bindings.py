@@ -1,0 +1,86 @@
+"""ctypes bindings over the native library, with graceful degradation.
+
+Every function returns ``None`` when the native library is unavailable so
+callers fall back to their pure-Python implementations.
+"""
+
+from __future__ import annotations
+
+import ctypes
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+
+def _load():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    try:
+        from tpualign.native.build import build
+
+        path = build()
+        if path is None:
+            return None
+        lib = ctypes.CDLL(str(path))
+        lib.tpua_lexical_counts.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.tpua_topk_merge.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
+        ]
+        _LIB = lib
+    except Exception:
+        _LIB = None
+    return _LIB
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def lexical_counts(texts: List[str], terms: List[str]) -> Optional[np.ndarray]:
+    """Substring-match counts per text; None if native lib unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    enc_texts = [t.lower().encode("utf-8") for t in texts]
+    enc_terms = [t.encode("utf-8") for t in terms]
+    c_texts = (ctypes.c_char_p * len(enc_texts))(*enc_texts)
+    c_terms = (ctypes.c_char_p * len(enc_terms))(*enc_terms)
+    out = np.zeros(len(texts), dtype=np.int32)
+    lib.tpua_lexical_counts(
+        c_texts, len(enc_texts), c_terms, len(enc_terms),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return out
+
+
+def topk_merge(
+    vals: np.ndarray, idx: np.ndarray, k: int
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Merge (rows, cols) candidates into (rows, k) top-k; None if no native lib."""
+    lib = _load()
+    if lib is None:
+        return None
+    vals = np.ascontiguousarray(vals, dtype=np.float32)
+    idx = np.ascontiguousarray(idx, dtype=np.int64)
+    rows, cols = vals.shape
+    out_vals = np.empty((rows, k), dtype=np.float32)
+    out_idx = np.empty((rows, k), dtype=np.int64)
+    lib.tpua_topk_merge(
+        vals.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        rows, cols, k,
+        out_vals.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return out_vals, out_idx
