@@ -1,0 +1,185 @@
+"""Parallelism tests on the 8-device CPU mesh: sharded retrieval correctness
+vs numpy oracle, TP param specs, data-parallel embedding engine."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tpualign.config import ClipVariant, ModelConfig
+from tpualign.ops.similarity import NEG_INF
+from tpualign.parallel.mesh import create_mesh
+from tpualign.parallel.retrieval import (
+    RetrievalIndex,
+    encode_keys,
+    sharded_topk_search,
+)
+from tpualign.parallel.sharding import clip_param_specs
+
+
+def numpy_oracle(queries, qkeys, corpus, ckeys, k):
+    """Exact ranking with ascending-index tie-break."""
+    sims = queries @ corpus.T
+    vals = np.full((len(queries), k), NEG_INF, np.float32)
+    idx = np.full((len(queries), k), -1, np.int64)
+    for r in range(len(queries)):
+        cand = np.where(qkeys[r] == ckeys)[0]
+        order = cand[np.lexsort((cand, -sims[r][cand]))][:k]
+        vals[r, : len(order)] = sims[r][order]
+        idx[r, : len(order)] = order
+    return vals, idx
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    return create_mesh(8, 1)
+
+
+def make_problem(rng, nq=17, n=203, d=32, n_manuals=3, n_pages=4):
+    q = rng.normal(size=(nq, d)).astype(np.float32)
+    c = rng.normal(size=(n, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    qman = [f"m{rng.integers(n_manuals)}" for _ in range(nq)]
+    qpage = [int(rng.integers(1, n_pages + 1)) for _ in range(nq)]
+    cman = [f"m{rng.integers(n_manuals)}" for _ in range(n)]
+    cpage = [int(rng.integers(1, n_pages + 1)) for _ in range(n)]
+    return q, qman, qpage, c, cman, cpage
+
+
+@pytest.mark.parametrize("use_mesh", [False, True])
+def test_sharded_search_matches_oracle(use_mesh, mesh8):
+    rng = np.random.default_rng(42)
+    q, qman, qpage, c, cman, cpage = make_problem(rng)
+    vocab = {}
+    ckeys, vocab = encode_keys(cman, cpage, vocab)
+    qkeys, _ = encode_keys(qman, qpage, vocab)
+    mesh = mesh8 if use_mesh else None
+    vals, idx = sharded_topk_search(q, qkeys, c, ckeys, k=10, mesh=mesh)
+    ovals, oidx = numpy_oracle(q, qkeys, c, ckeys, 10)
+    # indices must match wherever a candidate exists
+    has = oidx >= 0
+    np.testing.assert_array_equal(idx[has], oidx[has])
+    np.testing.assert_allclose(vals[has], ovals[has], atol=1e-5)
+    assert (idx[~has] == -1).all()
+
+
+def test_retrieval_index_api(mesh8):
+    rng = np.random.default_rng(7)
+    q, qman, qpage, c, cman, cpage = make_problem(rng, nq=5, n=64)
+    index = RetrievalIndex(c, cman, cpage, mesh=mesh8)
+    vals, idx = index.search(q, qman, qpage, k=5)
+    assert vals.shape == (5, 5) and idx.shape == (5, 5)
+    # every returned candidate shares the query's (manual, page)
+    for r in range(5):
+        for j in idx[r][idx[r] >= 0]:
+            assert cman[j] == qman[r] and cpage[j] == qpage[r]
+
+
+def test_unknown_query_manual_returns_nothing(mesh8):
+    rng = np.random.default_rng(1)
+    c = rng.normal(size=(16, 8)).astype(np.float32)
+    index = RetrievalIndex(c, ["m0"] * 16, [1] * 16, mesh=None)
+    vals, idx = index.search(
+        rng.normal(size=(2, 8)).astype(np.float32), ["unknown"] * 2, [1, 1], k=3
+    )
+    assert (idx == -1).all()
+
+
+def test_k_larger_than_corpus(mesh8):
+    rng = np.random.default_rng(2)
+    c = rng.normal(size=(3, 8)).astype(np.float32)
+    index = RetrievalIndex(c, ["m"] * 3, [1] * 3, mesh=mesh8)
+    vals, idx = index.search(
+        rng.normal(size=(2, 8)).astype(np.float32), ["m"] * 2, [1, 1], k=10
+    )
+    assert idx.shape == (2, 10)
+    assert (idx[:, :3] >= 0).all() and (idx[:, 3:] == -1).all()
+
+
+def test_empty_corpus_and_queries():
+    vals, idx = sharded_topk_search(
+        np.zeros((0, 4), np.float32), np.zeros(0, np.int32),
+        np.zeros((5, 4), np.float32), np.zeros(5, np.int32), k=3,
+    )
+    assert vals.shape == (0, 3)
+    vals, idx = sharded_topk_search(
+        np.zeros((2, 4), np.float32), np.zeros(2, np.int32),
+        np.zeros((0, 4), np.float32), np.zeros(0, np.int32), k=3,
+    )
+    assert (idx == -1).all()
+
+
+def test_clip_param_specs_shapes():
+    from tests.test_models import TINY, tiny_model
+    from tpualign.models.clip import init_clip_params
+    from jax.sharding import PartitionSpec as P
+
+    model = tiny_model()
+    params = init_clip_params(model)
+    specs = clip_param_specs(params)
+    blk = specs["visual"]["transformer"]["resblock_0"]
+    assert blk["attn"]["in_proj_kernel"] == P(None, "model")
+    assert blk["attn"]["out_proj_kernel"] == P("model", None)
+    assert blk["mlp"]["c_fc_kernel"] == P(None, "model")
+    assert blk["mlp"]["c_proj_kernel"] == P("model", None)
+    assert specs["logit_scale"] == P()
+    assert specs["text"]["token_embedding"] == P()
+    # tree structures identical
+    assert jax.tree.structure(specs) == jax.tree.structure(params)
+
+
+def test_embed_engine_dp_mesh(mesh8, tmp_path):
+    """Data-parallel embedding on the 8-device mesh matches single-device."""
+    from tests.test_models import TINY
+    from tpualign.models.clip import CLIP, init_clip_params
+    from tpualign.parallel.embed import EmbedEngine
+    from tpualign.tokenizer import ClipTokenizer
+
+    model = CLIP(variant=TINY, use_quick_gelu=True, compute_dtype=jnp.float32)
+    params = init_clip_params(model, seed=0)
+
+    # build engines manually around the tiny variant (ModelConfig only knows
+    # the real CLIP sizes)
+    eng1 = EmbedEngine.__new__(EmbedEngine)
+    eng8 = EmbedEngine.__new__(EmbedEngine)
+    for eng, mesh in ((eng1, None), (eng8, mesh8)):
+        eng.config = None
+        eng.model = model
+        eng.variant = TINY
+        eng.mesh = mesh
+        eng.tokenizer = None
+        import jax as _jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if mesh is not None:
+            eng.params = _jax.tree.map(
+                lambda x: _jax.device_put(np.asarray(x), NamedSharding(mesh, P())),
+                params,
+            )
+            eng._dp = mesh.shape["data"]
+            img_shard = NamedSharding(mesh, P("data", None, None, None))
+            eng._encode_image = _jax.jit(
+                lambda p, x: model.apply({"params": p}, x, normalize=True,
+                                         method=model.encode_image),
+                in_shardings=(None, img_shard),
+                out_shardings=NamedSharding(mesh, P()),
+            )
+            eng._encode_text = None
+        else:
+            eng.params = params
+            eng._dp = 1
+            eng._encode_image = _jax.jit(
+                lambda p, x: model.apply({"params": p}, x, normalize=True,
+                                         method=model.encode_image)
+            )
+            eng._encode_text = None
+        eng.batch_size = 16
+
+    rng = np.random.default_rng(0)
+    images = rng.normal(size=(37, 32, 32, 3)).astype(np.float32)
+    e1 = eng1.encode_image_batch(images)
+    e8 = eng8.encode_image_batch(images)
+    assert e1.shape == (37, 64)
+    np.testing.assert_allclose(e1, e8, atol=1e-5)

@@ -1,0 +1,207 @@
+"""Pipeline + evaluation end-to-end tests with a stub embedding engine."""
+
+import io
+import json
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from tpualign.config import load_config
+from tpualign.data.backends import write_synthetic_document
+from tpualign.evaluation import Evaluator
+from tpualign.pipeline import SCHEMA_FLAGS, Pipeline
+from tpualign.store import SCHEMAS
+
+
+class StubEngine:
+    """Deterministic engine: embeddings derived from item ids (unit norm)."""
+
+    dim = 16
+
+    def _emb(self, key):
+        seed = abs(hash(key)) % (2**31)
+        v = np.random.default_rng(seed).normal(size=self.dim).astype(np.float32)
+        return v / np.linalg.norm(v)
+
+    def embed_image_records(self, records, images_dir, prefetch=2):
+        return np.stack([self._emb(r["image_id"]) for r in records]) if records else np.zeros((0, self.dim), np.float32)
+
+    def embed_chunk_records(self, records):
+        return np.stack([self._emb(r["chunk_id"]) for r in records]) if records else np.zeros((0, self.dim), np.float32)
+
+
+def png(color):
+    b = io.BytesIO()
+    Image.new("RGB", (50, 40), color).save(b, "PNG")
+    return b.getvalue()
+
+
+def make_corpus(raw_dir, n_manuals=2, pages=3, imgs_per_page=2, lines_per_page=4):
+    for m in range(n_manuals):
+        doc_pages = []
+        for p in range(pages):
+            words = []
+            for li in range(lines_per_page):
+                top = 300 + 20 * li
+                x = 50
+                for t in f"regel {li} van de filter pomp pagina {p}".split():
+                    words.append({"text": t, "x0": x, "x1": x + 8 * len(t),
+                                  "top": top, "bottom": top + 10})
+                    x += 8 * len(t) + 4
+            doc_pages.append({
+                "width": 612, "height": 792,
+                "images": [
+                    {"data": png((30 * (i + 1), 0, 0)), "ext": "png",
+                     "rects": [[100 + 50 * i, 100, 180 + 50 * i, 160]]}
+                    for i in range(imgs_per_page)
+                ],
+                "drawings": [],
+                "words": words,
+            })
+        write_synthetic_document(raw_dir / f"manual{m}.synthdoc.json", doc_pages)
+
+
+@pytest.fixture()
+def workdir(tmp_path):
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    make_corpus(raw)
+    (tmp_path / "exclude.txt").write_text("pagina\n")
+    return tmp_path
+
+
+def make_pipeline(workdir):
+    cfg = load_config(
+        env_file=None,
+        overrides={
+            "INPUT_DIR": str(workdir / "raw"),
+            "OUTPUT_DIR": str(workdir / "processed"),
+            "STORE_DIR": str(workdir / "store"),
+            "EVAL_OUTPUT_DIR": str(workdir / "eval"),
+            "EXCLUDE_TERMS_FILE": str(workdir / "exclude.txt"),
+            "LANGUAGE": "nl",
+        },
+    )
+    return Pipeline(cfg, engine=StubEngine())
+
+
+def test_pipeline_end_to_end(workdir, capsys):
+    pipe = make_pipeline(workdir)
+    pipe.run(non_interactive=True)
+
+    # processed artifacts
+    processed = workdir / "processed"
+    images = json.loads((processed / "image_metadata.json").read_text())
+    chunks = json.loads((processed / "text_chunks.json").read_text())
+    assert len(images) == 12  # 2 manuals x 3 pages x 2 images
+    assert len(chunks) > 0
+    filtered = json.loads((processed / "filtered_lexical_components.json").read_text())
+    assert "pagina" in filtered["excluded_terms"]
+    assert all(c["term"] != "pagina" for c in filtered["components"])
+
+    # store populated for all schemas with shared embeddings
+    for schema in SCHEMAS:
+        counts = pipe.store.counts(schema)
+        assert counts["images"] == 12
+        assert counts["text_chunks"] == len(chunks)
+        use_lex, use_pos = SCHEMA_FLAGS[schema]
+        if not (use_lex or use_pos):
+            assert counts["alignments"] == 0
+        else:
+            assert counts["alignments"] > 0
+
+    # evaluation outputs
+    metrics = json.loads((workdir / "eval/metrics.json").read_text())
+    for schema in SCHEMAS:
+        m = metrics[schema]
+        assert set(m) == {"top_k", "mrr", "avg_similarity", "num_pairs"}
+        assert set(m["top_k"]) == {"1", "5", "10"}  # json stringifies int keys
+        assert m["num_pairs"] == 12 * len(chunks) // 6  # pairs per page * pages
+        assert 0.0 <= m["mrr"] <= 1.0
+        # monotone: top-1 <= top-5 <= top-10
+        assert m["top_k"]["1"] <= m["top_k"]["5"] <= m["top_k"]["10"]
+    for name in ("similarity_distributions.png", "top_k_comparison.png",
+                 "weak_supervision_scores.png"):
+        assert (workdir / "eval" / name).exists()
+
+
+def test_pipeline_resume_skips_completed(workdir, capsys, monkeypatch):
+    pipe = make_pipeline(workdir)
+    pipe.run(non_interactive=True)
+
+    # a fresh pipeline over the same dirs must skip every step
+    pipe2 = make_pipeline(workdir)
+    called = []
+    monkeypatch.setattr(
+        type(pipe2.store), "insert_images",
+        lambda *a, **k: called.append("insert") or 0,
+    )
+    pipe2.run(non_interactive=True, skip_eval=True)
+    assert called == []  # embeddings not recomputed
+
+
+def test_pipeline_force_recomputes(workdir):
+    pipe = make_pipeline(workdir)
+    pipe.run(non_interactive=True, skip_eval=True)
+    before = pipe.store.counts("vanilla_clip")
+    pipe.run(non_interactive=True, skip_eval=True, force=True)
+    after = pipe.store.counts("vanilla_clip")
+    assert after == before  # idempotent under force (upserts)
+
+
+def test_pipeline_missing_input_dir(tmp_path):
+    cfg = load_config(env_file=None, overrides={
+        "INPUT_DIR": str(tmp_path / "nope"),
+        "OUTPUT_DIR": str(tmp_path / "out"),
+        "STORE_DIR": str(tmp_path / "store"),
+    })
+    pipe = Pipeline(cfg, engine=StubEngine())
+    with pytest.raises(SystemExit):
+        pipe.step_document_processing()
+
+
+def test_evaluator_oracle_consistency(workdir):
+    """Top-1 pair must be the argmax chunk for its image; MRR consistent with
+    brute-force ranking."""
+    pipe = make_pipeline(workdir)
+    pipe.run(non_interactive=True, skip_eval=True)
+    ev = Evaluator(pipe.store, output_dir=str(workdir / "eval2"))
+    schema = "vanilla_clip"
+    images = pipe.store.images(schema)
+    chunks = pipe.store.chunks(schema)
+    iids, iemb = pipe.store.embedding_matrix(schema, "images")
+    cids, cemb = pipe.store.embedding_matrix(schema, "text_chunks")
+    sims = iemb @ cemb.T
+
+    # brute-force MRR with the cartesian same-page ground truth
+    rrs = []
+    for i, img in enumerate(images):
+        cand = [j for j, c in enumerate(chunks)
+                if c["manual_id"] == img["manual_id"] and c["page"] == img["page"]]
+        order = sorted(cand, key=lambda j: (-sims[i, j], j))
+        for j in cand:
+            rank = order.index(j) + 1
+            rrs.append(1.0 / rank if rank <= 100 else 0.0)
+    want_mrr = float(np.mean(rrs))
+    got_mrr = ev.compute_mrr(schema)
+    np.testing.assert_allclose(got_mrr, want_mrr, atol=1e-9)
+
+    # avg similarity consistency
+    want_avg = float(np.mean([
+        sims[i, j]
+        for i, img in enumerate(images)
+        for j, c in enumerate(chunks)
+        if c["manual_id"] == img["manual_id"] and c["page"] == img["page"]
+    ]))
+    np.testing.assert_allclose(
+        ev.compute_average_similarity(schema), want_avg, atol=1e-6
+    )
+
+
+def test_cli_help_and_check(workdir, capsys):
+    from tpualign.cli import main
+
+    with pytest.raises(SystemExit) as e:
+        main(["--help"])
+    assert e.value.code == 0

@@ -1,0 +1,170 @@
+"""Command-line interface: ``python -m tpualign <command>``.
+
+``run`` mirrors the reference orchestrator's flags
+(--skip-pdf/--skip-lexical/--skip-db/--skip-embeddings/--skip-eval/--force,
+ref:src/run_pipeline.py:349-387); the per-stage commands mirror the
+independently-runnable stage scripts (SURVEY.md §1); ``check`` replaces the
+utils/ diagnostics.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import Optional, Sequence
+
+from tpualign import SCHEMAS
+from tpualign.config import load_config
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--env-file", default=".env", help="env file with configuration")
+    p.add_argument("--input-dir", default=None)
+    p.add_argument("--output-dir", default=None)
+    p.add_argument("--store-dir", default=None)
+    p.add_argument("--model", default=None, help="CLIP model name (e.g. ViT-B-32)")
+    p.add_argument("--language", default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--mesh-data", type=int, default=None)
+    p.add_argument("--mesh-model", type=int, default=None)
+
+
+def _config_from(args) -> "PipelineConfig":
+    overrides = {}
+    mapping = {
+        "input_dir": "INPUT_DIR",
+        "output_dir": "OUTPUT_DIR",
+        "store_dir": "STORE_DIR",
+        "model": "CLIP_MODEL",
+        "language": "LANGUAGE",
+        "batch_size": "BATCH_SIZE",
+        "mesh_data": "MESH_DATA",
+        "mesh_model": "MESH_MODEL",
+    }
+    for attr, env in mapping.items():
+        v = getattr(args, attr, None)
+        if v is not None:
+            overrides[env] = str(v)
+    return load_config(env_file=args.env_file, overrides=overrides)
+
+
+def _build_pipeline(args):
+    from tpualign.pipeline import Pipeline
+
+    config = _config_from(args)
+    mesh = None
+    if config.mesh.num_devices > 1:
+        from tpualign.parallel.mesh import default_mesh
+
+        mesh = default_mesh(config.mesh)
+    return Pipeline(config, mesh=mesh)
+
+
+def main(argv: Optional[Sequence[str]] = None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="tpualign",
+        description="TPU-native multimodal alignment of noisy image-text pairs",
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p_run = sub.add_parser("run", help="run the complete pipeline")
+    _add_common(p_run)
+    p_run.add_argument("--skip-pdf", action="store_true", help="skip document processing")
+    p_run.add_argument("--skip-lexical", action="store_true", help="skip lexical filtering")
+    p_run.add_argument("--skip-db", action="store_true", help="skip store setup")
+    p_run.add_argument("--skip-embeddings", action="store_true", help="skip embedding insertion")
+    p_run.add_argument("--skip-eval", action="store_true", help="skip evaluation")
+    p_run.add_argument("--force", action="store_true", help="re-run all steps")
+    p_run.add_argument(
+        "--non-interactive", action="store_true",
+        help="no operator pause during lexical filtering",
+    )
+
+    p_proc = sub.add_parser("process", help="stage 1: document processing only")
+    _add_common(p_proc)
+
+    p_filter = sub.add_parser("filter", help="stage 2: lexical filtering only")
+    _add_common(p_filter)
+    p_filter.add_argument("--exclude-file", default=None,
+                          help="operator exclusion list (one term per line)")
+
+    p_setup = sub.add_parser("setup-db", help="stage 3: create store schemas")
+    _add_common(p_setup)
+    p_setup.add_argument("--force", action="store_true")
+
+    p_embed = sub.add_parser("embed", help="stage 4: embed + weak supervision")
+    _add_common(p_embed)
+    p_embed.add_argument(
+        "schema", nargs="?", default=None,
+        help=f"one of {', '.join(SCHEMAS)}; omit for all",
+    )
+    p_embed.add_argument("--force", action="store_true")
+
+    p_eval = sub.add_parser("evaluate", help="stage 5: metrics + charts")
+    _add_common(p_eval)
+
+    p_check = sub.add_parser("check", help="installation/store diagnostics")
+    _add_common(p_check)
+
+    args = parser.parse_args(argv)
+
+    if args.command == "run":
+        pipe = _build_pipeline(args)
+        pipe.run(
+            skip_pdf=args.skip_pdf,
+            skip_lexical=args.skip_lexical,
+            skip_db=args.skip_db,
+            skip_embeddings=args.skip_embeddings,
+            skip_eval=args.skip_eval,
+            force=args.force,
+            non_interactive=args.non_interactive,
+        )
+        return 0
+
+    if args.command == "process":
+        pipe = _build_pipeline(args)
+        pipe.step_document_processing(force=True)
+        return 0
+
+    if args.command == "filter":
+        pipe = _build_pipeline(args)
+        if args.exclude_file:
+            from dataclasses import replace
+
+            pipe.config = pipe.config.replace(
+                data=replace(pipe.config.data, exclude_terms_file=args.exclude_file)
+            )
+        pipe.step_lexical_filtering(force=True, non_interactive=True)
+        return 0
+
+    if args.command == "setup-db":
+        pipe = _build_pipeline(args)
+        pipe.step_store_setup(force=args.force)
+        return 0
+
+    if args.command == "embed":
+        pipe = _build_pipeline(args)
+        if args.schema is not None and args.schema not in SCHEMAS:
+            print(f"Unknown schema: {args.schema}")
+            print(f"Available schemas: {', '.join(SCHEMAS)}")
+            return 1
+        schemas = [args.schema] if args.schema else None
+        pipe.step_insert_embeddings(force=args.force, schemas=schemas)
+        return 0
+
+    if args.command == "evaluate":
+        pipe = _build_pipeline(args)
+        pipe.step_evaluation()
+        return 0
+
+    if args.command == "check":
+        from tpualign.utils.checks import run_checks
+
+        config = _config_from(args)
+        return run_checks(config)
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

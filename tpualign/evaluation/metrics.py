@@ -1,0 +1,233 @@
+"""Evaluation metrics over the embedding store.
+
+Metric definitions match the reference exactly:
+
+- ground truth = cartesian same-page (image, chunk) combinations
+  (ref:src/evaluate_alignments.py:48-69);
+- Top-K accuracy: fraction of pairs whose chunk appears in the image's
+  top-K among same-manual+page candidates
+  (ref:src/evaluate_alignments.py:169-193);
+- MRR with a top-100 candidate window, 0 when absent
+  (ref:src/evaluate_alignments.py:196-216);
+- average cosine similarity over true pairs
+  (ref:src/evaluate_alignments.py:219-231);
+- weak-supervision score lists grouped by alignment type
+  (ref:src/evaluate_alignments.py:146-166).
+
+Implementation difference (pure speedup, same numbers): each image is
+queried ONCE for its top-100 candidates via the sharded on-TPU index; all
+per-pair metrics read from that table. Tie-break is deterministic
+(ascending chunk index) where pgvector's was unspecified.
+"""
+
+from __future__ import annotations
+
+import json
+from collections import defaultdict
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from tpualign.parallel.retrieval import RetrievalIndex
+from tpualign.store import EmbeddingStore
+from tpualign.utils.logging import get_logger
+
+log = get_logger("evaluation")
+
+__all__ = ["Evaluator", "get_image_text_pairs"]
+
+MRR_WINDOW = 100  # ref:src/evaluate_alignments.py:206
+
+
+def get_image_text_pairs(
+    images: Sequence[dict], chunks: Sequence[dict]
+) -> List[Tuple[str, str, str, int]]:
+    """All (image_id, chunk_id, manual_id, page) same-page combinations
+    (ref:src/evaluate_alignments.py:48-69)."""
+    by_key: Dict[Tuple, List[dict]] = defaultdict(list)
+    for c in chunks:
+        by_key[(c["manual_id"], c.get("page"))].append(c)
+    pairs = []
+    for img in images:
+        for c in by_key.get((img["manual_id"], img.get("page")), ()):
+            pairs.append((img["image_id"], c["chunk_id"], img["manual_id"], img.get("page")))
+    return pairs
+
+
+class Evaluator:
+    """Computes the full metric suite for each schema from the store."""
+
+    def __init__(self, store: EmbeddingStore, mesh=None, output_dir: str = "evaluation_results"):
+        self.store = store
+        self.mesh = mesh
+        self.output_dir = Path(output_dir)
+        self._cache: Dict[str, dict] = {}
+
+    # -- core: one retrieval pass per schema ------------------------------------
+
+    def _schema_state(self, schema: str) -> dict:
+        """Build (once) the per-schema retrieval state: embeddings, pairs,
+        and each image's top-100 ranked candidate list."""
+        if schema in self._cache:
+            return self._cache[schema]
+
+        images = self.store.images(schema)
+        chunks = self.store.chunks(schema)
+        img_ids, img_emb = self.store.embedding_matrix(schema, "images")
+        chunk_ids, chunk_emb = self.store.embedding_matrix(schema, "text_chunks")
+
+        index = RetrievalIndex(
+            chunk_emb,
+            [c["manual_id"] for c in chunks],
+            [c.get("page") for c in chunks],
+            mesh=self.mesh,
+        )
+        if len(images):
+            vals, idx = index.search(
+                img_emb,
+                [i["manual_id"] for i in images],
+                [i.get("page") for i in images],
+                k=MRR_WINDOW,
+            )
+        else:
+            vals = np.zeros((0, MRR_WINDOW), np.float32)
+            idx = np.full((0, MRR_WINDOW), -1, np.int64)
+
+        # rank of every chunk in every image's candidate list (1-based; 0 = absent)
+        chunk_pos = {cid: p for p, cid in enumerate(chunk_ids)}
+        rank: Dict[Tuple[str, str], int] = {}
+        for r, img in enumerate(images):
+            for j, cidx in enumerate(idx[r]):
+                if cidx >= 0:
+                    rank[(img["image_id"], chunk_ids[cidx])] = j + 1
+
+        img_pos = {iid: p for p, iid in enumerate(img_ids)}
+        pairs = get_image_text_pairs(images, chunks)
+
+        state = {
+            "images": images,
+            "chunks": chunks,
+            "img_emb": img_emb,
+            "chunk_emb": chunk_emb,
+            "img_pos": img_pos,
+            "chunk_pos": chunk_pos,
+            "pairs": pairs,
+            "rank": rank,
+        }
+        self._cache[schema] = state
+        return state
+
+    # -- metrics -------------------------------------------------------------------
+
+    def compute_top_k_accuracy(
+        self, schema: str, k_values: Sequence[int] = (1, 5, 10)
+    ) -> Dict[int, float]:
+        st = self._schema_state(schema)
+        pairs = st["pairs"]
+        if not pairs:
+            return {k: 0.0 for k in k_values}
+        correct = {k: 0 for k in k_values}
+        for image_id, chunk_id, _, _ in pairs:
+            r = st["rank"].get((image_id, chunk_id), 0)
+            for k in k_values:
+                if 0 < r <= k:
+                    correct[k] += 1
+        return {k: correct[k] / len(pairs) for k in k_values}
+
+    def compute_mrr(self, schema: str) -> float:
+        st = self._schema_state(schema)
+        pairs = st["pairs"]
+        if not pairs:
+            return 0.0
+        rrs = []
+        for image_id, chunk_id, _, _ in pairs:
+            r = st["rank"].get((image_id, chunk_id), 0)
+            rrs.append(1.0 / r if r > 0 else 0.0)
+        return float(np.mean(rrs))
+
+    def compute_average_similarity(self, schema: str) -> float:
+        st = self._schema_state(schema)
+        pairs = st["pairs"]
+        if not pairs:
+            return 0.0
+        sims = self.pair_similarities(schema)
+        return float(np.mean(sims))
+
+    def pair_similarities(
+        self, schema: str, limit: Optional[int] = None
+    ) -> np.ndarray:
+        """Cosine similarity per true pair (one fused gather + row dot)."""
+        st = self._schema_state(schema)
+        pairs = st["pairs"][:limit] if limit else st["pairs"]
+        if not pairs:
+            return np.zeros(0, np.float32)
+        ii = np.asarray([st["img_pos"][p[0]] for p in pairs])
+        cc = np.asarray([st["chunk_pos"][p[1]] for p in pairs])
+        return np.einsum(
+            "nd,nd->n", st["img_emb"][ii], st["chunk_emb"][cc]
+        ).astype(np.float32)
+
+    def get_weak_supervision_scores(self, schema: str) -> Dict[str, List[float]]:
+        scores: Dict[str, List[float]] = defaultdict(list)
+        for _, _, score, a_type in self.store.alignments(schema):
+            scores[a_type].append(float(score))
+        return dict(scores)
+
+    def num_pairs(self, schema: str) -> int:
+        return len(self._schema_state(schema)["pairs"])
+
+    # -- report ------------------------------------------------------------------
+
+    def evaluate_schema(self, schema: str) -> dict:
+        top_k = self.compute_top_k_accuracy(schema, (1, 5, 10))
+        return {
+            "top_k": top_k,
+            "mrr": self.compute_mrr(schema),
+            "avg_similarity": self.compute_average_similarity(schema),
+            "num_pairs": self.num_pairs(schema),
+        }
+
+    def print_metrics_report(
+        self, schemas: Sequence[str]
+    ) -> Dict[str, dict]:
+        """Per-schema report + metrics.json, same layout as
+        ref:src/evaluate_alignments.py:356-435."""
+        all_metrics: Dict[str, dict] = {}
+        print("\n" + "=" * 80)
+        print("MULTIMODAL ALIGNMENT EVALUATION REPORT")
+        print("=" * 80 + "\n")
+        for schema in schemas:
+            print(f"\nSchema: {schema.upper().replace('_', ' ')}")
+            print("-" * 80)
+            if not self.store.schema_exists(schema):
+                print("  Schema not found in store")
+                continue
+            try:
+                m = self.evaluate_schema(schema)
+            except Exception as e:
+                print(f"  Error evaluating schema: {e}")
+                continue
+            print(f"  Total Image-Text Pairs: {m['num_pairs']}")
+            print(f"  Average Similarity: {m['avg_similarity']:.4f}")
+            print(f"  Mean Reciprocal Rank (MRR): {m['mrr']:.4f}")
+            for k in (1, 5, 10):
+                v = m["top_k"][k]
+                print(f"  Top-{k} Accuracy: {v:.4f} ({v * 100:.2f}%)")
+            if schema in ("clip_lexical", "clip_positional", "clip_combined"):
+                ws = self.get_weak_supervision_scores(schema)
+                if ws:
+                    print("  Weak Supervision Alignments:")
+                    for a_type, scores in ws.items():
+                        print(
+                            f"    - {a_type}: {len(scores)} pairs, "
+                            f"avg score: {np.mean(scores):.4f}"
+                        )
+            all_metrics[schema] = m
+
+        self.output_dir.mkdir(parents=True, exist_ok=True)
+        metrics_file = self.output_dir / "metrics.json"
+        with open(metrics_file, "w") as f:
+            json.dump(all_metrics, f, indent=2)
+        print(f"\nMetrics saved to {metrics_file}")
+        return all_metrics

@@ -1,0 +1,136 @@
+"""Evaluation charts — same three PNGs as the reference.
+
+- similarity_distributions.png: 2x2 histogram grid, <=500-pair sample, mean
+  line (ref:src/evaluate_alignments.py:234-270);
+- top_k_comparison.png: grouped bars for K in {1,5,10,20}
+  (ref:src/evaluate_alignments.py:273-315) — computed from the evaluator's
+  cached retrieval pass instead of recomputing everything;
+- weak_supervision_scores.png: 1x3 histograms by alignment type
+  (ref:src/evaluate_alignments.py:318-353).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Sequence
+
+import numpy as np
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+
+from tpualign.evaluation.metrics import Evaluator  # noqa: E402
+from tpualign.utils.logging import get_logger  # noqa: E402
+
+log = get_logger("evaluation.plots")
+
+__all__ = [
+    "plot_similarity_distributions",
+    "plot_top_k_comparison",
+    "plot_weak_supervision_scores",
+]
+
+SAMPLE_PAIRS = 500  # ref:src/evaluate_alignments.py:243
+
+
+def plot_similarity_distributions(
+    evaluator: Evaluator, schemas: Sequence[str], output_dir: str | Path
+) -> Path:
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    fig, axes = plt.subplots(2, 2, figsize=(15, 12))
+    axes = axes.flatten()
+    for idx, schema in enumerate(schemas[:4]):
+        try:
+            sims = evaluator.pair_similarities(schema, limit=SAMPLE_PAIRS)
+        except Exception as e:
+            log.warning("similarity plot failed for %s: %s", schema, e)
+            continue
+        if len(sims):
+            axes[idx].hist(sims, bins=50, alpha=0.7, edgecolor="black")
+            axes[idx].set_title(f"Similarity Distribution: {schema}")
+            axes[idx].set_xlabel("Cosine Similarity")
+            axes[idx].set_ylabel("Frequency")
+            axes[idx].axvline(
+                float(np.mean(sims)), color="red", linestyle="--",
+                label=f"Mean: {np.mean(sims):.3f}",
+            )
+            axes[idx].legend()
+    plt.tight_layout()
+    out = output_dir / "similarity_distributions.png"
+    plt.savefig(out, dpi=300, bbox_inches="tight")
+    plt.close(fig)
+    log.info("Saved %s", out)
+    return out
+
+
+def plot_top_k_comparison(
+    evaluator: Evaluator, schemas: Sequence[str], output_dir: str | Path
+) -> Path:
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    k_values = [1, 5, 10, 20]
+    schema_acc = {}
+    for schema in schemas:
+        try:
+            schema_acc[schema] = evaluator.compute_top_k_accuracy(schema, k_values)
+        except Exception as e:
+            log.warning("top-k plot failed for %s: %s", schema, e)
+    out = output_dir / "top_k_comparison.png"
+    if not schema_acc:
+        log.warning("No schemas available for comparison")
+        return out
+    fig, ax = plt.subplots(figsize=(10, 6))
+    x = np.arange(len(k_values))
+    width = 0.2
+    for idx, (schema, acc) in enumerate(schema_acc.items()):
+        ax.bar(
+            x + idx * width,
+            [acc[k] for k in k_values],
+            width,
+            label=schema.replace("_", " ").title(),
+        )
+    ax.set_xlabel("Top-K")
+    ax.set_ylabel("Accuracy")
+    ax.set_title("Top-K Accuracy Comparison Across Schemas")
+    ax.set_xticks(x + width * (len(schema_acc) - 1) / 2)
+    ax.set_xticklabels(k_values)
+    ax.legend()
+    ax.grid(axis="y", alpha=0.3)
+    plt.tight_layout()
+    plt.savefig(out, dpi=300, bbox_inches="tight")
+    plt.close(fig)
+    log.info("Saved %s", out)
+    return out
+
+
+def plot_weak_supervision_scores(
+    evaluator: Evaluator, output_dir: str | Path
+) -> Path:
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    schemas = ["clip_lexical", "clip_positional", "clip_combined"]
+    fig, axes = plt.subplots(1, 3, figsize=(15, 5))
+    for idx, schema in enumerate(schemas):
+        try:
+            scores_by_type = evaluator.get_weak_supervision_scores(schema)
+            for a_type, scores in scores_by_type.items():
+                axes[idx].hist(scores, bins=30, alpha=0.6, label=a_type,
+                               edgecolor="black")
+            axes[idx].set_title(f"Weak Supervision Scores: {schema}")
+            axes[idx].set_xlabel("Alignment Score")
+            axes[idx].set_ylabel("Frequency")
+            if scores_by_type:
+                axes[idx].legend()
+            axes[idx].grid(axis="y", alpha=0.3)
+        except Exception as e:
+            log.warning("weak-supervision plot failed for %s: %s", schema, e)
+            axes[idx].text(0.5, 0.5, "No data", ha="center", va="center")
+    plt.tight_layout()
+    out = output_dir / "weak_supervision_scores.png"
+    plt.savefig(out, dpi=300, bbox_inches="tight")
+    plt.close(fig)
+    log.info("Saved %s", out)
+    return out

@@ -1,0 +1,244 @@
+"""Data-parallel batched embedding engine.
+
+Replaces the reference's one-at-a-time embedding loops
+(ref:src/insert_clip_embeddings.py:281-311 images, :328-353 chunks) with a
+fixed-shape, jit-once, mesh-sharded batch pipeline:
+
+- inputs are padded to a static global batch (one XLA program, no
+  recompiles), batch dim sharded over the ``data`` mesh axis;
+- params live on the mesh under the TP specs (replicated on a (N, 1) mesh);
+- host work (decode, tokenize) overlaps device compute via a background
+  prefetch thread — JAX dispatch is async, so the feed thread keeps the
+  MXU busy;
+- items that cannot be embedded (vector figures with ``filename=None``,
+  missing/corrupt files) get deterministic seeded placeholder embeddings —
+  the testable version of the reference's ``np.random.rand`` degradation
+  ladder (ref:src/insert_clip_embeddings.py:286-297). Placeholders are
+  L2-normalized here because the on-TPU retrieval matmul assumes unit
+  vectors (pgvector's cosine operator normalized internally).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import queue
+import threading
+from pathlib import Path
+from typing import Iterable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tpualign.config import ModelConfig
+from tpualign.models.clip import CLIP, build_clip, init_clip_params
+from tpualign.models.loader import load_checkpoint_params
+from tpualign.ops.preprocess import preprocess_host
+from tpualign.tokenizer import ClipTokenizer
+from tpualign.utils.logging import get_logger
+
+log = get_logger("parallel.embed")
+
+__all__ = ["EmbedEngine", "placeholder_embedding"]
+
+
+def placeholder_embedding(item_id: str, dim: int) -> np.ndarray:
+    """Deterministic unit-norm placeholder derived from the item id."""
+    seed = int.from_bytes(hashlib.sha256(item_id.encode()).digest()[:8], "little")
+    v = np.random.default_rng(seed).random(dim, dtype=np.float32)
+    return v / np.linalg.norm(v)
+
+
+class EmbedEngine:
+    """Mesh-sharded CLIP embedding engine."""
+
+    def __init__(
+        self,
+        model_config: ModelConfig,
+        mesh: Optional[Mesh] = None,
+        batch_size: int = 256,
+        params=None,
+        tokenizer: Optional[ClipTokenizer] = None,
+        seed: int = 0,
+    ):
+        self.config = model_config
+        self.model: CLIP = build_clip(model_config)
+        self.variant = model_config.variant
+        self.mesh = mesh
+        self.tokenizer = tokenizer or ClipTokenizer(
+            context_length=self.variant.context_length
+        )
+
+        if params is None:
+            if model_config.checkpoint_path:
+                params = load_checkpoint_params(model_config)
+            else:
+                log.warning(
+                    "No checkpoint configured — using seeded random weights "
+                    "(deterministic placeholder-tower mode)"
+                )
+                params = init_clip_params(self.model, seed=seed)
+
+        if mesh is not None:
+            from tpualign.parallel.sharding import clip_param_specs
+
+            specs = clip_param_specs(params)
+            self.params = jax.tree.map(
+                lambda x, s: jax.device_put(np.asarray(x), NamedSharding(mesh, s)),
+                params, specs,
+            )
+            data_axes = P("data")
+            self._img_shard = NamedSharding(mesh, P("data", None, None, None))
+            self._txt_shard = NamedSharding(mesh, P("data", None))
+            self._dp = int(np.prod([mesh.shape["data"]]))
+        else:
+            self.params = jax.tree.map(jnp.asarray, params)
+            self._img_shard = None
+            self._txt_shard = None
+            self._dp = 1
+
+        # global batch must divide evenly across the data axis
+        self.batch_size = max(self._dp, (batch_size // self._dp) * self._dp)
+
+        model = self.model
+
+        def _encode_image(p, x):
+            return model.apply({"params": p}, x, normalize=True,
+                               method=model.encode_image)
+
+        def _encode_text(p, t):
+            return model.apply({"params": p}, t, normalize=True,
+                               method=model.encode_text)
+
+        if mesh is not None:
+            self._encode_image = jax.jit(
+                _encode_image, in_shardings=(None, self._img_shard),
+                out_shardings=NamedSharding(mesh, P()),
+            )
+            self._encode_text = jax.jit(
+                _encode_text, in_shardings=(None, self._txt_shard),
+                out_shardings=NamedSharding(mesh, P()),
+            )
+        else:
+            self._encode_image = jax.jit(_encode_image)
+            self._encode_text = jax.jit(_encode_text)
+
+    # -- batching helpers ------------------------------------------------------
+
+    def _run_batched(self, fn, data: np.ndarray, pad_value=0) -> np.ndarray:
+        """Run a fixed-shape jitted fn over data in static batches."""
+        n = len(data)
+        if n == 0:
+            return np.zeros((0, self.variant.embed_dim), np.float32)
+        bs = self.batch_size
+        outs = []
+        for start in range(0, n, bs):
+            batch = data[start : start + bs]
+            if len(batch) < bs:
+                pad = np.full((bs - len(batch),) + batch.shape[1:], pad_value,
+                              dtype=batch.dtype)
+                batch = np.concatenate([batch, pad], axis=0)
+            outs.append(fn(self.params, batch))
+        # device->host once at the end; slices stay on device meanwhile
+        return np.concatenate([np.asarray(o) for o in outs], axis=0)[:n]
+
+    # -- public API --------------------------------------------------------------
+
+    def encode_text_batch(self, texts: Sequence[str]) -> np.ndarray:
+        """Tokenize + encode texts -> (N, D) unit-norm float32."""
+        if not len(texts):
+            return np.zeros((0, self.variant.embed_dim), np.float32)
+        tokens = self.tokenizer(list(texts))
+        return self._run_batched(self._encode_text, tokens)
+
+    def encode_image_batch(self, images_nhwc: np.ndarray) -> np.ndarray:
+        """Preprocessed (N, S, S, 3) float32 -> (N, D) unit-norm float32."""
+        return self._run_batched(self._encode_image, images_nhwc.astype(np.float32))
+
+    def embed_image_records(
+        self,
+        records: Sequence[dict],
+        images_dir: str | Path,
+        prefetch: int = 2,
+    ) -> np.ndarray:
+        """Embed image records (decode on host, encode on device, overlap).
+
+        Records lacking a decodable file get deterministic placeholders —
+        the skip-and-continue semantics of the reference loop
+        (ref:src/insert_clip_embeddings.py:281-297).
+        """
+        images_dir = Path(images_dir)
+        n = len(records)
+        dim = self.variant.embed_dim
+        out = np.zeros((n, dim), np.float32)
+        size = self.variant.image_size
+
+        # Partition into decodable / placeholder items.
+        decode_idx: List[int] = []
+        for i, rec in enumerate(records):
+            fname = rec.get("filename")
+            if fname and (images_dir / fname).exists():
+                decode_idx.append(i)
+            else:
+                out[i] = placeholder_embedding(rec["image_id"], dim)
+
+        if not decode_idx:
+            return out
+
+        bs = self.batch_size
+        batches: "queue.Queue" = queue.Queue(maxsize=prefetch)
+
+        def producer():
+            from PIL import Image
+
+            buf: List[Tuple[int, np.ndarray]] = []
+            for i in decode_idx:
+                rec = records[i]
+                try:
+                    with Image.open(images_dir / rec["filename"]) as im:
+                        arr = preprocess_host(im, size)
+                    buf.append((i, arr))
+                except Exception as e:  # corrupt file -> placeholder
+                    log.warning("decode failed for %s: %s", rec.get("filename"), e)
+                    out[i] = placeholder_embedding(rec["image_id"], dim)
+                if len(buf) == bs:
+                    batches.put(buf)
+                    buf = []
+            if buf:
+                batches.put(buf)
+            batches.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+
+        while True:
+            item = batches.get()
+            if item is None:
+                break
+            idxs = [i for i, _ in item]
+            arrs = np.stack([a for _, a in item])
+            if len(arrs) < bs:
+                pad = np.zeros((bs - len(arrs),) + arrs.shape[1:], np.float32)
+                arrs = np.concatenate([arrs, pad], axis=0)
+            embs = np.asarray(self._encode_image(self.params, arrs))[: len(idxs)]
+            out[idxs] = embs
+        t.join()
+        return out
+
+    def embed_chunk_records(self, records: Sequence[dict]) -> np.ndarray:
+        """Embed text chunks; failures fall back to placeholders
+        (ref:src/insert_clip_embeddings.py:328-342)."""
+        texts = []
+        fallback_idx = []
+        for i, rec in enumerate(records):
+            text = rec.get("text")
+            if isinstance(text, str) and text:
+                texts.append(text)
+            else:
+                texts.append("")
+                fallback_idx.append(i)
+        embs = self.encode_text_batch(texts)
+        for i in fallback_idx:
+            embs[i] = placeholder_embedding(records[i]["chunk_id"], embs.shape[1])
+        return embs

@@ -1,0 +1,299 @@
+"""Pipeline orchestrator.
+
+Rebuild of ref:src/run_pipeline.py with the same five stages, completion
+checks, skip/force semantics and operator-in-the-loop pause:
+
+1. document processing — done iff the 3 JSONs exist and images/ is non-empty
+   (ref:src/run_pipeline.py:48-56);
+2. lexical filtering — done iff the filtered file exists (:58-60); the
+   operator edits a plain exclusion-list file instead of Python source;
+3. store setup — done iff all 4 schemas exist (:62-96);
+4. embedding insertion — per schema, done iff images+chunks counts > 0
+   (:98-129);
+5. evaluation — metrics.json + 3 charts.
+
+Architectural differences (pure wins, same outputs):
+- stages run in-process (no subprocess-per-stage, no model reload per
+  schema);
+- embeddings are computed ONCE and shared across all four schemas — the
+  reference recomputed identical embeddings 4x in separate processes
+  (SURVEY.md §3.1);
+- stage failures keep the reference's policy: document processing and store
+  setup are fatal, filtering/embedding/eval continue with a warning
+  (ref:src/run_pipeline.py:153-156,203-206,267-269,286-289).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from tpualign import SCHEMAS
+from tpualign.config import PipelineConfig
+from tpualign.data.filtering import filter_lexical_components, load_exclude_terms
+from tpualign.data.processor import DocumentProcessor
+from tpualign.store import EmbeddingStore
+from tpualign.utils.logging import get_logger
+from tpualign.weaksup import compute_alignments
+
+log = get_logger("pipeline")
+
+SCHEMA_FLAGS: Dict[str, tuple] = {
+    # schema -> (use_lexical, use_positional)  (ref:src/insert_clip_embeddings.py:444-471)
+    "vanilla_clip": (False, False),
+    "clip_lexical": (True, False),
+    "clip_positional": (False, True),
+    "clip_combined": (True, True),
+}
+
+
+class Pipeline:
+    """End-to-end orchestrator over a config."""
+
+    def __init__(
+        self,
+        config: PipelineConfig,
+        mesh=None,
+        engine=None,
+        store: Optional[EmbeddingStore] = None,
+        nlp="auto",
+        lexical_fallback: str = "heuristic",
+    ):
+        self.config = config
+        self.mesh = mesh
+        self._engine = engine
+        self.store = store or EmbeddingStore(
+            config.store.root, embed_dim=config.model.embed_dim
+        )
+        self._nlp = nlp
+        self._lexical_fallback = lexical_fallback
+
+        out = Path(config.data.output_dir)
+        self.image_metadata_file = out / "image_metadata.json"
+        self.text_chunks_file = out / "text_chunks.json"
+        self.lexical_file = out / "lexical_components.json"
+        self.filtered_lexical_file = out / "filtered_lexical_components.json"
+        self.images_dir = Path(config.data.images_dir)
+
+    # -- lazily built embedding engine (model load is expensive) ---------------
+
+    @property
+    def engine(self):
+        if self._engine is None:
+            from tpualign.parallel.embed import EmbedEngine
+
+            self._engine = EmbedEngine(
+                self.config.model,
+                mesh=self.mesh,
+                batch_size=self.config.batch_size,
+                seed=self.config.seed,
+            )
+        return self._engine
+
+    # -- completion checks -------------------------------------------------------
+
+    def check_document_processing(self) -> bool:
+        return (
+            self.image_metadata_file.exists()
+            and self.text_chunks_file.exists()
+            and self.lexical_file.exists()
+            and self.images_dir.exists()
+            and any(self.images_dir.glob("*"))
+        )
+
+    def check_lexical_filtering(self) -> bool:
+        return self.filtered_lexical_file.exists()
+
+    def check_store_setup(self) -> bool:
+        return all(self.store.schema_exists(s) for s in SCHEMAS)
+
+    def check_embeddings_inserted(self, schema: str) -> bool:
+        return self.store.has_embeddings(schema)
+
+    # -- steps ----------------------------------------------------------------------
+
+    def step_document_processing(self, force: bool = False) -> None:
+        if not force and self.check_document_processing():
+            log.info("Document processing already completed. Skipping...")
+            return
+        raw = Path(self.config.data.input_dir)
+        if not raw.exists() or not any(raw.glob("*")):
+            log.error("No files found in %s", raw)
+            raise SystemExit(1)
+        proc = DocumentProcessor(
+            self.config.data, nlp=self._nlp, lexical_fallback=self._lexical_fallback
+        )
+        summary = proc.process_all_documents()
+        if summary["images"] == 0 and summary["chunks"] == 0:
+            log.error("Document processing produced no data")
+            raise SystemExit(1)
+
+    def step_lexical_filtering(
+        self, force: bool = False, non_interactive: bool = False
+    ) -> None:
+        if not force and self.check_lexical_filtering():
+            log.info("Lexical components already filtered. Skipping...")
+            return
+        if not self.lexical_file.exists():
+            log.error("Lexical components not found. Run document processing first.")
+            raise SystemExit(1)
+
+        with open(self.lexical_file) as f:
+            lexical_data = json.load(f)
+        print(f"\nFound {lexical_data['total_components']} unique lexical components")
+        print("Top 20 most frequent terms:")
+        for i, comp in enumerate(lexical_data["components"][:20], 1):
+            print(f"  {i:2d}. {comp['term']:30s} (count: {comp['count']})")
+
+        if not non_interactive:
+            exclude_path = self.config.data.exclude_terms_file or "exclude_terms.txt"
+            print(
+                f"\nTo filter non-relevant terms, add them to {exclude_path} "
+                "(one per line), then press Enter to continue — or type 'skip' "
+                "to use all components."
+            )
+            try:
+                response = input().strip().lower()
+            except EOFError:
+                response = ""
+            if response == "skip":
+                log.warning("Skipping lexical filtering. Using all components.")
+                return
+
+        exclude = load_exclude_terms(self.config.data.exclude_terms_file)
+        filter_lexical_components(
+            self.lexical_file, self.filtered_lexical_file, exclude
+        )
+
+    def step_store_setup(self, force: bool = False) -> None:
+        if not force and self.check_store_setup():
+            log.info("Store schemas already set up. Skipping...")
+            return
+        self.store.setup(SCHEMAS, force=force)
+        log.info("Store setup completed at %s", self.store.root)
+
+    def _load_processed(self):
+        with open(self.image_metadata_file) as f:
+            images = json.load(f)
+        with open(self.text_chunks_file) as f:
+            chunks = json.load(f)
+        lexical_terms: List[str] = []
+        src = (
+            self.filtered_lexical_file
+            if self.filtered_lexical_file.exists()
+            else self.lexical_file  # unfiltered fallback (ref:src/insert_clip_embeddings.py:240-248)
+        )
+        if src.exists():
+            with open(src) as f:
+                lexical_terms = [c["term"] for c in json.load(f).get("components", [])]
+        return images, chunks, lexical_terms
+
+    def step_insert_embeddings(
+        self, force: bool = False, schemas: Optional[Sequence[str]] = None
+    ) -> None:
+        schemas = list(schemas or SCHEMAS)
+        todo = [
+            s for s in schemas if force or not self.check_embeddings_inserted(s)
+        ]
+        for s in schemas:
+            if s not in todo:
+                log.info("%s already has embeddings. Skipping...", s)
+        if not todo:
+            return
+
+        images, chunks, lexical_terms = self._load_processed()
+
+        # Compute embeddings ONCE; identical across schemas.
+        log.info("Embedding %d images and %d chunks...", len(images), len(chunks))
+        img_embs = self.engine.embed_image_records(images, self.images_dir)
+        chunk_embs = self.engine.embed_chunk_records(chunks)
+
+        for schema in todo:
+            try:
+                use_lex, use_pos = SCHEMA_FLAGS[schema]
+                self.store.insert_images(schema, images, img_embs)
+                self.store.insert_chunks(schema, chunks, chunk_embs)
+                records = compute_alignments(
+                    images, chunks, lexical_terms, use_lex, use_pos
+                )
+                if records:
+                    self.store.insert_alignments(schema, records)
+                log.info(
+                    "Populated %s: %d images, %d chunks, %d alignments",
+                    schema, len(images), len(chunks), len(records),
+                )
+            except Exception as e:  # continue to next schema (ref:src/run_pipeline.py:267-269)
+                log.error("Failed to insert embeddings into %s: %s", schema, e)
+                continue
+        self.store.save(todo)
+
+    def step_evaluation(self) -> Optional[dict]:
+        from tpualign.evaluation import (
+            Evaluator,
+            plot_similarity_distributions,
+            plot_top_k_comparison,
+            plot_weak_supervision_scores,
+        )
+
+        out = self.config.eval_output_dir
+        try:
+            ev = Evaluator(self.store, mesh=self.mesh, output_dir=out)
+            metrics = ev.print_metrics_report(list(SCHEMAS))
+            plot_similarity_distributions(ev, list(SCHEMAS), out)
+            plot_top_k_comparison(ev, list(SCHEMAS), out)
+            plot_weak_supervision_scores(ev, out)
+            log.info("Evaluation complete; results in %s/", out)
+            return metrics
+        except Exception as e:
+            log.warning("Evaluation completed with warnings: %s", e)
+            return None
+
+    # -- run ---------------------------------------------------------------------------
+
+    def run(
+        self,
+        skip_pdf: bool = False,
+        skip_lexical: bool = False,
+        skip_db: bool = False,
+        skip_embeddings: bool = False,
+        skip_eval: bool = False,
+        force: bool = False,
+        non_interactive: bool = False,
+    ) -> None:
+        """Full pipeline with per-step skipping (ref:src/run_pipeline.py:292-346)."""
+        print("\n" + "=" * 80)
+        print("MULTIMODAL ALIGNMENT PIPELINE (tpualign)")
+        print("=" * 80 + "\n")
+        try:
+            if not skip_pdf:
+                self.step_document_processing(force=force)
+            else:
+                log.info("Skipping document processing")
+            if not skip_lexical:
+                self.step_lexical_filtering(
+                    force=force, non_interactive=non_interactive
+                )
+            else:
+                log.info("Skipping lexical filtering")
+            if not skip_db:
+                self.step_store_setup(force=force)
+            else:
+                log.info("Skipping store setup")
+            if not skip_embeddings:
+                self.step_insert_embeddings(force=force)
+            else:
+                log.info("Skipping embedding insertion")
+            if not skip_eval:
+                self.step_evaluation()
+            else:
+                log.info("Skipping evaluation")
+            print("\n" + "=" * 80)
+            print("PIPELINE COMPLETE!")
+            print("=" * 80)
+        except KeyboardInterrupt:
+            log.error("Pipeline interrupted by user")
+            sys.exit(1)
