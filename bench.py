@@ -1,0 +1,98 @@
+"""Throughput benchmark: image-text pairs embedded per second per chip.
+
+Headline metric from BASELINE.md: >=5,000 pairs/sec/chip at ViT-B-32 on a
+TPU v5e. One "pair" = one image through the vision tower + one text through
+the text tower (the reference embedded both one at a time with batch size 1,
+ref:src/insert_clip_embeddings.py:281-353 — it published no number, so
+vs_baseline is measured against the 5k north star).
+
+Measurement notes (important on tunneled/relayed TPU setups):
+- ALL benchmark data is generated on device (params via on-device init,
+  inputs via jax.random) — no bulk host->device uploads pollute the timing;
+- synchronization is a SCALAR readback that data-depends on the last
+  result. On some remote-attached configurations ``block_until_ready`` does
+  not actually wait and only data fetches synchronize; a scalar fetch is
+  correct on every backend and costs microseconds of transfer.
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+BASELINE_PAIRS_PER_SEC = 5000.0  # north star (BASELINE.md), not reference-published
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from tpualign.config import ModelConfig
+    from tpualign.models.clip import build_clip, init_clip_params
+
+    config = ModelConfig(model_name="ViT-B-32", compute_dtype="bfloat16")
+    model = build_clip(config)
+    params = init_clip_params(model, seed=0)  # on-device init, no host upload
+    v = config.variant
+
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 30
+
+    @jax.jit
+    def make_batch(key):
+        images = jax.random.normal(
+            key, (batch, v.image_size, v.image_size, 3), jnp.float32
+        )
+        base = jax.random.randint(key, (batch, v.context_length), 1, 40000)
+        pos = jnp.arange(v.context_length)[None, :]
+        tokens = jnp.where(pos == 0, v.vocab_size - 2, base)
+        tokens = jnp.where(pos == 20, v.vocab_size - 1, tokens)
+        tokens = jnp.where(pos > 20, 0, tokens).astype(jnp.int32)
+        return images, tokens
+
+    @jax.jit
+    def embed_pairs(p, imgs, toks):
+        ie = model.apply({"params": p}, imgs, normalize=True,
+                         method=model.encode_image)
+        te = model.apply({"params": p}, toks, normalize=True,
+                         method=model.encode_text)
+        return ie, te
+
+    @jax.jit
+    def checksum(ie, te):
+        return jnp.sum(ie) + jnp.sum(te)
+
+    def sync(out) -> float:
+        return float(checksum(*out))  # scalar fetch = real barrier
+
+    images, tokens = make_batch(jax.random.PRNGKey(0))
+
+    # warmup / compile, then drain the queue
+    out = embed_pairs(params, images, tokens)
+    sync(out)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = embed_pairs(params, images, tokens)
+    sync(out)
+    dt = time.perf_counter() - t0
+
+    pairs_per_sec = batch * iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "pairs_embedded_per_sec_per_chip_vit_b32",
+                "value": round(pairs_per_sec, 1),
+                "unit": "pairs/s",
+                "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

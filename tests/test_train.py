@@ -1,0 +1,157 @@
+"""Training tests: loss math, weighting, one sharded step on the CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tpualign.config import TrainConfig
+from tpualign.train.loss import clip_contrastive_loss
+from tpualign.train.step import (
+    MAX_LOGIT_SCALE,
+    create_train_state,
+    make_sharded_train_step,
+    train_step,
+)
+
+
+def unit(rng, shape):
+    x = rng.normal(size=shape).astype(np.float32)
+    return x / np.linalg.norm(x, axis=-1, keepdims=True)
+
+
+def test_loss_perfect_alignment_low():
+    rng = np.random.default_rng(0)
+    e = unit(rng, (8, 16))
+    loss_aligned, m = clip_contrastive_loss(
+        jnp.asarray(e), jnp.asarray(e), jnp.asarray(100.0)
+    )
+    shuffled = e[np.random.default_rng(1).permutation(8)]
+    loss_rand, _ = clip_contrastive_loss(
+        jnp.asarray(e), jnp.asarray(shuffled), jnp.asarray(100.0)
+    )
+    assert float(loss_aligned) < 0.01
+    assert float(loss_rand) > float(loss_aligned)
+    assert float(m["acc_i2t"]) == 1.0
+
+
+def test_loss_matches_manual_ce():
+    rng = np.random.default_rng(2)
+    img, txt = unit(rng, (4, 8)), unit(rng, (4, 8))
+    scale = 10.0
+    loss, _ = clip_contrastive_loss(jnp.asarray(img), jnp.asarray(txt), jnp.asarray(scale))
+    logits = scale * img @ txt.T
+    def ce(lg):
+        lg = lg - lg.max(axis=-1, keepdims=True)
+        logp = lg - np.log(np.exp(lg).sum(-1, keepdims=True))
+        return -logp[np.arange(4), np.arange(4)]
+    want = 0.5 * (ce(logits) + ce(logits.T))
+    np.testing.assert_allclose(float(loss), want.mean(), rtol=1e-5)
+
+
+def test_weak_weighting_shifts_loss():
+    rng = np.random.default_rng(3)
+    img, txt = unit(rng, (6, 8)), unit(rng, (6, 8))
+    base, _ = clip_contrastive_loss(jnp.asarray(img), jnp.asarray(txt), jnp.asarray(5.0))
+    # weight mass onto the single worst pair -> loss differs from uniform
+    logits = 5.0 * img @ txt.T
+    per_pair_proxy = -np.diag(logits)
+    w = np.zeros(6, np.float32)
+    w[np.argmax(per_pair_proxy)] = 1.0
+    weighted, _ = clip_contrastive_loss(
+        jnp.asarray(img), jnp.asarray(txt), jnp.asarray(5.0),
+        weak_scores=jnp.asarray(w), weight_temperature=0.05,
+    )
+    assert not np.isclose(float(weighted), float(base))
+    # uniform scores = unweighted (softmax of constant = uniform)
+    uniform, _ = clip_contrastive_loss(
+        jnp.asarray(img), jnp.asarray(txt), jnp.asarray(5.0),
+        weak_scores=jnp.full((6,), 0.7), weight_temperature=0.5,
+    )
+    np.testing.assert_allclose(float(uniform), float(base), rtol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    from tests.test_models import TINY, tiny_model
+    from tpualign.models.clip import init_clip_params
+
+    model = tiny_model()
+    params = init_clip_params(model, seed=0)
+    return model, params
+
+
+def batch_for(variant, n, rng):
+    images = rng.normal(size=(n, variant.image_size, variant.image_size, 3)).astype(np.float32)
+    tokens = np.zeros((n, variant.context_length), np.int32)
+    tokens[:, 0] = variant.vocab_size - 2
+    tokens[:, 1] = rng.integers(1, 100, size=n)
+    tokens[:, 2] = variant.vocab_size - 1
+    weak = rng.random(n).astype(np.float32)
+    return images, tokens, weak
+
+
+def test_single_device_step_decreases_loss(tiny_setup):
+    from tests.test_models import TINY
+
+    model, params = tiny_setup
+    config = TrainConfig(learning_rate=1e-3, warmup_steps=0, total_steps=100)
+    state = create_train_state(model, params, config)
+    rng = np.random.default_rng(0)
+    images, tokens, weak = batch_for(TINY, 8, rng)
+
+    losses = []
+    for _ in range(5):
+        state, metrics = train_step(
+            state, model, jnp.asarray(images), jnp.asarray(tokens),
+            jnp.asarray(weak), config,
+        )
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0], losses
+    assert np.isfinite(losses).all()
+    assert float(state.params["logit_scale"]) <= MAX_LOGIT_SCALE + 1e-6
+
+
+def test_sharded_step_matches_single_device(tiny_setup):
+    from tests.test_models import TINY
+    from tpualign.parallel.mesh import create_mesh
+
+    model, params = tiny_setup
+    config = TrainConfig(learning_rate=1e-3, warmup_steps=0, total_steps=100)
+    rng = np.random.default_rng(1)
+    images, tokens, weak = batch_for(TINY, 8, rng)
+
+    # single device
+    s1 = create_train_state(model, params, config)
+    s1, m1 = train_step(
+        s1, model, jnp.asarray(images), jnp.asarray(tokens), jnp.asarray(weak), config
+    )
+
+    # 4x2 mesh (dp=4, tp=2)
+    mesh = create_mesh(4, 2)
+    s2 = create_train_state(model, params, config)
+    step_fn, shard_state = make_sharded_train_step(model, mesh, config)
+    s2 = shard_state(s2)
+    s2, m2 = step_fn(s2, images, tokens, weak)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-4)
+    np.testing.assert_allclose(
+        float(m1["grad_norm"]), float(m2["grad_norm"]), rtol=1e-3
+    )
+    # parameters agree after one step
+    p1 = jax.device_get(s1.params["text"]["text_projection"])
+    p2 = jax.device_get(s2.params["text"]["text_projection"])
+    np.testing.assert_allclose(p1, p2, atol=1e-5)
+
+
+def test_dryrun_multichip_8():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
+
+
+def test_dryrun_multichip_odd():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(5)

@@ -1,0 +1,204 @@
+"""Pallas TPU kernels for the retrieval and preprocessing hot paths.
+
+Two kernels:
+
+- :func:`masked_sim_topk` — fused cosine-similarity + candidate-mask +
+  running top-k. The XLA path materializes the full (Q, N) similarity
+  matrix in HBM before ``lax.top_k``; at corpus scale that matrix dominates
+  HBM traffic (Q=10k, N=100k fp32 = 4 GB). This kernel streams corpus
+  blocks through VMEM, fuses the same-page key mask into the matmul
+  epilogue, and maintains a (Q_block, k) running top-k in VMEM scratch —
+  HBM traffic drops to reading Q + N once and writing Q*k.
+- :func:`normalize_u8` — fused uint8 -> [0,1] -> CLIP mean/std normalize
+  cast, the preprocessing epilogue (one read + one write per pixel).
+
+Both kernels run in interpret mode on CPU (tests) and compiled on TPU.
+Semantics match tpualign.ops.similarity masked_topk: ties break by
+ascending corpus index; rows with < k candidates pad with NEG_INF.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpualign.ops.preprocess import CLIP_MEAN, CLIP_STD
+from tpualign.ops.similarity import NEG_INF
+
+__all__ = ["masked_sim_topk", "normalize_u8"]
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# Fused masked similarity + running top-k
+# ---------------------------------------------------------------------------
+
+
+def _sim_topk_kernel(
+    q_ref, qk_ref, c_ref, ck_ref, vals_ref, idx_ref,
+    run_vals, run_idx, *, k: int, block_n: int, num_n: int,
+):
+    """Grid = (num_q_blocks, num_n_blocks); corpus dim iterates fastest, so
+    the VMEM scratch running state persists across a query block's sweep."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _reset():
+        run_vals[:] = jnp.full_like(run_vals, NEG_INF)
+        run_idx[:] = jnp.full_like(run_idx, jnp.int32(2**30))
+
+    # (Qb, Nb) similarity on the MXU with fused mask epilogue.
+    sims = jnp.dot(q_ref[:], c_ref[:].T, preferred_element_type=jnp.float32)
+    qk = qk_ref[:]  # (Qb, 1) int32
+    ck = ck_ref[:]  # (1, Nb) int32
+    mask = (qk == ck) & (ck >= 0)
+    sims = jnp.where(mask, sims, NEG_INF)
+
+    qb = sims.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (qb, block_n), 1) + j * block_n
+
+    # merge running (Qb, k) with the block's (Qb, Nb): k iterative
+    # max-extractions, all vector ops (no scatter/gather). Candidate order
+    # [old winners (smaller global idx), block cols ascending] + argmax's
+    # first-occurrence rule = ascending-index tie-break.
+    cand_vals = jnp.concatenate([run_vals[:], sims], axis=1)
+    cand_idx = jnp.concatenate([run_idx[:], col], axis=1)
+    width = cand_vals.shape[1]
+    colid = jax.lax.broadcasted_iota(jnp.int32, (qb, width), 1)
+
+    def extract(i, carry):
+        cv, out_v, out_i = carry
+        pos = jnp.argmax(cv, axis=1)  # first max occurrence per row
+        sel = colid == pos[:, None]
+        best_v = jnp.max(cv, axis=1)
+        best_i = jnp.sum(jnp.where(sel, cand_idx, 0), axis=1)
+        out_v = jax.lax.dynamic_update_slice(out_v, best_v[:, None], (0, i))
+        out_i = jax.lax.dynamic_update_slice(out_i, best_i[:, None], (0, i))
+        cv = jnp.where(sel, NEG_INF, cv)
+        return cv, out_v, out_i
+
+    init = (
+        cand_vals,
+        jnp.full((qb, k), NEG_INF, jnp.float32),
+        jnp.full((qb, k), jnp.int32(2**30)),
+    )
+    _, new_v, new_i = jax.lax.fori_loop(0, k, extract, init)
+    run_vals[:] = new_v
+    run_idx[:] = new_i
+
+    @pl.when(j == num_n - 1)
+    def _emit():
+        vals_ref[:] = run_vals[:]
+        idx_ref[:] = run_idx[:]
+
+
+def masked_sim_topk(
+    queries: jnp.ndarray,
+    query_keys: jnp.ndarray,
+    corpus: jnp.ndarray,
+    corpus_keys: jnp.ndarray,
+    k: int,
+    block_q: int = 256,
+    block_n: int = 512,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused masked similarity top-k.
+
+    Args:
+      queries: (Q, D) float32 unit-norm.
+      query_keys: (Q,) int32 same-page keys.
+      corpus: (N, D) float32 unit-norm.
+      corpus_keys: (N,) int32 (-1 = padding, never matches).
+      k: winners per query.
+
+    Returns (values, indices): (Q, k); indices of 2**30 / values NEG_INF
+    mark empty slots (callers map them to -1, matching
+    tpualign.parallel.retrieval's sentinel convention).
+    """
+    q, d = queries.shape
+    n = corpus.shape[0]
+    qp = _round_up(max(q, 8), min(block_q, _round_up(max(q, 8), 8)))
+    block_q = min(block_q, qp)
+    qp = _round_up(qp, block_q)
+    np_ = _round_up(max(n, block_n), block_n)
+
+    queries = jnp.pad(queries, ((0, qp - q), (0, 0)))
+    query_keys = jnp.pad(
+        query_keys.astype(jnp.int32), (0, qp - q), constant_values=-2
+    )
+    corpus = jnp.pad(corpus, ((0, np_ - n), (0, 0)))
+    corpus_keys = jnp.pad(
+        corpus_keys.astype(jnp.int32), (0, np_ - n), constant_values=-1
+    )
+
+    num_q = qp // block_q
+    num_n = np_ // block_n
+
+    kernel = functools.partial(
+        _sim_topk_kernel, k=k, block_n=block_n, num_n=num_n
+    )
+    vals, idx = pl.pallas_call(
+        kernel,
+        grid=(num_q, num_n),
+        in_specs=[
+            pl.BlockSpec((block_q, d), lambda i, j: (i, 0)),
+            pl.BlockSpec((block_q, 1), lambda i, j: (i, 0)),
+            pl.BlockSpec((block_n, d), lambda i, j: (j, 0)),
+            pl.BlockSpec((1, block_n), lambda i, j: (0, j)),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_q, k), lambda i, j: (i, 0)),
+            pl.BlockSpec((block_q, k), lambda i, j: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((qp, k), jnp.float32),
+            jax.ShapeDtypeStruct((qp, k), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, k), jnp.float32),
+            pltpu.VMEM((block_q, k), jnp.int32),
+        ],
+        interpret=_interpret(),
+    )(
+        queries,
+        query_keys[:, None],
+        corpus,
+        corpus_keys[None, :],
+    )
+    return vals[:q], idx[:q]
+
+
+# ---------------------------------------------------------------------------
+# Fused uint8 -> normalized float preprocessing epilogue
+# ---------------------------------------------------------------------------
+
+
+def _normalize_kernel(x_ref, mean_ref, inv_std_ref, out_ref):
+    x = x_ref[:].astype(jnp.float32) * (1.0 / 255.0)
+    out_ref[:] = (x - mean_ref[:]) * inv_std_ref[:]
+
+
+def normalize_u8(images_u8: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, 3) uint8 -> CLIP-normalized float32, one fused pass."""
+    b, h, w, c = images_u8.shape
+    x = images_u8.reshape(b, h * w * c)
+    mean = jnp.tile(jnp.asarray(CLIP_MEAN, jnp.float32), h * w)[None, :]
+    inv_std = jnp.tile(1.0 / jnp.asarray(CLIP_STD, jnp.float32), h * w)[None, :]
+    out = pl.pallas_call(
+        _normalize_kernel,
+        out_shape=jax.ShapeDtypeStruct((b, h * w * c), jnp.float32),
+        interpret=_interpret(),
+    )(x, mean, inv_std)
+    return out.reshape(b, h, w, c)

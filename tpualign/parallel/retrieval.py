@@ -119,6 +119,19 @@ def sharded_topk_search(
         )
 
     if mesh is None or mesh.shape["data"] == 1:
+        if k <= 16 and n >= 1024:
+            # fused Pallas path: streams the corpus through VMEM with a
+            # running top-k instead of materializing the (Q, N) similarity
+            # matrix in HBM (tpualign.ops.pallas_kernels).
+            from tpualign.ops.pallas_kernels import masked_sim_topk
+
+            vals, idx = masked_sim_topk(
+                jnp.asarray(queries), jnp.asarray(query_keys, jnp.int32),
+                jnp.asarray(corpus), jnp.asarray(corpus_keys, jnp.int32), k,
+            )
+            vals = np.asarray(vals)
+            idx = np.where(np.asarray(idx) >= n, -1, np.asarray(idx))
+            return _sentinel(vals, idx)
         sims = queries @ corpus.T
         mask = query_keys[:, None] == corpus_keys[None, :]
         sims = np.where(mask, sims, NEG_INF)

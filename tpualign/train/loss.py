@@ -1,0 +1,73 @@
+"""Contrastive loss with weak-supervision weighting.
+
+Symmetric CLIP InfoNCE over the global batch (image->text and text->image
+cross entropy against the diagonal), with one extension: per-pair weak
+supervision scores w in [0, 1] (from tpualign.weaksup) reweight each pair's
+contribution — noisy pairs (low lexical/positional agreement) pull on the
+towers less. ``weight_temperature`` controls the sharpness of the weighting:
+weights are normalized as softmax(w / T) * B so the mean gradient scale is
+independent of the score distribution.
+
+All math is jit-traceable with static shapes; under pjit/GSPMD the (B, B)
+logit matrix parallelizes across the mesh automatically when the batch is
+sharded over ``data``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["clip_contrastive_loss"]
+
+
+def clip_contrastive_loss(
+    image_embs: jnp.ndarray,
+    text_embs: jnp.ndarray,
+    logit_scale: jnp.ndarray,
+    weak_scores: Optional[jnp.ndarray] = None,
+    weight_temperature: float = 0.5,
+    label_smoothing: float = 0.0,
+) -> Tuple[jnp.ndarray, dict]:
+    """Weighted symmetric InfoNCE.
+
+    Args:
+      image_embs / text_embs: (B, D) UNIT-NORM embeddings, row i paired.
+      logit_scale: scalar multiplier (exp of the learned temperature).
+      weak_scores: optional (B,) in [0, 1]; None = uniform weights.
+      weight_temperature: softmax temperature for weight normalization.
+      label_smoothing: standard smoothing over the B classes.
+
+    Returns (loss, metrics) where metrics carries accuracy diagnostics.
+    """
+    b = image_embs.shape[0]
+    logits = logit_scale * jnp.dot(
+        image_embs, text_embs.T, preferred_element_type=jnp.float32
+    )  # (B, B): image-major
+
+    targets = jax.nn.one_hot(jnp.arange(b), b, dtype=jnp.float32)
+    if label_smoothing > 0.0:
+        targets = targets * (1.0 - label_smoothing) + label_smoothing / b
+
+    log_p_i2t = jax.nn.log_softmax(logits, axis=-1)
+    log_p_t2i = jax.nn.log_softmax(logits.T, axis=-1)
+    ce_i2t = -jnp.sum(targets * log_p_i2t, axis=-1)  # (B,)
+    ce_t2i = -jnp.sum(targets * log_p_t2i, axis=-1)
+    per_pair = 0.5 * (ce_i2t + ce_t2i)
+
+    if weak_scores is not None:
+        w = jax.nn.softmax(weak_scores / weight_temperature) * b
+    else:
+        w = jnp.ones((b,), jnp.float32)
+    loss = jnp.mean(w * per_pair)
+
+    acc_i2t = jnp.mean(jnp.argmax(logits, axis=-1) == jnp.arange(b))
+    acc_t2i = jnp.mean(jnp.argmax(logits, axis=0) == jnp.arange(b))
+    return loss, {
+        "loss": loss,
+        "acc_i2t": acc_i2t,
+        "acc_t2i": acc_t2i,
+        "logit_scale": logit_scale,
+    }

@@ -1,0 +1,147 @@
+"""Train state and the SPMD training step.
+
+One jitted step: forward both towers on the local batch shard, global
+weighted contrastive loss, AdamW with warmup+cosine schedule, logit-scale
+clamp (standard CLIP practice, max 100). Under a mesh the step is jitted
+with the batch sharded over ``data`` and params laid out by the TP specs —
+GSPMD inserts the gradient psum over ``data`` and the activation collectives
+over ``model``; no hand-written collectives needed.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tpualign.config import TrainConfig
+from tpualign.models.clip import CLIP
+from tpualign.train.loss import clip_contrastive_loss
+
+__all__ = ["TrainState", "create_train_state", "train_step", "make_sharded_train_step"]
+
+MAX_LOGIT_SCALE = 4.6052  # ln(100)
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads) -> "TrainState":
+        updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
+        new_params = optax.apply_updates(self.params, updates)
+        # clamp the learned temperature (CLIP standard)
+        new_params = dict(new_params)
+        new_params["logit_scale"] = jnp.minimum(
+            new_params["logit_scale"], MAX_LOGIT_SCALE
+        )
+        return self.replace(
+            step=self.step + 1, params=new_params, opt_state=new_opt_state
+        )
+
+
+def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
+    schedule = optax.warmup_cosine_decay_schedule(
+        init_value=0.0,
+        peak_value=config.learning_rate,
+        warmup_steps=config.warmup_steps,
+        decay_steps=max(config.total_steps, config.warmup_steps + 1),
+    )
+    return optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adamw(schedule, b1=0.9, b2=0.98, eps=1e-6,
+                    weight_decay=config.weight_decay),
+    )
+
+
+def create_train_state(
+    model: CLIP, params, config: TrainConfig
+) -> TrainState:
+    tx = make_optimizer(config)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        tx=tx,
+    )
+
+
+def train_step(
+    state: TrainState,
+    model: CLIP,
+    images: jnp.ndarray,
+    token_ids: jnp.ndarray,
+    weak_scores: Optional[jnp.ndarray],
+    config: TrainConfig,
+) -> Tuple[TrainState, dict]:
+    """One optimization step (pure function of state + batch)."""
+
+    def loss_fn(params):
+        img, txt, scale = model.apply({"params": params}, images, token_ids)
+        return clip_contrastive_loss(
+            img, txt, scale,
+            weak_scores=weak_scores,
+            weight_temperature=config.weak_score_temperature,
+            label_smoothing=config.label_smoothing,
+        )
+
+    (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+    new_state = state.apply_gradients(grads)
+    metrics["grad_norm"] = optax.global_norm(grads)
+    return new_state, metrics
+
+
+def make_sharded_train_step(
+    model: CLIP, mesh: Mesh, config: TrainConfig, state_sharding=None
+):
+    """jit the step over a mesh: batch over ``data``, params per TP specs.
+
+    Returns (step_fn, shard_state_fn). ``shard_state_fn`` places a host
+    TrainState onto the mesh.
+    """
+    from tpualign.parallel.sharding import clip_param_specs
+
+    def param_sharding(params):
+        specs = clip_param_specs(params)
+        return jax.tree.map(lambda s: NamedSharding(mesh, s), specs)
+
+    batch_img = NamedSharding(mesh, P("data", None, None, None))
+    batch_txt = NamedSharding(mesh, P("data", None))
+    batch_w = NamedSharding(mesh, P("data"))
+
+    def shard_state(state: TrainState) -> TrainState:
+        pshard = param_sharding(state.params)
+        params = jax.tree.map(jax.device_put, state.params, pshard)
+        # optimizer state mirrors param layout where shapes match; scalars replicate
+        def place_opt(x):
+            return jax.device_put(x, NamedSharding(mesh, P()))
+
+        opt_state = jax.tree.map(place_opt, state.opt_state)
+        return state.replace(
+            step=jax.device_put(state.step, NamedSharding(mesh, P())),
+            params=params,
+            opt_state=opt_state,
+        )
+
+    step = partial(train_step, model=model, config=config)
+
+    @jax.jit
+    def jitted(state, images, token_ids, weak_scores):
+        return step(state, images=images, token_ids=token_ids,
+                    weak_scores=weak_scores)
+
+    def run(state, images, token_ids, weak_scores):
+        images = jax.device_put(images, batch_img)
+        token_ids = jax.device_put(token_ids, batch_txt)
+        if weak_scores is not None:
+            weak_scores = jax.device_put(weak_scores, batch_w)
+        return jitted(state, images, token_ids, weak_scores)
+
+    return run, shard_state
