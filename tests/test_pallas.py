@@ -86,3 +86,54 @@ def test_normalize_u8():
     out = np.asarray(normalize_u8(jnp.asarray(imgs)))
     want = (imgs / 255.0 - np.asarray(CLIP_MEAN)) / np.asarray(CLIP_STD)
     np.testing.assert_allclose(out, want, atol=1e-5)
+
+
+def test_fused_mha_model_equivalence():
+    """Tiny CLIP with fused attention matches the XLA attention path."""
+    import jax
+    import jax.numpy as jnp
+
+    from tests.test_models import TINY
+    from tpualign.models.clip import CLIP, init_clip_params
+
+    base = CLIP(variant=TINY, use_quick_gelu=True, compute_dtype=jnp.float32)
+    fused = CLIP(variant=TINY, use_quick_gelu=True, compute_dtype=jnp.float32,
+                 use_fused_attention=True)
+    params = init_clip_params(base, seed=0)
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.normal(size=(3, 32, 32, 3)).astype(np.float32))
+    tokens = np.zeros((3, 16), np.int32)
+    tokens[:, 0] = 1
+    tokens[:, 1] = 999
+    tokens = jnp.asarray(tokens)
+
+    i1, t1, _ = base.apply({"params": params}, images, tokens)
+    i2, t2, _ = fused.apply({"params": params}, images, tokens)
+    np.testing.assert_allclose(np.asarray(i1), np.asarray(i2), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), atol=2e-5)
+
+
+def test_fused_mha_gradients():
+    """custom_vjp backward (XLA recompute) matches the plain path's grads."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpualign.ops.pallas_attention import _xla_reference_mha, fused_mha
+
+    rng = np.random.default_rng(1)
+    qkv = jnp.asarray(rng.normal(size=(2, 6, 3 * 16)).astype(np.float32))
+    mask = jnp.triu(jnp.full((6, 6), -jnp.inf, jnp.float32), k=1)
+
+    def loss_fused(q):
+        return jnp.sum(fused_mha(q, 4, mask) ** 2)
+
+    def loss_ref(q):
+        return jnp.sum(_xla_reference_mha(q, 4, mask) ** 2)
+
+    g1 = jax.grad(loss_fused)(qkv)
+    g2 = jax.grad(loss_ref)(qkv)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
+
+    # no-mask variant also differentiates
+    g3 = jax.grad(lambda q: jnp.sum(fused_mha(q, 4) ** 2))(qkv)
+    assert np.isfinite(np.asarray(g3)).all()

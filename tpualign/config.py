@@ -125,6 +125,7 @@ class ModelConfig:
     param_dtype: str = "float32"
     parity_mode: bool = False              # fp32 everywhere for <=1e-3 parity runs
     remat: bool = False                    # jax.checkpoint the transformer blocks
+    fused_attention: Optional[bool] = None  # None => auto (Pallas kernel on TPU)
 
     @property
     def variant(self) -> ClipVariant:

