@@ -183,3 +183,52 @@ def test_embed_engine_dp_mesh(mesh8, tmp_path):
     e8 = eng8.encode_image_batch(images)
     assert e1.shape == (37, 64)
     np.testing.assert_allclose(e1, e8, atol=1e-5)
+
+
+def test_ring_topk_matches_oracle(mesh8):
+    from tpualign.parallel.ring import ring_topk_search
+
+    rng = np.random.default_rng(11)
+    q, qman, qpage, c, cman, cpage = make_problem(rng, nq=37, n=197)
+    vocab = {}
+    ckeys, vocab = encode_keys(cman, cpage, vocab)
+    qkeys, _ = encode_keys(qman, qpage, vocab)
+    vals, idx = ring_topk_search(q, qkeys, c, ckeys, k=10, mesh=mesh8)
+    ovals, oidx = numpy_oracle(q, qkeys, c, ckeys, 10)
+    has = oidx >= 0
+    np.testing.assert_array_equal(idx[has], oidx[has])
+    np.testing.assert_allclose(vals[has], ovals[has], atol=1e-5)
+    assert (idx[~has] == -1).all()
+
+
+def test_ring_matches_gather_strategy(mesh8):
+    """Ring and gather strategies must agree exactly."""
+    from tpualign.parallel.ring import ring_topk_search
+
+    rng = np.random.default_rng(12)
+    q, qman, qpage, c, cman, cpage = make_problem(rng, nq=24, n=512)
+    vocab = {}
+    ckeys, vocab = encode_keys(cman, cpage, vocab)
+    qkeys, _ = encode_keys(qman, qpage, vocab)
+    v1, i1 = sharded_topk_search(q, qkeys, c, ckeys, k=7, mesh=mesh8)
+    v2, i2 = ring_topk_search(q, qkeys, c, ckeys, k=7, mesh=mesh8)
+    np.testing.assert_array_equal(i1, i2)
+    has = i1 >= 0
+    np.testing.assert_allclose(v1[has], v2[has], atol=1e-6)
+
+
+def test_ring_on_2d_mesh():
+    """Ring over the data axis of a (4, 2) mesh."""
+    from tpualign.parallel.mesh import create_mesh
+    from tpualign.parallel.ring import ring_topk_search
+
+    mesh = create_mesh(4, 2)
+    rng = np.random.default_rng(13)
+    q, qman, qpage, c, cman, cpage = make_problem(rng, nq=9, n=65)
+    vocab = {}
+    ckeys, vocab = encode_keys(cman, cpage, vocab)
+    qkeys, _ = encode_keys(qman, qpage, vocab)
+    vals, idx = ring_topk_search(q, qkeys, c, ckeys, k=5, mesh=mesh)
+    ovals, oidx = numpy_oracle(q, qkeys, c, ckeys, 5)
+    has = oidx >= 0
+    np.testing.assert_array_equal(idx[has], oidx[has])

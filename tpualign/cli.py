@@ -106,6 +106,27 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     p_check = sub.add_parser("check", help="installation/store diagnostics")
     _add_common(p_check)
 
+    p_train = sub.add_parser(
+        "train", help="weak-supervision-weighted contrastive fine-tuning"
+    )
+    _add_common(p_train)
+    p_train.add_argument("--schema", default="clip_combined", choices=list(SCHEMAS))
+    p_train.add_argument("--steps", type=int, default=100)
+    p_train.add_argument("--train-batch-size", type=int, default=None)
+    p_train.add_argument("--ckpt-dir", default=None)
+
+    p_query = sub.add_parser("query", help="similarity search over the store")
+    _add_common(p_query)
+    p_query.add_argument("--schema", default="vanilla_clip", choices=list(SCHEMAS))
+    p_query.add_argument("--image-id", default=None,
+                         help="rank text chunks for this stored image")
+    p_query.add_argument("--text", default=None,
+                         help="rank stored images for this text query")
+    p_query.add_argument("-k", type=int, default=10)
+    p_query.add_argument("--global", dest="global_search", action="store_true",
+                         help="search the whole corpus instead of the "
+                              "reference's same-manual+page candidate set")
+
     args = parser.parse_args(argv)
 
     if args.command == "run":
@@ -163,6 +184,97 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         config = _config_from(args)
         return run_checks(config)
 
+    if args.command == "train":
+        from tpualign.train.trainer import Trainer
+
+        config = _config_from(args)
+        mesh = None
+        if config.mesh.num_devices > 1:
+            from tpualign.parallel.mesh import default_mesh
+
+            mesh = default_mesh(config.mesh)
+        trainer = Trainer(config, mesh=mesh)
+        metrics = trainer.train(
+            schema=args.schema,
+            steps=args.steps,
+            batch_size=args.train_batch_size,
+            ckpt_dir=args.ckpt_dir,
+        )
+        print({k: round(v, 4) for k, v in metrics.items()})
+        return 0
+
+    if args.command == "query":
+        return _run_query(args)
+
+    return 1
+
+
+def _run_query(args) -> int:
+    import numpy as np
+
+    from tpualign.parallel.retrieval import RetrievalIndex
+    from tpualign.store import EmbeddingStore
+
+    config = _config_from(args)
+    store = EmbeddingStore(config.store.root, embed_dim=config.model.embed_dim)
+    schema = args.schema
+    if not store.has_embeddings(schema):
+        print(f"schema {schema} has no embeddings (run `tpualign embed` first)")
+        return 1
+
+    if args.image_id:
+        # reference query semantics: top chunks for an image, candidates
+        # restricted to the image's manual+page unless --global
+        # (ref:src/evaluate_alignments.py:109-143)
+        images = store.images(schema)
+        img_ids, img_emb = store.embedding_matrix(schema, "images")
+        chunk_ids, chunk_emb = store.embedding_matrix(schema, "text_chunks")
+        chunks = store.chunks(schema)
+        try:
+            pos = img_ids.index(args.image_id)
+        except ValueError:
+            print(f"unknown image_id {args.image_id}")
+            return 1
+        img = images[pos]
+        if args.global_search:
+            index = RetrievalIndex(chunk_emb, ["*"] * len(chunks), [0] * len(chunks))
+            vals, idx = index.search(img_emb[pos:pos + 1], ["*"], [0], args.k)
+        else:
+            index = RetrievalIndex(
+                chunk_emb,
+                [c["manual_id"] for c in chunks],
+                [c.get("page") for c in chunks],
+            )
+            vals, idx = index.search(
+                img_emb[pos:pos + 1], [img["manual_id"]], [img.get("page")], args.k
+            )
+        print(f"top-{args.k} chunks for {args.image_id}:")
+        for rank, (v, j) in enumerate(zip(vals[0], idx[0]), 1):
+            if j < 0:
+                break
+            print(f"  {rank:2d}. {chunk_ids[j]}  sim={v:.4f}  {chunks[j]['text'][:70]!r}")
+        return 0
+
+    if args.text:
+        # new capability: text -> images over the whole corpus
+        from tpualign.parallel.embed import EmbedEngine
+
+        images = store.images(schema)
+        img_ids, img_emb = store.embedding_matrix(schema, "images")
+        engine = EmbedEngine(config.model, batch_size=8)
+        q = engine.encode_text_batch([args.text])
+        index = RetrievalIndex(img_emb, ["*"] * len(img_ids), [0] * len(img_ids))
+        vals, idx = index.search(q, ["*"], [0], args.k)
+        print(f"top-{args.k} images for {args.text!r}:")
+        for rank, (v, j) in enumerate(zip(vals[0], idx[0]), 1):
+            if j < 0:
+                break
+            meta = images[j]
+            print(f"  {rank:2d}. {img_ids[j]}  sim={v:.4f}  "
+                  f"page={meta.get('page')} caption={meta.get('caption')!r}")
+        return 0
+
+    print("query requires --image-id or --text")
     return 1
 
 

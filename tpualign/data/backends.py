@@ -93,6 +93,15 @@ class DocumentHandle:
         the idx-th-block last-resort fallback (ref:src/pdf_processor.py:375-386)."""
         raise NotImplementedError
 
+    def page_size(self, page: int):
+        """(width, height) in PDF points."""
+        return (612.0, 792.0)
+
+    def render_page(self, page: int, dpi: int = 200):
+        """Rendered PIL image of the page for OCR, or None when the backend
+        cannot render (ref:src/pdf_processor.py:96-104)."""
+        return None
+
     def close(self) -> None:
         pass
 
@@ -172,6 +181,10 @@ class SyntheticHandle(DocumentHandle):
             if img.get("dict_bbox") is not None:
                 out.append(list(img["dict_bbox"]))
         return out
+
+    def page_size(self, page: int):
+        p = self.pages[page]
+        return (float(p.get("width", 612)), float(p.get("height", 792)))
 
 
 class SyntheticBackend:
@@ -326,6 +339,21 @@ class MuPDFHandle(DocumentHandle):
         except Exception:
             pass
         return out
+
+    def page_size(self, page: int):
+        rect = self.doc[page].rect
+        return (float(rect.width), float(rect.height))
+
+    def render_page(self, page: int, dpi: int = 200):
+        """fitz pixmap -> PIL image (ref:src/pdf_processor.py:96-104)."""
+        try:
+            from PIL import Image
+
+            pix = self.doc[page].get_pixmap(dpi=dpi)
+            mode = "RGB" if pix.alpha == 0 else "RGBA"
+            return Image.frombytes(mode, (pix.width, pix.height), pix.samples)
+        except Exception:
+            return None
 
     def close(self) -> None:
         try:

@@ -103,6 +103,9 @@ class DocumentProcessor:
         self.nlp = nlp
         # sentence splitting degrades to the regex path for non-spaCy nlp
         self._sent_nlp = nlp if hasattr(nlp, "pipe") else None
+        # OCR engine is injectable for tests; default resolves pytesseract
+        # lazily (ref:src/pdf_processor.py:29-32 optional import)
+        self.ocr_engine = None
 
         self.image_metadata: List[dict] = []
         self.text_chunks: List[dict] = []
@@ -281,16 +284,32 @@ class DocumentProcessor:
         try:
             words = handle.page_words(page_num - 1)
             if not words:
+                # plain-text line fallback with optional OCR-derived bboxes
+                # (ref:src/pdf_processor.py:619-648)
                 plain_text = handle.page_text(page_num - 1)
                 if plain_text:
+                    ocr_boxes: List[dict] = []
+                    if self.config.use_ocr_fallback:
+                        from tpualign.data.ocr import extract_ocr_bboxes
+
+                        w, h = handle.page_size(page_num - 1)
+                        ocr_boxes = extract_ocr_bboxes(
+                            handle.render_page(page_num - 1),
+                            w, h, self.ocr_engine,
+                        )
                     for line_idx, line in enumerate(plain_text.split("\n")):
                         if line.strip():
+                            bbox = [0, 0, 0, 0]
+                            if ocr_boxes:
+                                from tpualign.data.ocr import match_line_bbox
+
+                                bbox = match_line_bbox(line, ocr_boxes)
                             blocks.append(
                                 {
                                     "chunk_id": f"{manual_id}_p{page_num}_c{line_idx}",
                                     "manual_id": manual_id,
                                     "page": page_num,
-                                    "bbox": [0, 0, 0, 0],
+                                    "bbox": bbox,
                                     "text": line.strip(),
                                 }
                             )

@@ -1,0 +1,212 @@
+"""Training loop: weak-supervision-weighted contrastive fine-tuning over the
+embedding store's aligned pairs.
+
+Closes the loop the reference leaves open (frozen embeddings + heuristic
+scores only): pairs come from a schema's alignment table — (image, chunk,
+weak_score) — or, for vanilla_clip, the same-page cartesian pairs with
+uniform weight; images decode host-side (background-friendly, same parity
+preprocess as embedding), texts tokenize to the 77-token context; the step
+runs SPMD over the mesh; checkpoints via orbax.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Iterator, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpualign.config import PipelineConfig
+from tpualign.models.clip import build_clip, init_clip_params
+from tpualign.models.loader import load_checkpoint_params
+from tpualign.ops.preprocess import preprocess_host
+from tpualign.store import EmbeddingStore
+from tpualign.tokenizer import ClipTokenizer
+from tpualign.train.step import create_train_state, make_sharded_train_step, train_step
+from tpualign.utils.logging import get_logger
+from tpualign.utils.profiling import ThroughputMeter
+
+log = get_logger("train.trainer")
+
+__all__ = ["Trainer", "build_pair_dataset"]
+
+
+def build_pair_dataset(
+    store: EmbeddingStore, schema: str, images_dir: str | Path
+) -> List[Tuple[Optional[str], str, float]]:
+    """(image_path, chunk_text, weak_score) triples for one schema.
+
+    Uses the alignment table when populated (lexical/positional/combined
+    schemas); falls back to same-page cartesian pairs with weight 1.0
+    (vanilla_clip — mirrors the evaluation ground truth,
+    ref:src/evaluate_alignments.py:48-69).
+    """
+    images_dir = Path(images_dir)
+    images = {r["image_id"]: r for r in store.images(schema)}
+    chunks = {r["chunk_id"]: r for r in store.chunks(schema)}
+
+    triples: List[Tuple[Optional[str], str, float]] = []
+    alignments = store.alignments(schema)
+    if alignments:
+        for image_id, chunk_id, score, _ in alignments:
+            img = images.get(image_id)
+            chunk = chunks.get(chunk_id)
+            if img is None or chunk is None:
+                continue
+            fname = img.get("filename")
+            path = str(images_dir / fname) if fname else None
+            triples.append((path, chunk["text"], float(score)))
+    else:
+        from tpualign.evaluation.metrics import get_image_text_pairs
+
+        for image_id, chunk_id, _, _ in get_image_text_pairs(
+            list(images.values()), list(chunks.values())
+        ):
+            img = images[image_id]
+            fname = img.get("filename")
+            path = str(images_dir / fname) if fname else None
+            triples.append((path, chunks[chunk_id]["text"], 1.0))
+    # only trainable rows: a decodable image file is required
+    triples = [t for t in triples if t[0] and Path(t[0]).exists()]
+    return triples
+
+
+class Trainer:
+    """Fine-tunes the CLIP towers on store pairs."""
+
+    def __init__(
+        self,
+        config: PipelineConfig,
+        store: Optional[EmbeddingStore] = None,
+        mesh=None,
+        params=None,
+    ):
+        self.config = config
+        self.mesh = mesh
+        self.store = store or EmbeddingStore(
+            config.store.root, embed_dim=config.model.embed_dim
+        )
+        self.model = build_clip(config.model)
+        self.variant = config.model.variant
+        self.tokenizer = ClipTokenizer(context_length=self.variant.context_length)
+
+        if params is None:
+            if config.model.checkpoint_path:
+                params = load_checkpoint_params(config.model)
+            else:
+                log.warning("training from seeded random init (no checkpoint)")
+                params = init_clip_params(self.model, seed=config.seed)
+        self.state = create_train_state(self.model, params, config.train)
+
+        if mesh is not None:
+            self._step, shard_state = make_sharded_train_step(
+                self.model, mesh, config.train
+            )
+            self.state = shard_state(self.state)
+        else:
+            model, tc = self.model, config.train
+
+            @jax.jit
+            def _single_step(state, images, token_ids, weak_scores):
+                return train_step(state, model, images, token_ids, weak_scores, tc)
+
+            self._step = _single_step
+
+    # -- data -----------------------------------------------------------------
+
+    def batches(
+        self, triples, batch_size: int, seed: int = 0, epochs: Optional[int] = None
+    ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        """Shuffled, decoded, fixed-shape batches, cycling over the dataset."""
+        from PIL import Image
+
+        size = self.variant.image_size
+        rng = np.random.default_rng(seed)
+        epoch = 0
+        while epochs is None or epoch < epochs:
+            order = rng.permutation(len(triples))
+            for start in range(0, len(order) - batch_size + 1, batch_size):
+                sel = order[start : start + batch_size]
+                imgs = np.zeros((batch_size, size, size, 3), np.float32)
+                texts = []
+                weights = np.zeros(batch_size, np.float32)
+                for i, j in enumerate(sel):
+                    path, text, w = triples[j]
+                    try:
+                        with Image.open(path) as im:
+                            imgs[i] = preprocess_host(im, size)
+                    except Exception:
+                        pass  # zero image; weight still applies
+                    texts.append(text)
+                    weights[i] = w
+                tokens = self.tokenizer(texts)
+                yield imgs, tokens, weights
+            epoch += 1
+
+    # -- loop -----------------------------------------------------------------
+
+    def train(
+        self,
+        schema: str = "clip_combined",
+        steps: int = 100,
+        batch_size: Optional[int] = None,
+        ckpt_dir: Optional[str] = None,
+        ckpt_every: int = 100,
+        log_every: int = 10,
+    ) -> dict:
+        """Run ``steps`` optimization steps; returns final metrics."""
+        batch_size = batch_size or self.config.train.batch_size
+        triples = build_pair_dataset(
+            self.store, schema, self.config.data.images_dir
+        )
+        if not triples:
+            raise ValueError(
+                f"no trainable pairs in schema {schema} (need image files)"
+            )
+        if batch_size > len(triples):
+            batch_size = max(2, len(triples))
+        log.info(
+            "training on %d pairs from %s (batch=%d, steps=%d)",
+            len(triples), schema, batch_size, steps,
+        )
+
+        if ckpt_dir:
+            from tpualign.train.checkpoint import restore_checkpoint
+
+            restored = restore_checkpoint(ckpt_dir, self.state)
+            if restored is not None:
+                self.state = restored
+
+        meter = ThroughputMeter()
+        metrics = {}
+        it = self.batches(triples, batch_size, seed=self.config.seed)
+        start_step = int(jax.device_get(self.state.step))
+        t0 = time.perf_counter()
+        for step_i in range(start_step, steps):
+            imgs, tokens, weights = next(it)
+            with meter.measure("train_pairs", batch_size):
+                self.state, metrics = self._step(
+                    self.state, jnp.asarray(imgs), jnp.asarray(tokens),
+                    jnp.asarray(weights),
+                )
+            if (step_i + 1) % log_every == 0:
+                log.info(
+                    "step %d: loss=%.4f acc_i2t=%.3f grad_norm=%.3f",
+                    step_i + 1, float(metrics["loss"]),
+                    float(metrics["acc_i2t"]), float(metrics["grad_norm"]),
+                )
+            if ckpt_dir and (step_i + 1) % ckpt_every == 0:
+                from tpualign.train.checkpoint import save_checkpoint
+
+                save_checkpoint(ckpt_dir, self.state)
+        if ckpt_dir:
+            from tpualign.train.checkpoint import save_checkpoint
+
+            save_checkpoint(ckpt_dir, self.state)
+        meter.report()
+        out = {k: float(jax.device_get(v)) for k, v in metrics.items()}
+        out["wall_seconds"] = time.perf_counter() - t0
+        return out
