@@ -78,6 +78,7 @@ def _sim_topk_kernel(
     cand_idx = jnp.concatenate([run_idx[:], col], axis=1)
     width = cand_vals.shape[1]
     colid = jax.lax.broadcasted_iota(jnp.int32, (qb, width), 1)
+    kcol = jax.lax.broadcasted_iota(jnp.int32, (qb, k), 1)
 
     def extract(i, carry):
         cv, out_v, out_i = carry
@@ -85,8 +86,10 @@ def _sim_topk_kernel(
         sel = colid == pos[:, None]
         best_v = jnp.max(cv, axis=1)
         best_i = jnp.sum(jnp.where(sel, cand_idx, 0), axis=1)
-        out_v = jax.lax.dynamic_update_slice(out_v, best_v[:, None], (0, i))
-        out_i = jax.lax.dynamic_update_slice(out_i, best_i[:, None], (0, i))
+        # column-i write as a select (Mosaic has no dynamic_update_slice)
+        out_sel = kcol == i
+        out_v = jnp.where(out_sel, best_v[:, None], out_v)
+        out_i = jnp.where(out_sel, best_i[:, None], out_i)
         cv = jnp.where(sel, NEG_INF, cv)
         return cv, out_v, out_i
 

@@ -61,7 +61,9 @@ class EmbedEngine:
         params=None,
         tokenizer: Optional[ClipTokenizer] = None,
         seed: int = 0,
+        decode_workers: int = 8,
     ):
+        self.decode_workers = decode_workers
         self.config = model_config
         self.model: CLIP = build_clip(model_config)
         self.variant = model_config.variant
@@ -189,22 +191,34 @@ class EmbedEngine:
         bs = self.batch_size
         batches: "queue.Queue" = queue.Queue(maxsize=prefetch)
 
-        def producer():
+        def decode_one(i: int):
             from PIL import Image
 
+            rec = records[i]
+            try:
+                with Image.open(images_dir / rec["filename"]) as im:
+                    return i, preprocess_host(im, size)
+            except Exception as e:  # corrupt file -> placeholder
+                log.warning("decode failed for %s: %s", rec.get("filename"), e)
+                out[i] = placeholder_embedding(rec["image_id"], dim)
+                return None
+
+        def producer():
+            # Parallel decode: PIL releases the GIL during JPEG/PNG decode,
+            # so a pool keeps the feed ahead of the TPU (the reference
+            # decoded serially one image per embed call,
+            # ref:src/insert_clip_embeddings.py:107-108).
+            from concurrent.futures import ThreadPoolExecutor
+
             buf: List[Tuple[int, np.ndarray]] = []
-            for i in decode_idx:
-                rec = records[i]
-                try:
-                    with Image.open(images_dir / rec["filename"]) as im:
-                        arr = preprocess_host(im, size)
-                    buf.append((i, arr))
-                except Exception as e:  # corrupt file -> placeholder
-                    log.warning("decode failed for %s: %s", rec.get("filename"), e)
-                    out[i] = placeholder_embedding(rec["image_id"], dim)
-                if len(buf) == bs:
-                    batches.put(buf)
-                    buf = []
+            with ThreadPoolExecutor(max_workers=self.decode_workers) as pool:
+                for item in pool.map(decode_one, decode_idx, chunksize=8):
+                    if item is None:
+                        continue
+                    buf.append(item)
+                    if len(buf) == bs:
+                        batches.put(buf)
+                        buf = []
             if buf:
                 batches.put(buf)
             batches.put(None)
