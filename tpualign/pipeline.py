@@ -94,16 +94,63 @@ class Pipeline:
             )
         return self._engine
 
+    # -- step manifest -------------------------------------------------------------
+    #
+    # The reference resumes on bare file existence / row counts
+    # (ref:src/run_pipeline.py:48-129); tpualign adds a manifest with a
+    # fingerprint of the raw inputs, so editing/adding a manual re-triggers
+    # document processing without --force (SURVEY.md §5 checkpoint/resume).
+
+    @property
+    def _manifest_file(self) -> Path:
+        return Path(self.config.data.output_dir) / ".tpualign_manifest.json"
+
+    def _inputs_fingerprint(self) -> str:
+        import hashlib
+
+        raw = Path(self.config.data.input_dir)
+        h = hashlib.sha256()
+        if raw.exists():
+            for p in sorted(raw.glob("*")):
+                st = p.stat()
+                h.update(f"{p.name}:{st.st_size}:{st.st_mtime_ns}".encode())
+        return h.hexdigest()
+
+    def _read_manifest(self) -> dict:
+        if self._manifest_file.exists():
+            try:
+                return json.loads(self._manifest_file.read_text())
+            except (OSError, json.JSONDecodeError):
+                return {}
+        return {}
+
+    def _record_step(self, step: str, **extra) -> None:
+        import time
+
+        manifest = self._read_manifest()
+        manifest[step] = {"completed_at": time.time(), **extra}
+        self._manifest_file.parent.mkdir(parents=True, exist_ok=True)
+        self._manifest_file.write_text(json.dumps(manifest, indent=2))
+
     # -- completion checks -------------------------------------------------------
 
     def check_document_processing(self) -> bool:
-        return (
+        files_ok = (
             self.image_metadata_file.exists()
             and self.text_chunks_file.exists()
             and self.lexical_file.exists()
             and self.images_dir.exists()
             and any(self.images_dir.glob("*"))
         )
+        if not files_ok:
+            return False
+        # inputs changed since the recorded run -> not complete
+        recorded = self._read_manifest().get("document_processing", {})
+        fingerprint = recorded.get("inputs_fingerprint")
+        if fingerprint is not None and fingerprint != self._inputs_fingerprint():
+            log.info("Raw inputs changed since last processing; re-running")
+            return False
+        return True
 
     def check_lexical_filtering(self) -> bool:
         return self.filtered_lexical_file.exists()
@@ -131,6 +178,11 @@ class Pipeline:
         if summary["images"] == 0 and summary["chunks"] == 0:
             log.error("Document processing produced no data")
             raise SystemExit(1)
+        self._record_step(
+            "document_processing",
+            inputs_fingerprint=self._inputs_fingerprint(),
+            **summary,
+        )
 
     def step_lexical_filtering(
         self, force: bool = False, non_interactive: bool = False
