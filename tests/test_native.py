@@ -46,3 +46,45 @@ def test_topk_merge_k_exceeds_cols():
     out_vals, out_idx = topk_merge(vals, idx, k=4)
     np.testing.assert_array_equal(out_idx[0][:2], [9, 8])
     assert out_idx[0][2] == -1 and out_vals[0][3] <= -1e29
+
+
+def test_native_bpe_matches_python(tmp_path):
+    """Native merge core produces identical ids to the pure-Python bpe()
+    across random words over a synthetic merges table."""
+    import itertools
+    import random
+
+    from tpualign.tokenizer.bpe import ClipTokenizer, bytes_to_unicode
+
+    # synthetic merges over common letter pairs
+    letters = "abcdefgh"
+    pairs = list(itertools.product(letters, repeat=2))
+    random.Random(0).shuffle(pairs)
+    merges = [f"{a} {b}" for a, b in pairs[:20]]
+    merges += [f"{a}{b} {c}</w>" for (a, b), c in zip(pairs[:5], letters)]
+    p = tmp_path / "merges.txt"
+    p.write_text("#version: t\n" + "\n".join(merges))
+
+    tok = ClipTokenizer(bpe_path=str(p))
+    assert tok._bpe_core is not None, "native core should be active"
+
+    rng = random.Random(1)
+    for _ in range(300):
+        word = "".join(rng.choice(letters) for _ in range(rng.randint(1, 12)))
+        btoken = "".join(tok.byte_encoder[b] for b in word.encode())
+        native_ids = tok._encode_token_ids(btoken)
+        python_ids = [tok.encoder[t] for t in tok.bpe(btoken).split(" ")]
+        assert native_ids == python_ids, word
+
+
+def test_native_bpe_full_encode_equivalence(tmp_path):
+    from tpualign.tokenizer.bpe import ClipTokenizer
+
+    merges = ["l o", "lo w</w>", "e r</w>", "w o", "wo r", "wor ld</w>", "l d</w>"]
+    p = tmp_path / "m.txt"
+    p.write_text("\n".join(merges))
+    tok_native = ClipTokenizer(bpe_path=str(p))
+    tok_py = ClipTokenizer(bpe_path=str(p))
+    tok_py._bpe_core = None  # force the pure-Python path
+    text = "low lower world hello-world 123 Ünïcode!"
+    assert tok_native.encode(text) == tok_py.encode(text)

@@ -7,6 +7,7 @@ See tpualign/native/build.py and the .cpp sources.
 
 from tpualign.native.bindings import (  # noqa: F401
     lexical_counts,
+    make_bpe_core,
     native_available,
     topk_merge,
 )

@@ -37,6 +37,16 @@ def _load():
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
         ]
+        lib.tpua_bpe_create.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+        ]
+        lib.tpua_bpe_create.restype = ctypes.c_void_p
+        lib.tpua_bpe_destroy.argtypes = [ctypes.c_void_p]
+        lib.tpua_bpe_word.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+        ]
+        lib.tpua_bpe_word.restype = ctypes.c_int32
         _LIB = lib
     except Exception:
         _LIB = None
@@ -62,6 +72,55 @@ def lexical_counts(texts: List[str], terms: List[str]) -> Optional[np.ndarray]:
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )
     return out
+
+
+class BpeCore:
+    """Native greedy-merge BPE over symbol ids; None-safe factory below.
+
+    The Python tokenizer precomputes merge triples as vocab ids
+    (left, right, merged); per word it passes the initial byte-level symbol
+    ids and gets the merged id sequence back (see
+    tpualign.tokenizer.bpe.ClipTokenizer).
+    """
+
+    def __init__(self, lefts, rights, merged):
+        lib = _load()
+        if lib is None:
+            raise ImportError("native library unavailable")
+        self._lib = lib
+        l = np.ascontiguousarray(lefts, dtype=np.int32)
+        r = np.ascontiguousarray(rights, dtype=np.int32)
+        m = np.ascontiguousarray(merged, dtype=np.int32)
+        self._handle = lib.tpua_bpe_create(
+            l.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            r.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            m.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            len(l),
+        )
+
+    def word(self, symbols) -> List[int]:
+        buf = np.ascontiguousarray(symbols, dtype=np.int32)
+        n = self._lib.tpua_bpe_word(
+            self._handle,
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            len(buf),
+        )
+        return buf[:n].tolist()
+
+    def __del__(self):
+        try:
+            if getattr(self, "_handle", None):
+                self._lib.tpua_bpe_destroy(self._handle)
+        except Exception:
+            pass
+
+
+def make_bpe_core(lefts, rights, merged) -> Optional[BpeCore]:
+    """BpeCore or None when the native library is unavailable."""
+    try:
+        return BpeCore(lefts, rights, merged)
+    except ImportError:
+        return None
 
 
 def topk_merge(

@@ -82,3 +82,81 @@ void tpua_topk_merge(const float* vals, const int64_t* idx,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// BPE merge loop (the tokenizer hot path).
+//
+// Works at the symbol-id level: Python precomputes byte->base-id tables and
+// the merge triples (left_id, right_id, merged_id, rank); the C++ side runs
+// the greedy lowest-rank merge loop per word. One instance per merges table.
+
+#include <unordered_map>
+
+namespace {
+
+struct BpeTable {
+  // (left<<32 | right) -> (rank, merged_id)
+  std::unordered_map<uint64_t, std::pair<int32_t, int32_t>> merges;
+};
+
+inline uint64_t pair_key(int32_t l, int32_t r) {
+  return (static_cast<uint64_t>(static_cast<uint32_t>(l)) << 32) |
+         static_cast<uint32_t>(r);
+}
+
+}  // namespace
+
+extern "C" {
+
+void* tpua_bpe_create(const int32_t* lefts, const int32_t* rights,
+                      const int32_t* merged, int32_t n_merges) {
+  auto* table = new BpeTable();
+  table->merges.reserve(static_cast<size_t>(n_merges) * 2);
+  for (int32_t i = 0; i < n_merges; ++i) {
+    table->merges.emplace(pair_key(lefts[i], rights[i]),
+                          std::make_pair(i, merged[i]));
+  }
+  return table;
+}
+
+void tpua_bpe_destroy(void* handle) {
+  delete static_cast<BpeTable*>(handle);
+}
+
+// In-place greedy merge. symbols: initial ids (byte ids, last already the
+// </w> variant); n: initial count. Returns the final symbol count.
+int32_t tpua_bpe_word(void* handle, int32_t* symbols, int32_t n) {
+  auto* table = static_cast<BpeTable*>(handle);
+  if (n < 2) return n;
+  while (n >= 2) {
+    int32_t best_rank = INT32_MAX;
+    int32_t best_pos = -1;
+    int32_t best_id = -1;
+    for (int32_t i = 0; i + 1 < n; ++i) {
+      auto it = table->merges.find(pair_key(symbols[i], symbols[i + 1]));
+      if (it != table->merges.end() && it->second.first < best_rank) {
+        best_rank = it->second.first;
+        best_pos = i;
+        best_id = it->second.second;
+      }
+    }
+    if (best_pos < 0) break;
+    // merge ALL (non-overlapping, left-to-right) occurrences of that pair —
+    // matching the reference algorithm's whole-word pass per bigram.
+    const int32_t l = symbols[best_pos];
+    const int32_t r = symbols[best_pos + 1];
+    int32_t w = 0;
+    for (int32_t i = 0; i < n;) {
+      if (i + 1 < n && symbols[i] == l && symbols[i + 1] == r) {
+        symbols[w++] = best_id;
+        i += 2;
+      } else {
+        symbols[w++] = symbols[i++];
+      }
+    }
+    n = w;
+  }
+  return n;
+}
+
+}  // extern "C"

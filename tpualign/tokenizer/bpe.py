@@ -164,6 +164,38 @@ class ClipTokenizer:
         self.sot_id = self.encoder[SOT_TOKEN]
         self.eot_id = self.encoder[EOT_TOKEN]
 
+        # Optional native merge core (tpualign/native): the greedy-merge hot
+        # loop runs in C++ over symbol IDS; Python keeps the regex split,
+        # the byte->unicode mapping, and the per-word cache. Falls back to
+        # the pure-Python bpe() transparently.
+        self._id_cache: Dict[str, List[int]] = {}
+        self._bpe_core = None
+        if merges:
+            try:
+                from tpualign.native import make_bpe_core
+
+                self._bpe_core = make_bpe_core(
+                    [self.encoder[l] for l, _ in merges],
+                    [self.encoder[r] for _, r in merges],
+                    [self.encoder[l + r] for l, r in merges],
+                )
+            except Exception:
+                self._bpe_core = None
+
+    def _encode_token_ids(self, btoken: str) -> List[int]:
+        """Byte-encoded token -> BPE ids (native fast path with cache)."""
+        cached = self._id_cache.get(btoken)
+        if cached is not None:
+            return cached
+        if self._bpe_core is not None:
+            syms = [self.encoder[c] for c in btoken[:-1]]
+            syms.append(self.encoder[btoken[-1] + "</w>"])
+            ids = self._bpe_core.word(syms) if len(syms) > 1 else syms
+        else:
+            ids = [self.encoder[t] for t in self.bpe(btoken).split(" ")]
+        self._id_cache[btoken] = ids
+        return ids
+
     @property
     def vocab_size(self) -> int:
         return len(self.encoder)
@@ -217,7 +249,7 @@ class ClipTokenizer:
         text = _whitespace_clean(_basic_clean(text)).lower()
         for token in re.findall(self.pat, text):
             btoken = "".join(self.byte_encoder[b] for b in token.encode("utf-8"))
-            ids.extend(self.encoder[t] for t in self.bpe(btoken).split(" "))
+            ids.extend(self._encode_token_ids(btoken))
         return ids
 
     def decode(self, ids: Iterable[int]) -> str:
