@@ -210,7 +210,6 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
 
 
 def _run_query(args) -> int:
-    import numpy as np
 
     from tpualign.parallel.retrieval import RetrievalIndex
     from tpualign.store import EmbeddingStore

@@ -25,7 +25,6 @@ parity surface (SURVEY.md §2.5), all preserved:
 from __future__ import annotations
 
 import json
-import os
 import subprocess
 import tempfile
 from pathlib import Path

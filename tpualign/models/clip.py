@@ -10,7 +10,7 @@ onto TPU and batch trivially — the reference embedded one item at a time
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp

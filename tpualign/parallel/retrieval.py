@@ -21,12 +21,12 @@ ascending global corpus index (deterministic, pinned by tests).
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from tpualign.ops.similarity import NEG_INF
 from tpualign.utils.logging import get_logger

@@ -23,7 +23,7 @@ ascending-index tie-break) — pinned by tests against the numpy oracle.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

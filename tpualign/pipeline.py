@@ -30,7 +30,6 @@ import sys
 from pathlib import Path
 from typing import Dict, List, Optional, Sequence
 
-import numpy as np
 
 from tpualign import SCHEMAS
 from tpualign.config import PipelineConfig
