@@ -232,3 +232,14 @@ def test_ring_on_2d_mesh():
     ovals, oidx = numpy_oracle(q, qkeys, c, ckeys, 5)
     has = oidx >= 0
     np.testing.assert_array_equal(idx[has], oidx[has])
+
+
+def test_hybrid_mesh_layout():
+    from tpualign.parallel.multihost import hybrid_mesh, initialize_distributed
+
+    # single-process: no coordinator -> no distributed init
+    assert initialize_distributed() is False
+    mesh = hybrid_mesh(model_parallel=2)
+    assert mesh.shape == {"data": 4, "model": 2}
+    with pytest.raises(ValueError):
+        hybrid_mesh(model_parallel=3)
