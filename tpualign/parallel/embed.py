@@ -90,10 +90,9 @@ class EmbedEngine:
                 lambda x, s: jax.device_put(np.asarray(x), NamedSharding(mesh, s)),
                 params, specs,
             )
-            data_axes = P("data")
             self._img_shard = NamedSharding(mesh, P("data", None, None, None))
             self._txt_shard = NamedSharding(mesh, P("data", None))
-            self._dp = int(np.prod([mesh.shape["data"]]))
+            self._dp = int(mesh.shape["data"])
         else:
             self.params = jax.tree.map(jnp.asarray, params)
             self._img_shard = None
