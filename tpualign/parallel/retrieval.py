@@ -56,7 +56,13 @@ def encode_keys(
         if m not in vocab:
             vocab[m] = len(vocab)
         page = -1 if p is None else int(p)
-        keys[i] = vocab[m] * 100_000 + page
+        key = vocab[m] * 100_000 + page
+        if key > np.iinfo(np.int32).max:
+            raise ValueError(
+                f"(manual, page) key space overflow: {len(vocab)} manuals x "
+                f"100k pages exceeds int32; shard the corpus by manual group"
+            )
+        keys[i] = key
     return keys, vocab
 
 
