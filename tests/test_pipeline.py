@@ -260,3 +260,22 @@ def test_failure_injection_partial_insert_resumes(workdir, monkeypatch):
     # the reference's semantics; --force re-runs it to completion.
     pipe.step_insert_embeddings(force=True, schemas=["clip_positional"])
     assert pipe.store.counts("clip_positional")["alignments"] > 0
+
+
+def test_evaluator_on_mesh_matches_single_device(workdir):
+    """Evaluation through the sharded retrieval path must produce identical
+    metrics to the single-device path."""
+    from tpualign.parallel.mesh import create_mesh
+
+    pipe = make_pipeline(workdir)
+    pipe.run(non_interactive=True, skip_eval=True)
+    ev1 = Evaluator(pipe.store, mesh=None, output_dir=str(workdir / "ev1"))
+    ev8 = Evaluator(pipe.store, mesh=create_mesh(8, 1),
+                    output_dir=str(workdir / "ev8"))
+    for schema in ("vanilla_clip", "clip_combined"):
+        m1 = ev1.evaluate_schema(schema)
+        m8 = ev8.evaluate_schema(schema)
+        assert m1["num_pairs"] == m8["num_pairs"]
+        np.testing.assert_allclose(m1["mrr"], m8["mrr"], atol=1e-9)
+        for k in (1, 5, 10):
+            np.testing.assert_allclose(m1["top_k"][k], m8["top_k"][k], atol=1e-9)
