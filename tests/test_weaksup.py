@@ -151,3 +151,38 @@ def test_alignment_record_order_image_major():
     assert [(r[0], r[1]) for r in recs] == [
         ("i0", "c0"), ("i0", "c1"), ("i1", "c0"), ("i1", "c1"),
     ]
+
+
+def test_rerank_with_weak_scores():
+    from tpualign.weaksup.rerank import build_weak_lookup, rerank_with_weak_scores
+    from tpualign.ops.similarity import NEG_INF
+
+    # cosine ranks c1 > c0; weak evidence strongly favors c0
+    vals = np.asarray([[0.30, 0.28, NEG_INF]], np.float32)
+    idx = np.asarray([[1, 0, -1]])
+    lookup = build_weak_lookup([("img", "c0", 0.9, "combined"),
+                                ("img", "c0", 0.4, "lexical")])  # max wins
+    assert lookup[("img", "c0")] == 0.9
+
+    # alpha=0: unchanged cosine order
+    v0, i0 = rerank_with_weak_scores(vals, idx, ["img"], ["c0", "c1"], lookup, 0.0)
+    np.testing.assert_array_equal(i0[0], [1, 0, -1])
+    np.testing.assert_allclose(v0[0][:2], [0.30, 0.28], atol=1e-6)
+
+    # alpha=0.5: c0 gets 0.5*0.28+0.5*0.9=0.59 > c1 0.15 -> order flips
+    v5, i5 = rerank_with_weak_scores(vals, idx, ["img"], ["c0", "c1"], lookup, 0.5)
+    np.testing.assert_array_equal(i5[0], [0, 1, -1])
+    np.testing.assert_allclose(v5[0][0], 0.59, atol=1e-6)
+    assert v5[0][2] <= NEG_INF / 2  # empty slot stays last
+
+    with pytest.raises(ValueError):
+        rerank_with_weak_scores(vals, idx, ["img"], ["c0", "c1"], lookup, 1.5)
+
+
+def test_rerank_tie_break_by_index():
+    from tpualign.weaksup.rerank import rerank_with_weak_scores
+
+    vals = np.asarray([[0.5, 0.5]], np.float32)
+    idx = np.asarray([[7, 3]])
+    _, i = rerank_with_weak_scores(vals, idx, ["q"], ["c"] * 8, {}, 0.0)
+    np.testing.assert_array_equal(i[0], [3, 7])

@@ -126,6 +126,9 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     p_query.add_argument("--global", dest="global_search", action="store_true",
                          help="search the whole corpus instead of the "
                               "reference's same-manual+page candidate set")
+    p_query.add_argument("--rerank", type=float, default=None, metavar="ALPHA",
+                         help="blend weak-supervision scores into the ranking: "
+                              "(1-ALPHA)*cosine + ALPHA*weak_score")
 
     args = parser.parse_args(argv)
 
@@ -247,11 +250,20 @@ def _run_query(args) -> int:
             vals, idx = index.search(
                 img_emb[pos:pos + 1], [img["manual_id"]], [img.get("page")], args.k
             )
+        label = "sim"
+        if args.rerank is not None:
+            from tpualign.weaksup.rerank import build_weak_lookup, rerank_with_weak_scores
+
+            lookup = build_weak_lookup(store.alignments(schema))
+            vals, idx = rerank_with_weak_scores(
+                vals, idx, [args.image_id], chunk_ids, lookup, alpha=args.rerank
+            )
+            label = f"blend(a={args.rerank})"
         print(f"top-{args.k} chunks for {args.image_id}:")
         for rank, (v, j) in enumerate(zip(vals[0], idx[0]), 1):
             if j < 0:
                 break
-            print(f"  {rank:2d}. {chunk_ids[j]}  sim={v:.4f}  {chunks[j]['text'][:70]!r}")
+            print(f"  {rank:2d}. {chunk_ids[j]}  {label}={v:.4f}  {chunks[j]['text'][:70]!r}")
         return 0
 
     if args.text:
