@@ -1,0 +1,84 @@
+"""Config-system tests: .env parsing, overrides, derivation rules, checks."""
+
+import pytest
+
+from tpualign.config import (
+    CLIP_VARIANTS,
+    ModelConfig,
+    load_config,
+    load_env_file,
+    normalize_model_name,
+)
+
+
+def test_env_file_parsing(tmp_path, monkeypatch):
+    env = tmp_path / ".env"
+    env.write_text(
+        "# comment\n"
+        "CLIP_MODEL=ViT-L/14\n"
+        'LANGUAGE="en"\n'
+        "USE_OCR_FALLBACK=True\n"
+        "BATCH_SIZE=64\n"
+        "MALFORMED LINE WITHOUT EQUALS\n"
+        "QUOTED='single'\n"
+    )
+    monkeypatch.delenv("CLIP_MODEL", raising=False)
+    parsed = load_env_file(str(env))
+    assert parsed["CLIP_MODEL"] == "ViT-L/14"
+    assert parsed["LANGUAGE"] == "en"
+    assert parsed["QUOTED"] == "single"
+    assert "MALFORMED LINE WITHOUT EQUALS" not in parsed
+
+    cfg = load_config(env_file=str(env))
+    assert cfg.model.model_name == "ViT-L-14"     # slash normalized
+    assert cfg.model.embed_dim == 768             # derived, not CLIP_DIM
+    assert cfg.data.language == "en"
+    assert cfg.data.use_ocr_fallback is True
+    assert cfg.batch_size == 64
+
+
+def test_overrides_beat_env_file(tmp_path, monkeypatch):
+    monkeypatch.delenv("LANGUAGE", raising=False)
+    env = tmp_path / ".env"
+    env.write_text("LANGUAGE=nl\n")
+    cfg = load_config(env_file=str(env), overrides={"LANGUAGE": "fr"})
+    assert cfg.data.language == "fr"
+
+
+def test_missing_env_file_is_fine(tmp_path, monkeypatch):
+    # load_env_file intentionally exports into os.environ (python-dotenv
+    # semantics, ref:src/insert_clip_embeddings.py:16) — scrub leakage from
+    # other tests first
+    for var in ("CLIP_MODEL", "LANGUAGE", "USE_OCR_FALLBACK", "BATCH_SIZE", "QUOTED"):
+        monkeypatch.delenv(var, raising=False)
+    cfg = load_config(env_file=str(tmp_path / "nope.env"))
+    assert cfg.model.model_name == "ViT-B-32"
+    assert cfg.data.language == "nl"  # reference default
+
+
+def test_variant_table_dims():
+    # the reference's documented dims (ref:src/insert_clip_embeddings.py:42-44)
+    assert CLIP_VARIANTS["ViT-B-32"].embed_dim == 512
+    assert CLIP_VARIANTS["ViT-L-14"].embed_dim == 768
+    assert CLIP_VARIANTS["ViT-H-14"].embed_dim == 1024
+    assert normalize_model_name("ViT-H/14") == "ViT-H-14"
+
+
+def test_quick_gelu_override():
+    assert ModelConfig(pretrained="openai", quick_gelu=False).use_quick_gelu is False
+    assert ModelConfig(pretrained="laion2b_s34b_b79k", quick_gelu=True).use_quick_gelu is True
+
+
+def test_checks_run(tmp_path, capsys):
+    from tpualign.utils.checks import run_checks
+
+    cfg = load_config(env_file=None, overrides={
+        "STORE_DIR": str(tmp_path / "store"),
+        "OUTPUT_DIR": str(tmp_path / "out"),
+        "INPUT_DIR": str(tmp_path / "in"),
+    })
+    rc = run_checks(cfg)
+    out = capsys.readouterr().out
+    assert rc == 0  # required imports + devices present in this env
+    assert "RESULT: healthy" in out
+    assert "vanilla_clip" in out  # schema section rendered (absent is fine)
