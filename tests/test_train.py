@@ -155,3 +155,56 @@ def test_dryrun_multichip_odd():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(5)
+
+
+def test_dryrun_multichip_clean_subprocess():
+    """The driver's exact call pattern, with NO pre-set test environment.
+
+    Round-1 regression: the conftest pre-sets XLA_FLAGS/JAX_PLATFORMS, which
+    masked dryrun_multichip's missing bootstrap (MULTICHIP_r01 ok=false).
+    This test strips those vars and imports the module cold in a subprocess,
+    exactly like the driver does.
+    """
+    import os
+    import subprocess
+    import sys
+
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "_TPUALIGN_DRYRUN_CHILD")
+    }
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multichip(8)"],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "dryrun_multichip ok" in proc.stdout
+
+
+def test_dryrun_multichip_after_backend_init_subprocess():
+    """dryrun must survive being called AFTER jax backends initialize with
+    the wrong device count (driver may compile entry() on a real chip
+    first) — exercises the clean-subprocess fallback."""
+    import os
+    import subprocess
+    import sys
+
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "_TPUALIGN_DRYRUN_CHILD")
+    }
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = (
+        "import jax; jax.devices(); "  # initialize backends with 1 CPU device
+        "import __graft_entry__ as g; g.dryrun_multichip(8)"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "dryrun_multichip ok" in proc.stdout
