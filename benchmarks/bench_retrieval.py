@@ -1,9 +1,12 @@
 """Retrieval QPS benchmark (the pgvector-replacement headline).
 
-N-corpus masked top-k on the current default device. Prints one JSON line
-per strategy. Usage: python benchmarks/bench_retrieval.py [N] [Q] [k]
+Drives the PRODUCTION path — ``RetrievalIndex.search_device`` — so the
+number measures exactly what the Evaluator and the CLI ``query`` command
+use, plus the raw strategy kernels for comparison. Prints one JSON line per
+strategy. Usage: python benchmarks/bench_retrieval.py [N] [Q] [k]
 
-Methodology notes in bench.py apply (on-device data, scalar-readback sync).
+Methodology notes in bench.py apply (on-device data, scalar-readback sync:
+``block_until_ready`` does not wait through the axon relay).
 """
 
 from __future__ import annotations
@@ -16,8 +19,11 @@ import time
 def main() -> None:
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from tpualign.ops.similarity import NEG_INF
+    from tpualign.parallel.mesh import create_mesh
+    from tpualign.parallel.retrieval import RetrievalIndex
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     q_n = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
@@ -38,33 +44,42 @@ def main() -> None:
 
     q, qk, c, ck = make(jax.random.PRNGKey(0))
 
-    @jax.jit
-    def xla_path(q, qk, c, ck):
-        sims = jnp.dot(q, c.T, preferred_element_type=jnp.float32)
-        sims = jnp.where(qk[:, None] == ck[None, :], sims, NEG_INF)
-        return jax.lax.top_k(sims, k)
+    # Production index: corpus resident in HBM. Metadata keys are generated
+    # on device above, so build the index around them directly instead of
+    # re-encoding strings.
+    n_dev = len(jax.devices())
+    mesh = create_mesh(n_dev, 1) if n_dev > 1 else None
+    index = RetrievalIndex.__new__(RetrievalIndex)
+    index.vocab = {}
+    index._init_from_arrays(d, np.asarray(c), np.asarray(ck, np.int32), mesh)
 
-    def timed(fn, label):
-        v, i = fn(q, qk, c, ck)
+    def timed(fn, label, extra=None):
+        v, i = fn()
         float(jnp.sum(jnp.where(v > NEG_INF / 2, v, 0.0)))  # sync
         t0 = time.perf_counter()
         for _ in range(iters):
-            v, i = fn(q, qk, c, ck)
+            v, i = fn()
         float(jnp.sum(jnp.where(v > NEG_INF / 2, v, 0.0)))
         dt = time.perf_counter() - t0
-        print(json.dumps({
+        rec = {
             "metric": f"retrieval_qps_{label}",
             "value": round(q_n * iters / dt, 1),
             "unit": "queries/s",
-            "corpus": n, "k": k,
-        }))
+            "corpus": n, "k": k, "devices": n_dev,
+        }
+        rec.update(extra or {})
+        print(json.dumps(rec))
 
-    timed(xla_path, "xla_masked_topk")
+    timed(lambda: index.search_device(q, qk, k, strategy="gather"),
+          "index_gather")
+    if mesh is not None and q_n % mesh.shape["data"] == 0:
+        timed(lambda: index.search_device(q, qk, k, strategy="ring"),
+              "index_ring")
 
     from tpualign.ops.pallas_kernels import masked_sim_topk
 
     @jax.jit
-    def pallas_path(q, qk, c, ck):
+    def pallas_path():
         return masked_sim_topk(q, qk, c, ck, k)
 
     timed(pallas_path, "pallas_streaming_topk")

@@ -234,6 +234,119 @@ def test_ring_on_2d_mesh():
     np.testing.assert_array_equal(idx[has], oidx[has])
 
 
+def _adversarial_tie_problem(n=130_000, winner_idx=120_000):
+    """Two near-equal sims one fp32 ulp apart, the larger at a LARGE index.
+
+    The round-1 epsilon tie-break (vals - idx * 1e-12) perturbs the value at
+    index 120k by ~1.2e-7 — two ulps near 1.0 — so it re-ranks these two
+    genuinely distinct similarities. Exact two-key top-k must not.
+    """
+    hi = np.float32(1.0)
+    lo = np.nextafter(hi, np.float32(0.0), dtype=np.float32)  # one ulp below
+    c = np.zeros((n, 1), np.float32)
+    c[0, 0] = lo
+    c[winner_idx, 0] = hi
+    q = np.ones((1, 1), np.float32)
+    ck = np.zeros(n, np.int32)
+    qk = np.zeros(1, np.int32)
+    # sanity: the epsilon scheme really does get this wrong
+    sims = (q @ c.T)[0]
+    keyed = sims - np.arange(n, dtype=np.float32) * 1e-12
+    assert np.argmax(keyed) == 0, "adversarial case no longer trips epsilon"
+    return q, qk, c, ck, winner_idx
+
+
+@pytest.mark.parametrize("use_mesh", [False, True])
+def test_tiebreak_exact_at_corpus_scale(use_mesh, mesh8):
+    """Ulp-scale value differences at 100k+ indices rank correctly."""
+    q, qk, c, ck, winner = _adversarial_tie_problem()
+    mesh = mesh8 if use_mesh else None
+    vals, idx = sharded_topk_search(q, qk, c, ck, k=2, mesh=mesh)
+    assert idx[0, 0] == winner and idx[0, 1] == 0
+    assert vals[0, 0] > vals[0, 1]
+
+
+def test_tiebreak_exact_ring():
+    from tpualign.parallel.ring import ring_topk_search
+
+    mesh = create_mesh(8, 1)
+    q, qk, c, ck, winner = _adversarial_tie_problem()
+    vals, idx = ring_topk_search(q, qk, c, ck, k=2, mesh=mesh)
+    assert idx[0, 0] == winner and idx[0, 1] == 0
+
+
+@pytest.mark.parametrize("use_mesh", [False, True])
+def test_exact_ties_rank_by_ascending_index(use_mesh, mesh8):
+    """Bit-identical similarities spanning shard boundaries rank by
+    ascending global corpus index."""
+    n = 640  # 80 rows per shard on the 8-device mesh
+    c = np.zeros((n, 1), np.float32)
+    dup = [3, 79, 80, 81, 400, 639]  # includes shard-boundary neighbors
+    for i in dup:
+        c[i, 0] = 0.5
+    q = np.ones((1, 1), np.float32)
+    ck = np.zeros(n, np.int32)
+    qk = np.zeros(1, np.int32)
+    mesh = mesh8 if use_mesh else None
+    vals, idx = sharded_topk_search(q, qk, c, ck, k=len(dup), mesh=mesh)
+    np.testing.assert_array_equal(idx[0], dup)
+
+
+def test_encode_keys_validation():
+    # None page encodes distinctly and only matches None
+    k1, vocab = encode_keys(["m"], [None], {})
+    k2, _ = encode_keys(["m"], [99_998], vocab)
+    assert k1[0] != k2[0] and k1[0] >= 0
+    # pages out of range raise instead of aliasing neighboring manuals
+    with pytest.raises(ValueError):
+        encode_keys(["m"], [100_000], {})
+    with pytest.raises(ValueError):
+        encode_keys(["m"], [-3], {})
+
+
+def test_encode_keys_vocab_shared_and_vectorized():
+    manuals = [f"m{i % 5}" for i in range(1000)]
+    pages = list(range(1000))
+    keys, vocab = encode_keys(manuals, pages, {})
+    assert len(vocab) == 5 and len(keys) == 1000
+    # same (manual, page) -> same key via a shared vocab
+    k2, _ = encode_keys(["m3"], [3], vocab)
+    assert k2[0] == keys[3]
+
+
+def test_retrieval_index_corpus_resident(mesh8):
+    """The corpus is device_put once at build; search reuses it."""
+    rng = np.random.default_rng(3)
+    q, qman, qpage, c, cman, cpage = make_problem(rng, nq=4, n=64)
+    index = RetrievalIndex(c, cman, cpage, mesh=mesh8)
+    assert hasattr(index._corpus, "sharding")
+    spec = index._corpus.sharding.spec
+    assert spec[0] == "data"
+    first = index._corpus
+    index.search(q, qman, qpage, k=3)
+    index.search(q, qman, qpage, k=3)
+    assert index._corpus is first  # no re-upload between searches
+
+
+def test_index_ring_strategy_matches_gather(mesh8):
+    """RetrievalIndex's ring and gather strategies agree exactly, including
+    query padding for non-divisible Q; the auto router picks gather at
+    small Q."""
+    rng = np.random.default_rng(21)
+    q, qman, qpage, c, cman, cpage = make_problem(rng, nq=17, n=203)
+    index = RetrievalIndex(c, cman, cpage, mesh=mesh8)
+    vg, ig = index.search(q, qman, qpage, k=5, strategy="gather")
+    vr, ir = index.search(q, qman, qpage, k=5, strategy="ring")
+    np.testing.assert_array_equal(ig, ir)
+    has = ig >= 0
+    np.testing.assert_allclose(vg[has], vr[has], atol=1e-6)
+    assert index._pick_strategy(17, "auto") == "gather"
+    # memory-based router flips to ring when the per-device sim matrix
+    # would blow the budget
+    huge_q = index.RING_THRESHOLD_BYTES // (4 * index._n_local) + 1
+    assert index._pick_strategy(huge_q, "auto") == "ring"
+
+
 def test_hybrid_mesh_layout():
     from tpualign.parallel.multihost import hybrid_mesh, initialize_distributed
 

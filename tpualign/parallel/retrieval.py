@@ -5,7 +5,9 @@ per-query SQL (ref:src/setup_vector_db.py:155-190,
 ref:src/evaluate_alignments.py:109-143). Design (SURVEY.md §2.3/§7):
 
 - the chunk corpus (N, D) is sharded along N over the ``data`` mesh axis;
-  embeddings stay resident in device HBM between queries;
+  :class:`RetrievalIndex` ``device_put``s the corpus + metadata keys once at
+  build time, so embeddings genuinely stay resident in device HBM between
+  queries;
 - a query block (Q, D) is replicated; each shard computes its local
   (Q, N/shards) similarity on the MXU, applies the same-manual+same-page
   candidate mask (metadata pre-encoded as int32 codes so masking is pure
@@ -15,18 +17,21 @@ ref:src/evaluate_alignments.py:109-143). Design (SURVEY.md §2.3/§7):
 
 Exactness: pgvector's HNSW approximates the same cosine ranking; this
 search is exact, so recall can only improve (SURVEY.md §2.2). Ties break by
-ascending global corpus index (deterministic, pinned by tests).
+ascending global corpus index, bit-exactly: ``lax.top_k`` is stable (equal
+values keep ascending-index order) and the cross-shard merge is a two-key
+lexicographic ``lax.sort`` on (value desc, index asc) — no epsilon tricks,
+so determinism holds at any corpus scale.
 """
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tpualign.ops.similarity import NEG_INF
 from tpualign.utils.logging import get_logger
@@ -35,35 +40,82 @@ log = get_logger("parallel.retrieval")
 
 __all__ = ["RetrievalIndex", "sharded_topk_search", "encode_keys"]
 
+# (manual, page) packing: key = manual_code * PAGE_MOD + page_code.
+# Real pages must sit in [0, NONE_PAGE); page=None encodes as NONE_PAGE so
+# None only ever matches None (the reference's SQL JOIN on manual+page,
+# ref:src/evaluate_alignments.py:59-62, where NULL = NULL is false — but
+# metadata always has pages in practice and None==None matching is the safer
+# in-memory semantic). All real keys are >= 0; negative keys are reserved
+# for padding rows (-1 corpus, -2 queries) and never match anything.
+PAGE_MOD = 100_000
+NONE_PAGE = PAGE_MOD - 1
+
 
 def encode_keys(
     manual_ids: Sequence[str], pages: Sequence[Optional[int]],
     vocab: Optional[Dict[str, int]] = None,
 ) -> Tuple[np.ndarray, Dict[str, int]]:
-    """Encode (manual_id, page) into one int32 key per row.
+    """Encode (manual_id, page) into one non-negative int32 key per row.
 
     ``vocab`` maps manual ids to small ints; pass the same vocab for images
     and chunks so keys compare equal exactly when manual AND page match
     (the reference's JOIN condition, ref:src/evaluate_alignments.py:59-62).
-    Pages are None-safe (None -> -1, which still matches None on the other
-    side — the reference's SQL JOIN would drop NULL pages; metadata always
-    has pages in practice).
+
+    Raises ``ValueError`` for pages outside [0, 99_999) or when the packed
+    key space overflows int32 — silent aliasing across manuals is never
+    possible.
     """
     if vocab is None:
         vocab = {}
-    keys = np.empty(len(manual_ids), np.int32)
-    for i, (m, p) in enumerate(zip(manual_ids, pages)):
+    n = len(manual_ids)
+    if n == 0:
+        return np.empty(0, np.int32), vocab
+
+    uniq, inverse = np.unique(np.asarray(manual_ids, dtype=object), return_inverse=True)
+    for m in uniq:
         if m not in vocab:
             vocab[m] = len(vocab)
-        page = -1 if p is None else int(p)
-        key = vocab[m] * 100_000 + page
-        if key > np.iinfo(np.int32).max:
-            raise ValueError(
-                f"(manual, page) key space overflow: {len(vocab)} manuals x "
-                f"100k pages exceeds int32; shard the corpus by manual group"
-            )
-        keys[i] = key
-    return keys, vocab
+    codes = np.asarray([vocab[m] for m in uniq], np.int64)
+    mcodes = codes[inverse]
+
+    pg = np.asarray(
+        [NONE_PAGE if p is None else int(p) for p in pages], np.int64
+    )
+    real = pg != NONE_PAGE
+    if np.any((pg[real] < 0) | (pg[real] >= NONE_PAGE)):
+        bad = pg[real][(pg[real] < 0) | (pg[real] >= NONE_PAGE)][0]
+        raise ValueError(
+            f"page {bad} outside the encodable range [0, {NONE_PAGE}); "
+            f"re-map page numbers before indexing"
+        )
+    keys = mcodes * PAGE_MOD + pg
+    if keys.size and keys.max() > np.iinfo(np.int32).max:
+        raise ValueError(
+            f"(manual, page) key space overflow: {len(vocab)} manuals x "
+            f"{PAGE_MOD} pages exceeds int32; shard the corpus by manual group"
+        )
+    return keys.astype(np.int32), vocab
+
+
+def _two_key_topk(vals: jnp.ndarray, idx: jnp.ndarray, k: int):
+    """Exact top-k by (value desc, index asc): lexicographic lax.sort on
+    (-value, index), both ascending, then take the first k columns."""
+    neg, si = jax.lax.sort((-vals, idx), num_keys=2)
+    return -neg[..., :k], si[..., :k]
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _device_masked_topk(q, qk, c, ck, k: int):
+    """Single-device fused path: MXU matmul + key mask + stable top-k.
+
+    ``lax.top_k`` keeps ascending-index order on ties, which IS the global
+    tie-break here (indices are already global). Runs entirely on device —
+    this is the same path ``benchmarks/bench_retrieval.py`` measures.
+    """
+    sims = jnp.dot(q, c.T, preferred_element_type=jnp.float32)
+    mask = (qk[:, None] == ck[None, :]) & (ck[None, :] >= 0)
+    sims = jnp.where(mask, sims, NEG_INF)
+    return jax.lax.top_k(sims, k)
 
 
 def _local_topk_kernel(q, qk, c, ck, *, k_local: int, axis: str):
@@ -79,89 +131,17 @@ def _local_topk_kernel(q, qk, c, ck, *, k_local: int, axis: str):
     sims = jnp.dot(q, c.T, preferred_element_type=jnp.float32)
     mask = (qk[:, None] == ck[None, :]) & (ck[None, :] >= 0)
     sims = jnp.where(mask, sims, NEG_INF)
-    vals, idx = jax.lax.top_k(sims, k_local)  # (Q, k_local)
+    vals, idx = jax.lax.top_k(sims, k_local)  # (Q, k_local), ties: low idx first
     n_local = c.shape[0]
     offset = jax.lax.axis_index(axis) * n_local
     gidx = idx + offset
     return vals[None], gidx[None]
 
 
-def _final_topk(merged_vals, merged_idx, k: int):
-    """Reduce merged candidates to global top-k with index tie-break.
-
-    lax.top_k is stable on equal values only by position; to pin ties by
-    ascending global index we subtract a tiny index-based epsilon — safe
-    because real similarities differ by far more than 1e-12 per index step.
-    """
-    keyed = merged_vals - merged_idx.astype(jnp.float32) * 1e-12
-    _, order = jax.lax.top_k(keyed, k)
-    vals = jnp.take_along_axis(merged_vals, order, axis=1)
-    idx = jnp.take_along_axis(merged_idx, order, axis=1)
-    return vals, idx
-
-
-def sharded_topk_search(
-    queries: np.ndarray,
-    query_keys: np.ndarray,
-    corpus: np.ndarray,
-    corpus_keys: np.ndarray,
-    k: int,
-    mesh: Optional[Mesh] = None,
-) -> Tuple[np.ndarray, np.ndarray]:
-    """Top-k search; sharded over ``mesh``'s data axis when provided.
-
-    Returns (values, indices) with shape (Q, k); indices are positions in
-    the original corpus (padding rows are impossible winners); rows with
-    fewer than k candidates pad with (NEG_INF, -1).
-    """
-    queries = np.asarray(queries, np.float32)
-    corpus = np.asarray(corpus, np.float32)
-    nq, nd = queries.shape
-    n = len(corpus)
-    if nq == 0 or n == 0:
-        return (
-            np.full((nq, k), NEG_INF, np.float32),
-            np.full((nq, k), -1, np.int64),
-        )
-
-    if mesh is None or mesh.shape["data"] == 1:
-        # Strategy choice (measured on v5e, N=100k, Q=1024, k=10): XLA's
-        # matmul + lax.top_k wins while the (Q, N) fp32 similarity matrix
-        # fits HBM (8.1ms vs 18.3ms for the streaming kernel). The Pallas
-        # kernel exists for the regime where that matrix does NOT fit —
-        # it streams corpus blocks with O(Q*k) state instead of O(Q*N).
-        sim_bytes = 4 * nq * n
-        if k <= 16 and sim_bytes > 4 * 1024**3:
-            from tpualign.ops.pallas_kernels import masked_sim_topk
-
-            vals, idx = masked_sim_topk(
-                jnp.asarray(queries), jnp.asarray(query_keys, jnp.int32),
-                jnp.asarray(corpus), jnp.asarray(corpus_keys, jnp.int32), k,
-            )
-            vals = np.asarray(vals)
-            idx = np.where(np.asarray(idx) >= n, -1, np.asarray(idx))
-            return _sentinel(vals, idx)
-        sims = queries @ corpus.T
-        mask = query_keys[:, None] == corpus_keys[None, :]
-        sims = np.where(mask, sims, NEG_INF)
-        kk = min(k, n)
-        vals, idx = jax.lax.top_k(jnp.asarray(sims), kk)
-        vals, idx = _pad_results(np.asarray(vals), np.asarray(idx), k)
-        return _sentinel(vals, idx)
-
-    shards = mesh.shape["data"]
-    # pad corpus to a multiple of shards, at least k per shard
-    n_local = max(-(-n // shards), min(k, n))
-    n_pad = n_local * shards
-    if n_pad > n:
-        corpus = np.concatenate(
-            [corpus, np.zeros((n_pad - n, nd), np.float32)], axis=0
-        )
-        corpus_keys = np.concatenate(
-            [corpus_keys, np.full(n_pad - n, -1, np.int32)]
-        )
-    k_local = min(k, n_local)
-
+@lru_cache(maxsize=32)
+def _sharded_search_fn(mesh: Mesh, k: int, k_local: int):
+    """Compiled gather-strategy search over ``mesh``'s data axis (cached so
+    repeated ``search()`` calls reuse the same executable)."""
     kernel = partial(_local_topk_kernel, k_local=k_local, axis="data")
     mapped = jax.shard_map(
         kernel,
@@ -176,16 +156,41 @@ def sharded_topk_search(
         qn = q.shape[0]
         merged_vals = jnp.moveaxis(lv, 0, 1).reshape(qn, -1)
         merged_idx = jnp.moveaxis(li, 0, 1).reshape(qn, -1)
-        return _final_topk(merged_vals, merged_idx, min(k, merged_vals.shape[1]))
+        return _two_key_topk(
+            merged_vals, merged_idx, min(k, merged_vals.shape[1])
+        )
 
-    vals, idx = run(
-        jnp.asarray(queries),
-        jnp.asarray(query_keys, jnp.int32),
-        jnp.asarray(corpus),
-        jnp.asarray(corpus_keys, jnp.int32),
+    return run
+
+
+def sharded_topk_search(
+    queries: np.ndarray,
+    query_keys: np.ndarray,
+    corpus: np.ndarray,
+    corpus_keys: np.ndarray,
+    k: int,
+    mesh: Optional[Mesh] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """One-shot top-k search; sharded over ``mesh``'s data axis when given.
+
+    Functional wrapper that builds a transient :class:`RetrievalIndex`-style
+    device placement per call. For repeated queries over the same corpus use
+    :class:`RetrievalIndex`, which keeps the corpus resident in HBM.
+
+    Returns (values, indices) with shape (Q, k); indices are positions in
+    the original corpus; rows with fewer than k candidates pad with
+    (NEG_INF, -1).
+    """
+    index = RetrievalIndex.__new__(RetrievalIndex)
+    index._init_from_arrays(
+        np.asarray(queries, np.float32).shape[1] if len(np.asarray(queries).shape) == 2 else 0,
+        np.asarray(corpus, np.float32),
+        np.asarray(corpus_keys, np.int32),
+        mesh,
     )
-    vals, idx = _pad_results(np.asarray(vals), np.asarray(idx), k)
-    return _sentinel(vals, idx)
+    return index._search_encoded(
+        np.asarray(queries, np.float32), np.asarray(query_keys, np.int32), k
+    )
 
 
 def _pad_results(vals: np.ndarray, idx: np.ndarray, k: int):
@@ -210,6 +215,11 @@ class RetrievalIndex:
     ``search(query_embs, query_manuals, query_pages, k)`` — the equivalent
     of the reference's per-image SQL query
     (ref:src/evaluate_alignments.py:109-143) for whole query blocks at once.
+
+    The corpus and its metadata keys are ``device_put`` once at construction
+    (sharded ``P("data", None)`` over the mesh when one is given) and reused
+    by every ``search`` call; only the query block moves host->device per
+    call and only the (Q, k) winners move back.
     """
 
     def __init__(
@@ -219,12 +229,67 @@ class RetrievalIndex:
         corpus_pages: Sequence[Optional[int]],
         mesh: Optional[Mesh] = None,
     ):
-        self.corpus = np.asarray(corpus_embeddings, np.float32)
+        corpus = np.asarray(corpus_embeddings, np.float32)
         self.vocab: Dict[str, int] = {}
-        self.corpus_keys, self.vocab = encode_keys(
-            corpus_manuals, corpus_pages, self.vocab
+        keys, self.vocab = encode_keys(corpus_manuals, corpus_pages, self.vocab)
+        self._init_from_arrays(
+            corpus.shape[1] if corpus.ndim == 2 else 0, corpus, keys, mesh
         )
-        self.mesh = mesh
+
+    def _init_from_arrays(
+        self, dim: int, corpus: np.ndarray, keys: np.ndarray,
+        mesh: Optional[Mesh],
+    ) -> None:
+        self.n = len(corpus)
+        self.dim = dim
+        self.mesh = mesh if (mesh is not None and mesh.shape["data"] > 1) else None
+        if not hasattr(self, "vocab"):
+            self.vocab = {}
+        if self.n == 0:
+            self._corpus = self._keys = None
+            self._n_local = 0
+            return
+        keys = np.asarray(keys, np.int32)
+        if self.mesh is not None:
+            shards = self.mesh.shape["data"]
+            self._n_local = max(-(-self.n // shards), 1)
+            n_pad = self._n_local * shards
+            if n_pad > self.n:
+                corpus = np.concatenate(
+                    [corpus, np.zeros((n_pad - self.n, corpus.shape[1]), np.float32)]
+                )
+                keys = np.concatenate([keys, np.full(n_pad - self.n, -1, np.int32)])
+            self._corpus = jax.device_put(
+                corpus, NamedSharding(self.mesh, P("data", None))
+            )
+            self._keys = jax.device_put(
+                keys, NamedSharding(self.mesh, P("data"))
+            )
+        else:
+            self._n_local = self.n
+            self._corpus = jax.device_put(corpus)
+            self._keys = jax.device_put(keys)
+
+    # -- search ------------------------------------------------------------------
+
+    # Per-device similarity-matrix budget above which the "auto" strategy
+    # switches from gather (replicate queries, all_gather winners) to the
+    # ring schedule (shard queries, ppermute blocks). Both do identical
+    # FLOPs; gather materializes a (Q, N/shards) fp32 matrix and replicates
+    # the query block on every device, so at large Q it runs out of HBM
+    # where ring's footprint is (Q/shards, N/shards).
+    RING_THRESHOLD_BYTES = 2 * 1024**3
+
+    def _pick_strategy(self, nq: int, strategy: str) -> str:
+        if strategy != "auto":
+            return strategy
+        if self.mesh is None:
+            return "gather"
+        sim_bytes_per_device = 4 * nq * self._n_local
+        return (
+            "ring" if sim_bytes_per_device > self.RING_THRESHOLD_BYTES
+            else "gather"
+        )
 
     def search(
         self,
@@ -232,13 +297,100 @@ class RetrievalIndex:
         query_manuals: Sequence[str],
         query_pages: Sequence[Optional[int]],
         k: int,
+        strategy: str = "auto",
     ) -> Tuple[np.ndarray, np.ndarray]:
+        """Top-k per query as host arrays (values, global corpus indices).
+
+        ``strategy``: "auto" (memory-based router), "gather", or "ring"
+        (mesh only).
+        """
         qk, _ = encode_keys(query_manuals, query_pages, self.vocab)
-        return sharded_topk_search(
-            np.asarray(query_embeddings, np.float32),
-            qk,
-            self.corpus,
-            self.corpus_keys,
-            k,
-            self.mesh,
+        return self._search_encoded(
+            np.asarray(query_embeddings, np.float32), qk, k, strategy
         )
+
+    def search_device(
+        self,
+        query_embeddings,
+        query_keys,
+        k: int,
+        strategy: str = "auto",
+    ):
+        """Device-resident search: takes/returns device arrays, no host
+        round-trip (serving + benchmark path). Padding corpus rows may
+        appear as indices >= n only when a query has < k candidates.
+        The ring strategy requires Q % data-axis-size == 0."""
+        if self.mesh is None:
+            return _device_masked_topk(
+                query_embeddings, query_keys, self._corpus, self._keys,
+                min(k, self.n),
+            )
+        strategy = self._pick_strategy(query_embeddings.shape[0], strategy)
+        if strategy == "ring":
+            from tpualign.parallel.ring import ring_search_fn
+
+            if query_embeddings.shape[0] % self.mesh.shape["data"]:
+                raise ValueError(
+                    "ring strategy needs Q divisible by the data axis; "
+                    "pad queries or use search()"
+                )
+            run = ring_search_fn(self.mesh, k)
+            return run(query_embeddings, query_keys, self._corpus, self._keys)
+        run = _sharded_search_fn(self.mesh, k, min(k, self._n_local))
+        return run(query_embeddings, query_keys, self._corpus, self._keys)
+
+    def _search_encoded(
+        self, queries: np.ndarray, qk: np.ndarray, k: int,
+        strategy: str = "auto",
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        nq = len(queries)
+        if nq == 0 or self.n == 0:
+            return (
+                np.full((nq, k), NEG_INF, np.float32),
+                np.full((nq, k), -1, np.int64),
+            )
+
+        strategy = self._pick_strategy(nq, strategy)
+        if strategy == "ring":
+            shards = self.mesh.shape["data"]
+            q_pad = max(-(-nq // shards), 1) * shards
+            if q_pad > nq:
+                queries = np.concatenate(
+                    [queries, np.zeros((q_pad - nq, queries.shape[1]), np.float32)]
+                )
+                qk = np.concatenate([qk, np.full(q_pad - nq, -2, np.int32)])
+            vals, idx = self.search_device(
+                jnp.asarray(queries), jnp.asarray(qk, jnp.int32), k, "ring"
+            )
+            vals = np.asarray(vals)[:nq]
+            idx = np.asarray(idx)[:nq]
+            idx = np.where(idx >= self.n, -1, idx)
+            vals, idx = _pad_results(vals, idx, k)
+            return _sentinel(vals, idx)
+
+        if self.mesh is None:
+            # Strategy choice (measured on v5e, N=100k, Q=1024, k=10): XLA's
+            # matmul + lax.top_k wins while the (Q, N) fp32 similarity matrix
+            # fits HBM (8.1ms vs 18.3ms for the streaming kernel). The Pallas
+            # kernel exists for the regime where that matrix does NOT fit —
+            # it streams corpus blocks with O(Q*k) state instead of O(Q*N).
+            sim_bytes = 4 * nq * self.n
+            if k <= 16 and sim_bytes > 4 * 1024**3:
+                from tpualign.ops.pallas_kernels import masked_sim_topk
+
+                vals, idx = masked_sim_topk(
+                    jnp.asarray(queries), jnp.asarray(qk, jnp.int32),
+                    self._corpus, self._keys, k,
+                )
+                vals = np.asarray(vals)
+                idx = np.where(np.asarray(idx) >= self.n, -1, np.asarray(idx))
+                return _sentinel(vals, idx)
+
+        vals, idx = self.search_device(
+            jnp.asarray(queries), jnp.asarray(qk, jnp.int32), k
+        )
+        vals = np.asarray(vals)
+        idx = np.asarray(idx)
+        idx = np.where(idx >= self.n, -1, idx)
+        vals, idx = _pad_results(vals, idx, k)
+        return _sentinel(vals, idx)

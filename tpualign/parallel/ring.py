@@ -22,7 +22,7 @@ ascending-index tie-break) — pinned by tests against the numpy oracle.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Tuple
 
 import jax
@@ -32,23 +32,19 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from tpualign.ops.similarity import NEG_INF
 
-__all__ = ["ring_topk_search"]
+__all__ = ["ring_topk_search", "ring_search_fn"]
 
 
 def _merge_topk(run_vals, run_idx, vals, idx, k: int):
     """Merge (Qb, k) running state with (Qb, m) candidates -> new (Qb, k).
 
-    Tie-break by ascending index: sort key = value - idx * eps (same device
-    trick as tpualign.parallel.retrieval._final_topk).
-    """
+    Exact tie-break by ascending global index: lexicographic two-key
+    lax.sort on (-value, index) — bit-exact at any corpus scale (same
+    scheme as tpualign.parallel.retrieval._two_key_topk)."""
     cv = jnp.concatenate([run_vals, vals], axis=1)
     ci = jnp.concatenate([run_idx, idx], axis=1)
-    keyed = cv - ci.astype(jnp.float32) * 1e-12
-    _, order = jax.lax.top_k(keyed, k)
-    return (
-        jnp.take_along_axis(cv, order, axis=1),
-        jnp.take_along_axis(ci, order, axis=1),
-    )
+    neg, si = jax.lax.sort((-cv, ci), num_keys=2)
+    return -neg[:, :k], si[:, :k]
 
 
 def _ring_kernel(q, qk, c, ck, *, k: int, axis: str):
@@ -86,6 +82,25 @@ def _ring_kernel(q, qk, c, ck, *, k: int, axis: str):
     q_home_v = jax.lax.ppermute(run_v, axis, perm)
     q_home_i = jax.lax.ppermute(run_i, axis, perm)
     return q_home_v, q_home_i
+
+
+@lru_cache(maxsize=32)
+def ring_search_fn(mesh: Mesh, k: int):
+    """Compiled ring search over ``mesh``'s data axis (cached executable).
+
+    Takes device arrays: queries (Q, D) and query keys (Q,) sharded
+    ``P("data", ...)``, corpus (N, D) and corpus keys (N,) resident with
+    the same sharding (the :class:`~tpualign.parallel.retrieval.RetrievalIndex`
+    layout). Q and N must be multiples of the data-axis size.
+    """
+    kernel = partial(_ring_kernel, k=k, axis="data")
+    mapped = jax.shard_map(
+        kernel,
+        mesh=mesh,
+        in_specs=(P("data", None), P("data"), P("data", None), P("data")),
+        out_specs=(P("data", None), P("data", None)),
+    )
+    return jax.jit(mapped)
 
 
 def ring_topk_search(
@@ -136,18 +151,7 @@ def ring_topk_search(
     else:
         query_keys = np.asarray(query_keys, np.int32)
 
-    kernel = partial(_ring_kernel, k=k, axis="data")
-    mapped = jax.shard_map(
-        kernel,
-        mesh=mesh,
-        in_specs=(P("data", None), P("data"), P("data", None), P("data")),
-        out_specs=(P("data", None), P("data", None)),
-    )
-
-    @jax.jit
-    def run(q, qk, c, ck):
-        return mapped(q, qk, c, ck)
-
+    run = ring_search_fn(mesh, k)
     vals, idx = run(
         jnp.asarray(queries), jnp.asarray(query_keys, jnp.int32),
         jnp.asarray(corpus), jnp.asarray(corpus_keys, jnp.int32),
