@@ -85,16 +85,21 @@ def main() -> None:
     dt = time.perf_counter() - t0
 
     pairs_per_sec = batch * iters / dt
-    print(
-        json.dumps(
-            {
-                "metric": "pairs_embedded_per_sec_per_chip_vit_b32",
-                "value": round(pairs_per_sec, 1),
-                "unit": "pairs/s",
-                "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 3),
-            }
-        )
-    )
+
+    from tpualign.utils.flops import clip_pair_flops, device_peak_flops
+
+    record = {
+        "metric": "pairs_embedded_per_sec_per_chip_vit_b32",
+        "value": round(pairs_per_sec, 1),
+        "unit": "pairs/s",
+        "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 3),
+    }
+    peak = device_peak_flops(jax.devices()[0].device_kind)
+    if peak:
+        achieved = pairs_per_sec * clip_pair_flops(v)
+        record["mfu"] = round(achieved / peak, 4)
+        record["tflops_per_sec"] = round(achieved / 1e12, 1)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

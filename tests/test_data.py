@@ -362,3 +362,16 @@ def test_chunk_length_bounds(manual_dir):
     assert all(10 <= len(c["text"]) <= 25 for c in p1)
     # page 2 uses the plain-text fallback path (bounds apply to the word
     # path only, like every other word-path-specific behavior)
+
+
+def test_max_file_size_enforced(manual_dir):
+    """Files over max_file_size_mb are skipped with a warning (the reference
+    read MAX_FILE_SIZE_MB but never enforced it; the unified config does)."""
+    cfg = DataConfig(
+        input_dir=str(manual_dir / "raw"),
+        output_dir=str(manual_dir / "sized"),
+        max_file_size_mb=0,  # everything is oversized
+    )
+    proc = DocumentProcessor(cfg, nlp=None)
+    summary = proc.process_all_documents()
+    assert summary == {"images": 0, "chunks": 0, "lexical_terms": 0}

@@ -145,6 +145,56 @@ def test_sharded_step_matches_single_device(tiny_setup):
     np.testing.assert_allclose(p1, p2, atol=1e-5)
 
 
+def test_opt_state_moments_tp_sharded():
+    """AdamW mu/nu must shard with the TP param layout, not replicate
+    (round-1 advisor finding: replicated moments defeat TP memory savings)."""
+    from tpualign.config import ClipVariant, TrainConfig
+    from tpualign.models.clip import CLIP, init_clip_params
+    from tpualign.parallel.mesh import create_mesh
+    from tpualign.train.step import create_train_state, make_sharded_train_step
+
+    variant = ClipVariant(
+        name="d", embed_dim=64, image_size=32, patch_size=8,
+        vision_width=128, vision_layers=2, vision_heads=4, context_length=16,
+        vocab_size=512, text_width=128, text_layers=2, text_heads=4,
+    )
+    model = CLIP(variant=variant, use_quick_gelu=True, compute_dtype=jnp.float32)
+    params = init_clip_params(model, seed=0)
+    mesh = create_mesh(4, 2)
+    cfg = TrainConfig(batch_size=8, warmup_steps=1, total_steps=4)
+    state = create_train_state(model, params, cfg)
+    step_fn, shard_state = make_sharded_train_step(model, mesh, cfg)
+    state = shard_state(state)
+
+    def find_mu(t):
+        if hasattr(t, "mu"):
+            return t.mu
+        if isinstance(t, (tuple, list)):
+            for x in t:
+                r = find_mu(x)
+                if r is not None:
+                    return r
+        return None
+
+    mu = find_mu(state.opt_state)
+    blk = mu["visual"]["transformer"]["resblock_0"]["mlp"]
+    assert blk["c_fc_kernel"].sharding.spec[1] == "model"
+    assert blk["c_proj_kernel"].sharding.spec[0] == "model"
+
+    rng = np.random.default_rng(0)
+    images = rng.normal(size=(8, 32, 32, 3)).astype(np.float32)
+    tokens = np.zeros((8, 16), np.int32)
+    tokens[:, 0] = 510
+    tokens[:, 2] = 511
+    state2, m = step_fn(state, images, tokens, rng.random(8).astype(np.float32))
+    assert np.isfinite(float(m["loss"]))
+    mu2 = find_mu(state2.opt_state)
+    assert (
+        mu2["visual"]["transformer"]["resblock_0"]["mlp"]["c_fc_kernel"]
+        .sharding.spec[1] == "model"
+    )
+
+
 def test_dryrun_multichip_8():
     import __graft_entry__ as ge
 

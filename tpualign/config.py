@@ -120,6 +120,9 @@ class ModelConfig:
     model_name: str = "ViT-B-32"
     pretrained: str = "openai"
     checkpoint_path: Optional[str] = None  # local OpenCLIP/HF checkpoint file
+    # opt-in to full torch unpickling for .pt/.bin checkpoints that fail
+    # torch.load(weights_only=True); executes arbitrary pickle code on load
+    checkpoint_allow_pickle: bool = False
     quick_gelu: Optional[bool] = None      # None => derived from `pretrained`
     compute_dtype: str = "bfloat16"        # MXU-friendly default
     param_dtype: str = "float32"
@@ -309,6 +312,9 @@ def load_config(
         model_name=normalize_model_name(_env(env, "CLIP_MODEL", "ViT-B-32")),
         pretrained=_env(env, "CLIP_PRETRAINED", "openai"),
         checkpoint_path=_env(env, "CLIP_CHECKPOINT", "") or None,
+        checkpoint_allow_pickle=_env_bool(
+            env, "CLIP_CHECKPOINT_ALLOW_PICKLE", False
+        ),
         compute_dtype=_env(env, "COMPUTE_DTYPE", "bfloat16"),
         parity_mode=_env_bool(env, "PARITY_MODE", False),
     )

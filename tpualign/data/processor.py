@@ -145,8 +145,21 @@ class DocumentProcessor:
             return {"images": 0, "chunks": 0, "lexical_terms": 0}
 
         log.info("Found %d files to process", len(all_files))
+        max_bytes = self.config.max_file_size_mb * 1024 * 1024
         for file_path in all_files:
             try:
+                # Enforce MAX_FILE_SIZE_MB (the reference read the env var
+                # but never applied it, ref:src/pdf_processor.py:54-60; the
+                # unified config promises honest settings, so skip-and-log
+                # oversized files instead of silently ignoring the limit).
+                size = file_path.stat().st_size
+                if size > max_bytes:
+                    log.warning(
+                        "Skipping %s: %.1f MB exceeds max_file_size_mb=%d",
+                        file_path, size / 1024 / 1024,
+                        self.config.max_file_size_mb,
+                    )
+                    continue
                 self.process_single_document(file_path)
             except Exception as e:  # skip-and-continue (ref:src/pdf_processor.py:283-288)
                 log.error("Error processing %s: %s", file_path, e)

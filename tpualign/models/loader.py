@@ -203,14 +203,36 @@ def convert_hf_clip_state_dict(sd: Mapping[str, Any], variant: ClipVariant) -> P
 # ---------------------------------------------------------------------------
 
 
-def _read_state_dict(path: str) -> Mapping[str, Any]:
+def _read_state_dict(
+    path: str, allow_pickle: bool = False
+) -> Mapping[str, Any]:
+    """Read a checkpoint state dict, preferring safe loaders.
+
+    ``.safetensors`` is the recommended format. For torch ``.pt``/``.bin``
+    files, ``torch.load(weights_only=True)`` is tried first — it refuses to
+    execute pickled code, which matters because the documented use case is
+    externally-sourced OpenCLIP/HF weights. Full unpickling (arbitrary code
+    execution on load!) only happens behind the explicit
+    ``allow_pickle=True`` opt-in (config: ``CLIP_CHECKPOINT_ALLOW_PICKLE``).
+    """
     if path.endswith(".safetensors"):
         from safetensors.numpy import load_file
 
         return load_file(path)
     import torch
 
-    obj = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        obj = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception as safe_err:
+        if not allow_pickle:
+            raise ValueError(
+                f"Checkpoint {path!r} is not loadable with "
+                f"torch.load(weights_only=True) ({safe_err}). If you trust "
+                f"its source, re-export it as .safetensors or opt in to "
+                f"full unpickling with allow_pickle=True / "
+                f"CLIP_CHECKPOINT_ALLOW_PICKLE=true."
+            ) from safe_err
+        obj = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(obj, dict) and "state_dict" in obj:
         obj = obj["state_dict"]
     if hasattr(obj, "state_dict"):
@@ -236,7 +258,9 @@ def load_checkpoint_params(config: ModelConfig, path: str | None = None) -> Para
             "No checkpoint path configured (set CLIP_CHECKPOINT or "
             "ModelConfig.checkpoint_path)"
         )
-    sd = _read_state_dict(path)
+    sd = _read_state_dict(
+        path, allow_pickle=getattr(config, "checkpoint_allow_pickle", False)
+    )
     keys = set(sd.keys())
     variant = config.variant
     if any(k.startswith("visual.") for k in keys):

@@ -119,13 +119,29 @@ def make_sharded_train_step(
     def shard_state(state: TrainState) -> TrainState:
         pshard = param_sharding(state.params)
         params = jax.tree.map(jax.device_put, state.params, pshard)
-        # optimizer state mirrors param layout where shapes match; scalars replicate
-        def place_opt(x):
-            return jax.device_put(x, NamedSharding(mesh, P()))
+        replicated = NamedSharding(mesh, P())
+        param_struct = jax.tree.structure(state.params)
 
-        opt_state = jax.tree.map(place_opt, state.opt_state)
+        # Optimizer state mirrors the param layout: the AdamW moments (mu,
+        # nu) are param-shaped pytrees and get the TP param specs, so their
+        # memory shards with the params instead of replicating; true
+        # scalars (step counts, empty states) replicate.
+        def place_opt(sub):
+            if (
+                isinstance(sub, dict)
+                and jax.tree.structure(sub) == param_struct
+            ):
+                return jax.tree.map(jax.device_put, sub, pshard)
+            return jax.tree.map(
+                lambda leaf: jax.device_put(leaf, replicated), sub
+            )
+
+        opt_state = jax.tree.map(
+            place_opt, state.opt_state,
+            is_leaf=lambda x: isinstance(x, dict),
+        )
         return state.replace(
-            step=jax.device_put(state.step, NamedSharding(mesh, P())),
+            step=jax.device_put(state.step, replicated),
             params=params,
             opt_state=opt_state,
         )
