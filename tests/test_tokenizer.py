@@ -100,3 +100,85 @@ def test_fallback_vocab_no_merges():
     assert tok.decode(ids).strip() == "abc"
     # deterministic
     assert ids == tok.encode("abc")
+
+
+# ---------------------------------------------------------------------------
+# Committed real-format fixture: the CLIP_BPE_PATH provisioning path.
+# Dropping in the published bpe_simple_vocab_16e6.txt.gz must be a config
+# change only (docs/PARITY.md "provisioning real weights").
+# ---------------------------------------------------------------------------
+
+import gzip
+import hashlib
+import os
+from pathlib import Path
+
+FIXTURE_DIR = Path(__file__).parent / "fixtures"
+FIXTURE_TXT = FIXTURE_DIR / "bpe_fixture_vocab.txt"
+FIXTURE_GZ = FIXTURE_DIR / "bpe_fixture_vocab.txt.gz"
+FIXTURE_SHA256 = "23345dbb73c81fe0006f4d0356985e3cb1eed41688a16c1aeeb55e0292dd1916"
+
+
+def test_fixture_integrity():
+    """The committed fixture is byte-exact (hash-pinned) and the .gz decodes
+    to the same content, so both load paths are known-good."""
+    assert hashlib.sha256(FIXTURE_TXT.read_bytes()).hexdigest() == FIXTURE_SHA256
+    with gzip.open(FIXTURE_GZ, "rt", encoding="utf-8") as f:
+        assert (
+            hashlib.sha256(f.read().encode("utf-8")).hexdigest()
+            == hashlib.sha256(FIXTURE_TXT.read_bytes()).hexdigest()
+        )
+
+
+def test_real_format_plain_and_gz_identical():
+    """Version-header file format loads identically from .txt and .txt.gz."""
+    t1 = ClipTokenizer(bpe_path=str(FIXTURE_TXT))
+    t2 = ClipTokenizer(bpe_path=str(FIXTURE_GZ))
+    assert t1.exact_vocab and t2.exact_vocab
+    assert t1.encoder == t2.encoder
+    assert t1.bpe_ranks == t2.bpe_ranks
+    text = "Verwijder de oliefilter met de sleutel."
+    np.testing.assert_array_equal(t1(text), t2(text))
+    # merges actually fire: "filter" collapses to multi-char tokens
+    assert len(t1.encode("filter")) < len("filter")
+
+
+def test_clip_bpe_path_env(monkeypatch):
+    """CLIP_BPE_PATH env var is honored by the default-location search."""
+    monkeypatch.setenv("CLIP_BPE_PATH", str(FIXTURE_GZ))
+    tok = ClipTokenizer()  # no explicit path -> env
+    ref = ClipTokenizer(bpe_path=str(FIXTURE_GZ))
+    assert tok.exact_vocab
+    assert tok.encoder == ref.encoder
+
+
+def test_merges_through_encode_text_end_to_end():
+    """Fixture merges -> token ids -> text tower -> unit-norm embedding:
+    provisioning a real merges file requires no code change anywhere in the
+    encode path (ref text path: ref:src/insert_clip_embeddings.py:133-137)."""
+    import jax.numpy as jnp
+
+    from tpualign.config import ClipVariant
+    from tpualign.models.clip import CLIP, init_clip_params
+
+    tok = ClipTokenizer(bpe_path=str(FIXTURE_GZ))
+    ids = tok(["verwijder de oliefilter", "de pomp en de sleutel"])
+    assert ids.shape == (2, DEFAULT_CONTEXT_LENGTH)
+    assert (ids < tok.vocab_size).all()
+
+    variant = ClipVariant(
+        name="tok-e2e", embed_dim=32, image_size=32, patch_size=8,
+        vision_width=64, vision_layers=1, vision_heads=2,
+        context_length=DEFAULT_CONTEXT_LENGTH, vocab_size=tok.vocab_size,
+        text_width=64, text_layers=1, text_heads=2,
+    )
+    model = CLIP(variant=variant, use_quick_gelu=True, compute_dtype=jnp.float32)
+    params = init_clip_params(model, seed=0)
+    emb = model.apply(
+        {"params": params}, jnp.asarray(ids), normalize=True,
+        method=model.encode_text,
+    )
+    emb = np.asarray(emb)
+    assert emb.shape == (2, 32)
+    assert np.isfinite(emb).all()
+    np.testing.assert_allclose(np.linalg.norm(emb, axis=1), 1.0, atol=1e-5)
