@@ -122,3 +122,142 @@ def test_trainer_empty_schema_raises(small_store, tmp_path):
     trainer.variant = TINY
     with pytest.raises((ValueError, FileNotFoundError)):
         trainer.train(schema="clip_lexical", steps=1)
+
+
+def test_training_improves_heldout_retrieval(tmp_path):
+    """The loop the repo's title promises: weak-supervised contrastive
+    fine-tuning must improve retrieval of the aligned chunk on HELD-OUT
+    pages vs the frozen tower.
+
+    Uses the alignment ground-truth mode — the reference's cartesian GT is
+    provably model-independent (Top-K = k/C, MRR = H(C)/C; see
+    tpualign/evaluation/metrics.py) so it cannot measure this.
+
+    Held-out-ness: new pages with UNSEEN image instances (different shades
+    of the concept colors); instruction templates repeat across pages, as
+    they do in real manuals. (A 2-layer tiny tower trained on 4 sentences
+    cannot generalize to unseen sentence frames — that axis needs real
+    pretrained weights, which this image cannot download.)
+    """
+    import jax
+    from tests.test_models import TINY
+    from tpualign.evaluation.metrics import Evaluator
+    from tpualign.models.clip import CLIP, init_clip_params
+    from tpualign.ops.preprocess import preprocess_host
+    from tpualign.tokenizer import ClipTokenizer
+    from tpualign.train.step import create_train_state, train_step
+
+    colors = [(255, 40, 40), (40, 255, 40), (40, 40, 255), (250, 250, 60)]
+    heldout_colors = [(220, 70, 70), (70, 220, 70), (70, 70, 220), (225, 225, 90)]
+    words = ["rood", "groen", "blauw", "geel"]
+
+    # -- train corpus: one page per concept, aligned (image, chunk) pairs
+    images_dir = tmp_path / "processed/images"
+    images_dir.mkdir(parents=True)
+    store = EmbeddingStore(tmp_path / "store", embed_dim=TINY.embed_dim)
+    store.setup(["clip_combined"])
+    img_rows, chunk_rows, aligns = [], [], []
+    for i, (c, w) in enumerate(zip(colors, words)):
+        fname = f"t_p{i+1}_img0.png"
+        Image.new("RGB", (40, 40), c).save(images_dir / fname)
+        img_rows.append({
+            "image_id": f"t_p{i+1}_img0", "manual_id": "t", "page": i + 1,
+            "bbox": [0, 0, 10, 10], "bbox_source": "native", "caption": None,
+            "filename": fname, "image_type": "raster_image",
+        })
+        chunk_rows.append({
+            "chunk_id": f"t_p{i+1}_c0", "manual_id": "t", "page": i + 1,
+            "bbox": [0, 20, 30, 30], "text": f"de {w} klep zit vast",
+        })
+        aligns.append((f"t_p{i+1}_img0", f"t_p{i+1}_c0", 1.0, "combined"))
+    placeholder = np.zeros((4, TINY.embed_dim), np.float32)
+    store.insert_images("clip_combined", img_rows, placeholder)
+    store.insert_chunks("clip_combined", chunk_rows, placeholder)
+    store.insert_alignments("clip_combined", aligns)
+
+    # -- trainer around the tiny variant
+    cfg = load_config(env_file=None, overrides={
+        "STORE_DIR": str(store.root),
+        "OUTPUT_DIR": str(images_dir.parent),
+        "BATCH_SIZE": "4",
+        "LEARNING_RATE": "2e-3",
+        "TOTAL_STEPS": "150",
+        "WARMUP_STEPS": "10",
+    })
+    model = CLIP(variant=TINY, use_quick_gelu=True, compute_dtype=jnp.float32)
+    tokenizer = ClipTokenizer(context_length=TINY.context_length)
+    params0 = init_clip_params(model, seed=0)
+
+    trainer = Trainer.__new__(Trainer)
+    trainer.config = cfg
+    trainer.mesh = None
+    trainer.store = store
+    trainer.model = model
+    trainer.variant = TINY
+    trainer.tokenizer = tokenizer
+    trainer.state = create_train_state(model, params0, cfg.train)
+
+    @jax.jit
+    def _single_step(state, images, token_ids, weak_scores):
+        return train_step(state, model, images, token_ids, weak_scores, cfg.train)
+
+    trainer._step = _single_step
+
+    # -- held-out corpus: new shades + new sentence frames, 4 same-page
+    # distractor chunks per image, alignment GT marks the matching word
+    ho_imgs = np.stack([
+        preprocess_host(Image.new("RGB", (40, 40), c), TINY.image_size)
+        for c in heldout_colors
+    ])
+    ho_img_rows, ho_chunk_rows, ho_aligns, ho_texts = [], [], [], []
+    for i in range(4):
+        ho_img_rows.append({
+            "image_id": f"ho_p{i+1}_img0", "manual_id": "ho", "page": i + 1,
+            "bbox": [0, 0, 10, 10], "bbox_source": "native", "caption": None,
+            "filename": None, "image_type": "raster_image",
+        })
+        for j, w in enumerate(words):
+            ho_chunk_rows.append({
+                "chunk_id": f"ho_p{i+1}_c{j}", "manual_id": "ho", "page": i + 1,
+                "bbox": [0, 20, 30, 30], "text": f"de {w} klep zit vast",
+            })
+            ho_texts.append(f"de {w} klep zit vast")
+        ho_aligns.append((f"ho_p{i+1}_img0", f"ho_p{i+1}_c{i}", 1.0, "combined"))
+    ho_tokens = tokenizer([c["text"] for c in ho_chunk_rows])
+
+    eval_store = EmbeddingStore(tmp_path / "eval_store", embed_dim=TINY.embed_dim)
+    eval_store.setup(["clip_combined"])
+
+    def heldout_metrics(params):
+        ie = np.asarray(model.apply(
+            {"params": params}, jnp.asarray(ho_imgs), normalize=True,
+            method=model.encode_image,
+        ))
+        te = np.asarray(model.apply(
+            {"params": params}, jnp.asarray(ho_tokens), normalize=True,
+            method=model.encode_text,
+        ))
+        eval_store.insert_images("clip_combined", ho_img_rows, ie)
+        eval_store.insert_chunks("clip_combined", ho_chunk_rows, te)
+        eval_store.insert_alignments("clip_combined", ho_aligns)
+        ev = Evaluator(eval_store)
+        return (
+            ev.compute_top_k_accuracy("clip_combined", (1,), gt="alignments")[1],
+            ev.compute_mrr("clip_combined", gt="alignments"),
+            ev.compute_top_k_accuracy("clip_combined", (1,))[1],  # cartesian
+            ev.compute_mrr("clip_combined"),
+        )
+
+    top1_0, mrr_0, cart_top1_0, cart_mrr_0 = heldout_metrics(params0)
+
+    trainer.train(schema="clip_combined", steps=150, batch_size=4, log_every=50)
+    params1 = jax.device_get(trainer.state.params)
+    top1_1, mrr_1, cart_top1_1, cart_mrr_1 = heldout_metrics(params1)
+
+    # training must move alignment-GT retrieval decisively
+    assert mrr_1 > mrr_0 + 0.15, (mrr_0, mrr_1)
+    assert top1_1 >= max(top1_0, 0.75), (top1_0, top1_1)
+    # ...while the reference's cartesian metrics are provably inert:
+    # Top-1 = 1/4 and MRR = H(4)/4 regardless of the model
+    assert cart_top1_0 == cart_top1_1 == pytest.approx(0.25)
+    assert cart_mrr_0 == cart_mrr_1 == pytest.approx((1 + 1/2 + 1/3 + 1/4) / 4)

@@ -119,29 +119,55 @@ class Evaluator:
         return state
 
     # -- metrics -------------------------------------------------------------------
+    #
+    # Ground-truth modes:
+    #
+    # - "cartesian" (reference parity, the default): true pairs = ALL
+    #   same-page (image, chunk) combinations
+    #   (ref:src/evaluate_alignments.py:48-69). NOTE this definition is
+    #   degenerate with respect to model quality: because retrieval
+    #   candidates are restricted to the same page AND every same-page chunk
+    #   counts as true, Top-K accuracy is exactly min(k, C)/C for a page
+    #   with C chunks and MRR is H(C)/C — both depend only on corpus shape,
+    #   never on the embeddings. Reproduced faithfully for parity.
+    # - "alignments": true pairs = the schema's weak-supervision alignment
+    #   table. Ranking a specific aligned chunk among its same-page
+    #   distractors DOES move with embedding quality — this is the mode that
+    #   can show a fine-tuned tower beating the frozen one.
+
+    def _gt_pairs(self, schema: str, gt: str) -> List[Tuple[str, str]]:
+        if gt == "cartesian":
+            return [(p[0], p[1]) for p in self._schema_state(schema)["pairs"]]
+        if gt == "alignments":
+            return [
+                (image_id, chunk_id)
+                for image_id, chunk_id, _, _ in self.store.alignments(schema)
+            ]
+        raise ValueError(f"unknown ground-truth mode {gt!r}")
 
     def compute_top_k_accuracy(
-        self, schema: str, k_values: Sequence[int] = (1, 5, 10)
+        self, schema: str, k_values: Sequence[int] = (1, 5, 10),
+        gt: str = "cartesian",
     ) -> Dict[int, float]:
         st = self._schema_state(schema)
-        pairs = st["pairs"]
+        pairs = self._gt_pairs(schema, gt)
         if not pairs:
             return {k: 0.0 for k in k_values}
         correct = {k: 0 for k in k_values}
-        for image_id, chunk_id, _, _ in pairs:
+        for image_id, chunk_id in pairs:
             r = st["rank"].get((image_id, chunk_id), 0)
             for k in k_values:
                 if 0 < r <= k:
                     correct[k] += 1
         return {k: correct[k] / len(pairs) for k in k_values}
 
-    def compute_mrr(self, schema: str) -> float:
+    def compute_mrr(self, schema: str, gt: str = "cartesian") -> float:
         st = self._schema_state(schema)
-        pairs = st["pairs"]
+        pairs = self._gt_pairs(schema, gt)
         if not pairs:
             return 0.0
         rrs = []
-        for image_id, chunk_id, _, _ in pairs:
+        for image_id, chunk_id in pairs:
             r = st["rank"].get((image_id, chunk_id), 0)
             rrs.append(1.0 / r if r > 0 else 0.0)
         return float(np.mean(rrs))
