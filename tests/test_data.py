@@ -375,3 +375,78 @@ def test_max_file_size_enforced(manual_dir):
     proc = DocumentProcessor(cfg, nlp=None)
     summary = proc.process_all_documents()
     assert summary == {"images": 0, "chunks": 0, "lexical_terms": 0}
+
+
+def test_link_captions_spatial_unit():
+    from tpualign.data.captions import link_captions_spatial
+
+    # two images: one above each caption; captions sit below their figure
+    images = [
+        {"image_id": "a", "bbox": [50, 100, 150, 200], "caption": None},
+        {"image_id": "b", "bbox": [300, 100, 400, 200], "caption": None},
+    ]
+    lines = [
+        {"text": "Figuur 1: de pomp", "bbox": [50, 210, 160, 222]},
+        {"text": "Figuur 2: de klep", "bbox": [300, 210, 410, 222]},
+    ]
+    captions = [
+        {"text": "Figuur 1: de pomp", "start": 0, "end": 17},
+        {"text": "Figuur 2: de klep", "start": 20, "end": 37},
+    ]
+    link_captions_spatial(captions, images, lines)
+    assert images[0]["caption"] == "Figuur 1: de pomp"
+    assert images[1]["caption"] == "Figuur 2: de klep"
+
+    # unresolvable caption bbox -> first-image fallback
+    images2 = [dict(images[0], caption=None), dict(images[1], caption=None)]
+    link_captions_spatial(
+        [{"text": "Figuur 9: onvindbaar", "start": 0, "end": 10}],
+        images2, lines,
+    )
+    assert images2[0]["caption"] == "Figuur 9: onvindbaar"
+
+
+def test_processor_spatial_caption_linking(tmp_path):
+    """CAPTION_LINKING=spatial assigns captions to the nearest image; the
+    default first_image reproduces the reference rule on the same corpus."""
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    # two figures stacked vertically, each with its caption directly below
+    words = []
+    x = 60
+    for t in "Figuur 1: de pomp".split():
+        words.append({"text": t, "x0": x, "x1": x + 8 * len(t),
+                      "top": 210, "bottom": 222})
+        x += 8 * len(t) + 4
+    x = 60
+    for t in "Figuur 2: de klep".split():
+        words.append({"text": t, "x0": x, "x1": x + 8 * len(t),
+                      "top": 410, "bottom": 422})
+        x += 8 * len(t) + 4
+    pages = [{
+        "width": 612, "height": 792,
+        "images": [
+            {"data": png_bytes((200, 0, 0)), "ext": "png", "rects": [[50, 100, 150, 200]]},
+            {"data": png_bytes((0, 200, 0)), "ext": "png", "rects": [[50, 300, 150, 400]]},
+        ],
+        "drawings": [],
+        "words": words,
+        "plain_text": "Figuur 1: de pomp\nFiguur 2: de klep",
+    }]
+    write_synthetic_document(raw / "m.synthdoc.json", pages)
+
+    def run(linking):
+        out = tmp_path / f"out_{linking}"
+        cfg = DataConfig(input_dir=str(raw), output_dir=str(out),
+                         language="nl", caption_linking=linking)
+        DocumentProcessor(cfg, nlp=None).process_all_documents()
+        images = json.loads((out / "image_metadata.json").read_text())
+        return {i["image_id"]: i["caption"] for i in images}
+
+    spatial = run("spatial")
+    assert spatial["m_p1_img0"] == "Figuur 1: de pomp"
+    assert spatial["m_p1_img1"] == "Figuur 2: de klep"
+    first = run("first_image")
+    # reference rule: first image ends with the LAST caption; second gets none
+    assert first["m_p1_img0"] == "Figuur 2: de klep"
+    assert first["m_p1_img1"] is None

@@ -198,6 +198,10 @@ class DataConfig:
     # set values to actually enforce character-length filtering of chunks.
     min_chunk_length: Optional[int] = None
     max_chunk_length: Optional[int] = None
+    # caption->image assignment: "first_image" reproduces the reference's
+    # acknowledged simplification (ref:src/pdf_processor.py:864-869);
+    # "spatial" links each caption to the nearest image by line/image bboxes
+    caption_linking: str = "first_image"
 
     @property
     def images_dir(self) -> str:
@@ -328,6 +332,7 @@ def load_config(
         language=_env(env, "LANGUAGE", "nl"),
         use_ocr_fallback=_env_bool(env, "USE_OCR_FALLBACK", False),
         max_file_size_mb=int(_env(env, "MAX_FILE_SIZE_MB", "50")),
+        caption_linking=_env(env, "CAPTION_LINKING", "first_image"),
         allowed_file_types=tuple(
             t.strip() for t in _env(env, "ALLOWED_FILE_TYPES", "pdf,docx,doc").split(",") if t.strip()
         ),

@@ -20,6 +20,7 @@ __all__ = [
     "find_captions",
     "link_captions_first_image",
     "link_captions_by_number",
+    "link_captions_spatial",
 ]
 
 DUTCH_CAPTION_PATTERNS = (
@@ -59,6 +60,71 @@ def link_captions_first_image(
     for caption in captions:
         if page_images:
             page_images[0]["caption"] = caption["text"]
+
+
+def _norm(text: str) -> str:
+    return re.sub(r"\s+", " ", text).strip().lower()
+
+
+def _caption_bbox(caption_text: str, lines: Sequence[dict]) -> list | None:
+    """Bbox of the first line whose text matches the caption (prefix or
+    containment, whitespace-normalized)."""
+    cap = _norm(caption_text)
+    for line in lines:
+        lt = _norm(line.get("text", ""))
+        if not lt:
+            continue
+        if cap in lt or lt in cap:
+            bbox = line.get("bbox")
+            if bbox and any(bbox):
+                return list(bbox)
+    return None
+
+
+def link_captions_spatial(
+    captions: Sequence[dict],
+    page_images: List[Dict],
+    lines: Sequence[dict],
+) -> None:
+    """Assign each caption to the spatially NEAREST image on the page.
+
+    Improvement over the reference's first-image rule (an acknowledged
+    simplification, ref:src/pdf_processor.py:864-869), enabled by
+    ``DataConfig.caption_linking="spatial"`` / ``CAPTION_LINKING=spatial``
+    (default stays ``first_image`` for parity).
+
+    Heuristic: resolve the caption's bbox from the page's line boxes, then
+    pick the image minimizing vertical gap + 0.5 x horizontal center offset,
+    where images ABOVE the caption are preferred (a caption usually sits
+    below its figure: a caption-above-image gap costs 3x). Captions with no
+    resolvable bbox, and pages with no image boxes, fall back to the
+    first-image rule for that caption.
+    """
+    boxed = [
+        img for img in page_images
+        if img.get("bbox") and any(img["bbox"])
+    ]
+    for caption in captions:
+        cbox = _caption_bbox(caption["text"], lines)
+        if cbox is None or not boxed:
+            if page_images:
+                page_images[0]["caption"] = caption["text"]
+            continue
+        cx = (cbox[0] + cbox[2]) / 2.0
+        ctop, cbottom = cbox[1], cbox[3]
+        best, best_cost = None, None
+        for img in boxed:
+            x0, y0, x1, y1 = img["bbox"][:4]
+            if y1 <= ctop:           # image above caption (preferred)
+                vgap = ctop - y1
+            elif y0 >= cbottom:      # image below caption (penalized)
+                vgap = 3.0 * (y0 - cbottom)
+            else:                    # vertical overlap
+                vgap = 0.0
+            cost = vgap + 0.5 * abs((x0 + x1) / 2.0 - cx)
+            if best_cost is None or cost < best_cost:
+                best, best_cost = img, cost
+        best["caption"] = caption["text"]
 
 
 def link_captions_by_number(

@@ -369,7 +369,28 @@ class DocumentProcessor:
             for img in self.image_metadata
             if img["manual_id"] == manual_id and img["page"] == page_num
         ]
-        link_captions_first_image(captions, page_images)
+        if self.config.caption_linking == "spatial":
+            # nearest-image linking from the page's line boxes (beyond-
+            # reference improvement; see captions.link_captions_spatial)
+            from tpualign.data.captions import link_captions_spatial
+
+            try:
+                words = handle.page_words(page_num - 1)
+            except Exception:
+                words = []
+            lines = [
+                {
+                    "text": " ".join(w.text for w in line),
+                    "bbox": [
+                        min(w.x0 for w in line), min(w.top for w in line),
+                        max(w.x1 for w in line), max(w.bottom for w in line),
+                    ],
+                }
+                for line in chunking.group_words_into_lines(words)
+            ]
+            link_captions_spatial(captions, page_images, lines)
+        else:
+            link_captions_first_image(captions, page_images)
 
     # -- word conversion ---------------------------------------------------------
 
