@@ -356,3 +356,19 @@ def test_hybrid_mesh_layout():
     assert mesh.shape == {"data": 4, "model": 2}
     with pytest.raises(ValueError):
         hybrid_mesh(model_parallel=3)
+
+
+@pytest.mark.parametrize("use_mesh", [False, True])
+def test_wildcard_global_search(use_mesh, mesh8):
+    """WILDCARD query keys lift the same-manual+page restriction; corpus
+    padding rows still never match."""
+    rng = np.random.default_rng(5)
+    q, qman, qpage, c, cman, cpage = make_problem(rng, nq=6, n=203)
+    index = RetrievalIndex(c, cman, cpage, mesh=mesh8 if use_mesh else None)
+    vals, idx = index.search(q, k=7, global_search=True)
+    # oracle: unrestricted exact ranking
+    sims = q @ c.T
+    for r in range(6):
+        order = np.lexsort((np.arange(203), -sims[r]))[:7]
+        np.testing.assert_array_equal(idx[r], order)
+    assert (idx < 203).all() and (idx >= 0).all()

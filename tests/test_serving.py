@@ -1,0 +1,114 @@
+"""Serving daemon tests: device-resident service + HTTP/JSON roundtrip."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from tpualign.serving import RetrievalService, serve
+
+
+@pytest.fixture()
+def service():
+    rng = np.random.default_rng(0)
+    n, d = 64, 16
+    emb = rng.normal(size=(n, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    ids = [f"m{i % 2}_p{i % 4}_c{i}" for i in range(n)]
+    manuals = [f"m{i % 2}" for i in range(n)]
+    pages = [i % 4 for i in range(n)]
+
+    def fake_encoder(texts):
+        out = rng.normal(size=(len(texts), d)).astype(np.float32)
+        return out / np.linalg.norm(out, axis=1, keepdims=True)
+
+    svc = RetrievalService(
+        emb, ids, manuals, pages, schema="vanilla_clip",
+        text_encoder=fake_encoder,
+    )
+    return svc, emb, ids, manuals, pages
+
+
+def test_search_restricted_and_global(service):
+    svc, emb, ids, manuals, pages = service
+    q = emb[3:4]  # query with itself: top-1 must be itself
+    res = svc.search_embeddings(q, [manuals[3]], [pages[3]], k=5)
+    assert res[0][0]["chunk_id"] == ids[3]
+    # restricted: every hit shares (manual, page)
+    for hit in res[0]:
+        j = ids.index(hit["chunk_id"])
+        assert manuals[j] == manuals[3] and pages[j] == pages[3]
+    # global: more candidates available, still self first
+    res_g = svc.search_embeddings(q, None, None, k=5, global_search=True)
+    assert res_g[0][0]["chunk_id"] == ids[3]
+    got = {h["chunk_id"] for h in res_g[0]}
+    restricted = {h["chunk_id"] for h in res[0]}
+    assert got != restricted or len(got) == len(restricted) == 5
+
+
+def test_search_text_uses_encoder(service):
+    svc, *_ = service
+    res = svc.search_text(["de oliefilter", "de pomp"], k=3)
+    assert len(res) == 2 and all(len(r) == 3 for r in res)
+
+
+def test_stats(service):
+    svc, emb, *_ = service
+    st = svc.stats()
+    assert st["status"] == "ok" and st["corpus_size"] == len(emb)
+    assert st["text_search"] is True
+
+
+def test_http_roundtrip(service):
+    svc, emb, ids, manuals, pages = service
+    httpd = serve(svc, host="127.0.0.1", port=0)  # ephemeral port
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+            health = json.loads(r.read())
+        assert health["status"] == "ok"
+
+        body = json.dumps({
+            "embeddings": emb[5:6].tolist(),
+            "manuals": [manuals[5]], "pages": [pages[5]], "k": 3,
+        }).encode()
+        req = urllib.request.Request(
+            f"{base}/search", data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            out = json.loads(r.read())
+        assert out["results"][0][0]["chunk_id"] == ids[5]
+
+        body = json.dumps({"texts": ["filter"], "k": 2}).encode()
+        req = urllib.request.Request(
+            f"{base}/search_text", data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            out = json.loads(r.read())
+        assert len(out["results"][0]) == 2
+
+        # malformed request -> 400, not a crash
+        req = urllib.request.Request(
+            f"{base}/search", data=b'{"nope": 1}',
+            headers={"Content-Type": "application/json"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req, timeout=30)
+        assert exc.value.code == 400
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
+def test_no_text_tower_mode():
+    emb = np.eye(4, dtype=np.float32)
+    svc = RetrievalService(emb, list("abcd"), ["m"] * 4, [1] * 4)
+    with pytest.raises(RuntimeError, match="text encoder"):
+        svc.search_text(["x"])

@@ -115,6 +115,18 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     p_train.add_argument("--train-batch-size", type=int, default=None)
     p_train.add_argument("--ckpt-dir", default=None)
 
+    p_serve = sub.add_parser(
+        "serve", help="retrieval daemon: device-resident index over HTTP/JSON"
+    )
+    _add_common(p_serve)
+    p_serve.add_argument("--schema", default="vanilla_clip", choices=SCHEMAS)
+    p_serve.add_argument("--host", default="127.0.0.1")
+    p_serve.add_argument("--port", type=int, default=8321)
+    p_serve.add_argument(
+        "--no-text-tower", action="store_true",
+        help="skip loading the text tower (embedding-only queries)",
+    )
+
     p_query = sub.add_parser("query", help="similarity search over the store")
     _add_common(p_query)
     p_query.add_argument("--schema", default="vanilla_clip", choices=list(SCHEMAS))
@@ -206,6 +218,28 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         print({k: round(v, 4) for k, v in metrics.items()})
         return 0
 
+    if args.command == "serve":
+        from tpualign.serving import build_service, serve as make_server
+
+        config = _config_from(args)
+        mesh = None
+        if config.mesh.data * config.mesh.model > 1:
+            from tpualign.parallel.mesh import default_mesh
+
+            mesh = default_mesh(config.mesh)
+        service = build_service(
+            config, args.schema, mesh=mesh,
+            text_tower=not args.no_text_tower,
+        )
+        httpd = make_server(service, host=args.host, port=args.port)
+        print(f"tpualign serve: {service.stats()} on "
+              f"http://{args.host}:{httpd.server_address[1]}")
+        try:
+            httpd.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        return 0
+
     if args.command == "query":
         return _run_query(args)
 
@@ -238,18 +272,15 @@ def _run_query(args) -> int:
             print(f"unknown image_id {args.image_id}")
             return 1
         img = images[pos]
-        if args.global_search:
-            index = RetrievalIndex(chunk_emb, ["*"] * len(chunks), [0] * len(chunks))
-            vals, idx = index.search(img_emb[pos:pos + 1], ["*"], [0], args.k)
-        else:
-            index = RetrievalIndex(
-                chunk_emb,
-                [c["manual_id"] for c in chunks],
-                [c.get("page") for c in chunks],
-            )
-            vals, idx = index.search(
-                img_emb[pos:pos + 1], [img["manual_id"]], [img.get("page")], args.k
-            )
+        index = RetrievalIndex(
+            chunk_emb,
+            [c["manual_id"] for c in chunks],
+            [c.get("page") for c in chunks],
+        )
+        vals, idx = index.search(
+            img_emb[pos:pos + 1], [img["manual_id"]], [img.get("page")], args.k,
+            global_search=args.global_search,
+        )
         label = "sim"
         if args.rerank is not None:
             from tpualign.weaksup.rerank import build_weak_lookup, rerank_with_weak_scores
@@ -274,8 +305,11 @@ def _run_query(args) -> int:
         img_ids, img_emb = store.embedding_matrix(schema, "images")
         engine = EmbedEngine(config.model, batch_size=8)
         q = engine.encode_text_batch([args.text])
-        index = RetrievalIndex(img_emb, ["*"] * len(img_ids), [0] * len(img_ids))
-        vals, idx = index.search(q, ["*"], [0], args.k)
+        index = RetrievalIndex(
+            img_emb, [i["manual_id"] for i in images],
+            [i.get("page") for i in images],
+        )
+        vals, idx = index.search(q, k=args.k, global_search=True)
         print(f"top-{args.k} images for {args.text!r}:")
         for rank, (v, j) in enumerate(zip(vals[0], idx[0]), 1):
             if j < 0:

@@ -45,10 +45,12 @@ __all__ = ["RetrievalIndex", "sharded_topk_search", "encode_keys"]
 # None only ever matches None (the reference's SQL JOIN on manual+page,
 # ref:src/evaluate_alignments.py:59-62, where NULL = NULL is false — but
 # metadata always has pages in practice and None==None matching is the safer
-# in-memory semantic). All real keys are >= 0; negative keys are reserved
-# for padding rows (-1 corpus, -2 queries) and never match anything.
+# in-memory semantic). All real keys are >= 0; negative keys are reserved:
+# -1 corpus padding, -2 query padding (match nothing), -3 the query-side
+# WILDCARD (matches every real corpus row — unrestricted search).
 PAGE_MOD = 100_000
 NONE_PAGE = PAGE_MOD - 1
+WILDCARD_KEY = -3
 
 
 def encode_keys(
@@ -113,7 +115,9 @@ def _device_masked_topk(q, qk, c, ck, k: int):
     this is the same path ``benchmarks/bench_retrieval.py`` measures.
     """
     sims = jnp.dot(q, c.T, preferred_element_type=jnp.float32)
-    mask = (qk[:, None] == ck[None, :]) & (ck[None, :] >= 0)
+    mask = ((qk[:, None] == ck[None, :]) | (qk[:, None] == WILDCARD_KEY)) & (
+        ck[None, :] >= 0
+    )
     sims = jnp.where(mask, sims, NEG_INF)
     return jax.lax.top_k(sims, k)
 
@@ -129,7 +133,9 @@ def _local_topk_kernel(q, qk, c, ck, *, k_local: int, axis: str):
     per query, tiny next to N).
     """
     sims = jnp.dot(q, c.T, preferred_element_type=jnp.float32)
-    mask = (qk[:, None] == ck[None, :]) & (ck[None, :] >= 0)
+    mask = ((qk[:, None] == ck[None, :]) | (qk[:, None] == WILDCARD_KEY)) & (
+        ck[None, :] >= 0
+    )
     sims = jnp.where(mask, sims, NEG_INF)
     vals, idx = jax.lax.top_k(sims, k_local)  # (Q, k_local), ties: low idx first
     n_local = c.shape[0]
@@ -294,20 +300,25 @@ class RetrievalIndex:
     def search(
         self,
         query_embeddings: np.ndarray,
-        query_manuals: Sequence[str],
-        query_pages: Sequence[Optional[int]],
-        k: int,
+        query_manuals: Optional[Sequence[str]] = None,
+        query_pages: Optional[Sequence[Optional[int]]] = None,
+        k: int = 10,
         strategy: str = "auto",
+        global_search: bool = False,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Top-k per query as host arrays (values, global corpus indices).
 
         ``strategy``: "auto" (memory-based router), "gather", or "ring"
-        (mesh only).
+        (mesh only). With ``global_search=True`` (or manuals omitted) the
+        same-manual+page restriction is lifted: queries carry the wildcard
+        key, which matches every real corpus row.
         """
-        qk, _ = encode_keys(query_manuals, query_pages, self.vocab)
-        return self._search_encoded(
-            np.asarray(query_embeddings, np.float32), qk, k, strategy
-        )
+        queries = np.asarray(query_embeddings, np.float32)
+        if global_search or query_manuals is None:
+            qk = np.full(len(queries), WILDCARD_KEY, np.int32)
+        else:
+            qk, _ = encode_keys(query_manuals, query_pages, self.vocab)
+        return self._search_encoded(queries, qk, k, strategy)
 
     def search_device(
         self,

@@ -31,6 +31,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from tpualign.ops.similarity import NEG_INF
+from tpualign.parallel.retrieval import WILDCARD_KEY as _WILDCARD
 
 __all__ = ["ring_topk_search", "ring_search_fn"]
 
@@ -58,7 +59,10 @@ def _ring_kernel(q, qk, c, ck, *, k: int, axis: str):
     def score_merge(carry_q, carry_qk, run_v, run_i):
         # global corpus offset for MY resident shard is me * n_local
         sims = jnp.dot(carry_q, c.T, preferred_element_type=jnp.float32)
-        mask = (carry_qk[:, None] == ck[None, :]) & (ck[None, :] >= 0)
+        mask = (
+            (carry_qk[:, None] == ck[None, :])
+            | (carry_qk[:, None] == _WILDCARD)
+        ) & (ck[None, :] >= 0)
         sims = jnp.where(mask, sims, NEG_INF)
         vals, idx = jax.lax.top_k(sims, k_local)
         gidx = idx + me * n_local

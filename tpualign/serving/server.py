@@ -1,0 +1,195 @@
+"""Persistent retrieval serving daemon.
+
+The reference's serving story is "point psql at the database"
+(ref:src/evaluate_alignments.py:109-143 runs one SQL query per request,
+opening a new connection each time). The TPU-native equivalent keeps the
+corpus resident in device HBM inside a long-lived process
+(:class:`~tpualign.parallel.retrieval.RetrievalIndex`) and serves queries
+over a dependency-free JSON/HTTP front (stdlib ``http.server`` — this image
+has no RPC frameworks, and a binary protocol would buy nothing at the
+request rates a single chip already sustains: ~128k QPS through the index).
+
+Endpoints:
+
+- ``GET /healthz`` — service + corpus stats.
+- ``POST /search`` — body ``{"embeddings": [[...]], "manuals": [...],
+  "pages": [...], "k": 10, "global": false}``; returns ranked chunk ids +
+  scores per query. Candidates restricted to same (manual, page) unless
+  ``"global": true`` (the reference's JOIN semantics).
+- ``POST /search_text`` — body ``{"texts": [...], "k": 10, "manual": ...,
+  "page": ..., "global": true}``; encodes the texts with the text tower and
+  searches. Requires a text encoder (absent in ``--no-text-tower`` mode).
+"""
+
+from __future__ import annotations
+
+import json
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Callable, List, Optional, Sequence
+
+import numpy as np
+
+from tpualign.parallel.retrieval import RetrievalIndex
+from tpualign.store import EmbeddingStore
+from tpualign.utils.logging import get_logger
+
+log = get_logger("serving")
+
+__all__ = ["RetrievalService", "serve", "build_service"]
+
+
+class RetrievalService:
+    """Device-resident retrieval over one schema's chunk corpus."""
+
+    def __init__(
+        self,
+        chunk_embeddings: np.ndarray,
+        chunk_ids: Sequence[str],
+        chunk_manuals: Sequence[str],
+        chunk_pages: Sequence[Optional[int]],
+        schema: str = "vanilla_clip",
+        mesh=None,
+        text_encoder: Optional[Callable[[List[str]], np.ndarray]] = None,
+    ):
+        self.schema = schema
+        self.chunk_ids = list(chunk_ids)
+        self.index = RetrievalIndex(
+            chunk_embeddings, chunk_manuals, chunk_pages, mesh=mesh
+        )
+        self.text_encoder = text_encoder
+
+    # -- queries -----------------------------------------------------------------
+
+    def search_embeddings(
+        self,
+        embeddings: np.ndarray,
+        manuals: Optional[Sequence[str]],
+        pages: Optional[Sequence[Optional[int]]],
+        k: int = 10,
+        global_search: bool = False,
+    ) -> List[List[dict]]:
+        embeddings = np.asarray(embeddings, np.float32)
+        if embeddings.ndim == 1:
+            embeddings = embeddings[None]
+        nq = len(embeddings)
+        vals, idx = self.index.search(
+            embeddings, manuals, pages, k,
+            global_search=global_search or manuals is None,
+        )
+        out: List[List[dict]] = []
+        for r in range(nq):
+            row = []
+            for v, j in zip(vals[r], idx[r]):
+                if j < 0:
+                    break
+                row.append({"chunk_id": self.chunk_ids[j],
+                            "score": float(v)})
+            out.append(row)
+        return out
+
+    def search_text(
+        self,
+        texts: List[str],
+        manual: Optional[str] = None,
+        page: Optional[int] = None,
+        k: int = 10,
+        global_search: bool = True,
+    ) -> List[List[dict]]:
+        if self.text_encoder is None:
+            raise RuntimeError("no text encoder loaded (serve --no-text-tower?)")
+        q = np.asarray(self.text_encoder(list(texts)), np.float32)
+        manuals = None if global_search else [manual] * len(texts)
+        pages = None if global_search else [page] * len(texts)
+        return self.search_embeddings(q, manuals, pages, k, global_search)
+
+    def stats(self) -> dict:
+        return {
+            "status": "ok",
+            "schema": self.schema,
+            "corpus_size": self.index.n,
+            "dim": self.index.dim,
+            "text_search": self.text_encoder is not None,
+            "mesh": dict(self.index.mesh.shape) if self.index.mesh else None,
+        }
+
+
+def build_service(config, schema: str, mesh=None, text_tower: bool = True) -> RetrievalService:
+    """Service over the store configured in ``config`` (CLI entry)."""
+    store = EmbeddingStore(config.store.root, embed_dim=config.model.embed_dim)
+    if not store.has_embeddings(schema):
+        raise ValueError(f"schema {schema} has no embeddings in {config.store.root}")
+    chunks = store.chunks(schema)
+    chunk_ids, chunk_emb = store.embedding_matrix(schema, "text_chunks")
+    encoder = None
+    if text_tower:
+        from tpualign.parallel.embed import EmbedEngine
+
+        engine = EmbedEngine(config.model, mesh=mesh, batch_size=64)
+        encoder = engine.encode_text_batch
+    return RetrievalService(
+        chunk_emb, chunk_ids,
+        [c["manual_id"] for c in chunks],
+        [c.get("page") for c in chunks],
+        schema=schema, mesh=mesh, text_encoder=encoder,
+    )
+
+
+def _make_handler(service: RetrievalService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # route to our logger, not stderr
+            log.debug("http: " + fmt, *args)
+
+        def _reply(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode("utf-8")
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._reply(200, service.stats())
+            else:
+                self._reply(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                k = int(req.get("k", 10))
+                if self.path == "/search":
+                    results = service.search_embeddings(
+                        np.asarray(req["embeddings"], np.float32),
+                        req.get("manuals"),
+                        req.get("pages"),
+                        k=k,
+                        global_search=bool(req.get("global", False)),
+                    )
+                elif self.path == "/search_text":
+                    results = service.search_text(
+                        req["texts"],
+                        manual=req.get("manual"),
+                        page=req.get("page"),
+                        k=k,
+                        global_search=bool(req.get("global", True)),
+                    )
+                else:
+                    self._reply(404, {"error": f"unknown path {self.path}"})
+                    return
+                self._reply(200, {"results": results})
+            except (KeyError, ValueError, TypeError, json.JSONDecodeError) as e:
+                self._reply(400, {"error": str(e)})
+            except Exception as e:  # pragma: no cover - defensive
+                log.exception("request failed")
+                self._reply(500, {"error": str(e)})
+
+    return Handler
+
+
+def serve(
+    service: RetrievalService, host: str = "127.0.0.1", port: int = 8321
+) -> ThreadingHTTPServer:
+    """Create (but do not start) the HTTP server; call ``serve_forever`` on
+    the result, or use it with a thread in tests."""
+    return ThreadingHTTPServer((host, port), _make_handler(service))
