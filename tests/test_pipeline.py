@@ -279,3 +279,66 @@ def test_evaluator_on_mesh_matches_single_device(workdir):
         np.testing.assert_allclose(m1["mrr"], m8["mrr"], atol=1e-9)
         for k in (1, 5, 10):
             np.testing.assert_allclose(m1["top_k"][k], m8["top_k"][k], atol=1e-9)
+
+
+def test_incremental_ingest(workdir):
+    """Streaming ingestion: only new/changed files reprocess; unchanged
+    manuals keep identical rows; the vocabulary rebuilds over the merge."""
+    pipe = make_pipeline(workdir)
+    pipe.run(non_interactive=True)
+    processed = workdir / "processed"
+
+    # warm the manifest: first ingest after a full run reprocesses once
+    # (full run does not write the ingest manifest), second is a no-op
+    s0 = pipe.ingest_cycle()
+    assert sorted(s0["ingested"]) == ["manual0.synthdoc.json", "manual1.synthdoc.json"]
+    s1 = pipe.ingest_cycle()
+    assert s1["ingested"] == [] and s1["skipped_unchanged"] == 2
+
+    before_images = json.loads((processed / "image_metadata.json").read_text())
+    before_m0 = [m for m in before_images if m["manual_id"] == "manual0"]
+
+    # add a third manual: only it is ingested; manual0 rows byte-identical
+    raw = workdir / "raw"
+    doc_pages = [{
+        "width": 612, "height": 792,
+        "images": [{"data": png((9, 99, 9)), "ext": "png",
+                    "rects": [[10, 10, 90, 90]]}],
+        "drawings": [],
+        "words": [{"text": t, "x0": 50 + 60 * i, "x1": 100 + 60 * i,
+                   "top": 300, "bottom": 310}
+                  for i, t in enumerate("nieuwe onderdelen lijst".split())],
+    }]
+    write_synthetic_document(raw / "manual2.synthdoc.json", doc_pages)
+    s2 = pipe.ingest_cycle()
+    assert s2["ingested"] == ["manual2.synthdoc.json"]
+    assert s2["skipped_unchanged"] == 2
+
+    after_images = json.loads((processed / "image_metadata.json").read_text())
+    after_m0 = [m for m in after_images if m["manual_id"] == "manual0"]
+    assert after_m0 == before_m0
+    assert any(m["manual_id"] == "manual2" for m in after_images)
+    # image files for all three manuals coexist
+    images_dir = processed / "images"
+    assert any(images_dir.glob("manual0_p*"))
+    assert any(images_dir.glob("manual2_p*"))
+    # store re-embedded over the merged corpus
+    counts = pipe.store.counts("vanilla_clip")
+    assert counts["images"] == len(after_images)
+
+    # modify manual2: reprocessed, manual0/1 untouched
+    doc_pages[0]["words"].append({"text": "extra", "x0": 400, "x1": 440,
+                                  "top": 300, "bottom": 310})
+    write_synthetic_document(raw / "manual2.synthdoc.json", doc_pages)
+    s3 = pipe.ingest_cycle()
+    assert s3["ingested"] == ["manual2.synthdoc.json"]
+    chunks = json.loads((processed / "text_chunks.json").read_text())
+    assert any("extra" in c["text"] for c in chunks if c["manual_id"] == "manual2")
+
+
+def test_watch_max_cycles(workdir):
+    pipe = make_pipeline(workdir)
+    pipe.run(non_interactive=True)
+    pipe.ingest_cycle()  # warm manifest
+    # two no-op cycles with zero sleep
+    pipe.watch(interval_seconds=0.0, max_cycles=2)

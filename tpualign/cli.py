@@ -115,6 +115,23 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     p_train.add_argument("--train-batch-size", type=int, default=None)
     p_train.add_argument("--ckpt-dir", default=None)
 
+    p_ingest = sub.add_parser(
+        "ingest", help="incremental ingestion: process new/changed files only"
+    )
+    _add_common(p_ingest)
+    p_ingest.add_argument("--evaluate", action="store_true",
+                          help="re-run evaluation after ingesting")
+
+    p_watch = sub.add_parser(
+        "watch", help="watchdog: poll the input dir and ingest on change"
+    )
+    _add_common(p_watch)
+    p_watch.add_argument("--interval", type=float, default=30.0,
+                         help="poll interval in seconds")
+    p_watch.add_argument("--evaluate", action="store_true")
+    p_watch.add_argument("--max-cycles", type=int, default=None,
+                         help="stop after N cycles (default: run forever)")
+
     p_serve = sub.add_parser(
         "serve", help="retrieval daemon: device-resident index over HTTP/JSON"
     )
@@ -216,6 +233,23 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             ckpt_dir=args.ckpt_dir,
         )
         print({k: round(v, 4) for k, v in metrics.items()})
+        return 0
+
+    if args.command == "ingest":
+        pipe = _build_pipeline(args)
+        summary = pipe.ingest_cycle(evaluate=args.evaluate)
+        ingested = summary.get("ingested", [])
+        print(f"ingested {len(ingested)} file(s); "
+              f"{summary.get('skipped_unchanged', 0)} unchanged")
+        return 0
+
+    if args.command == "watch":
+        pipe = _build_pipeline(args)
+        try:
+            pipe.watch(interval_seconds=args.interval, evaluate=args.evaluate,
+                       max_cycles=args.max_cycles)
+        except KeyboardInterrupt:
+            pass
         return 0
 
     if args.command == "serve":

@@ -130,12 +130,7 @@ class DocumentProcessor:
             except OSError as e:
                 log.warning("Could not remove %s: %s", image, e)
 
-        all_files: List[Path] = []
-        for file_type in self.config.allowed_file_types:
-            all_files.extend(sorted(self.input_dir.glob(f"*.{file_type}")))
-        # synthetic fixtures are always eligible
-        all_files.extend(sorted(self.input_dir.glob("*.synthdoc.json")))
-
+        all_files = self._discover_files()
         if not all_files:
             log.warning(
                 "No supported files found in %s (types: %s)",
@@ -145,27 +140,144 @@ class DocumentProcessor:
             return {"images": 0, "chunks": 0, "lexical_terms": 0}
 
         log.info("Found %d files to process", len(all_files))
-        max_bytes = self.config.max_file_size_mb * 1024 * 1024
         for file_path in all_files:
             try:
-                # Enforce MAX_FILE_SIZE_MB (the reference read the env var
-                # but never applied it, ref:src/pdf_processor.py:54-60; the
-                # unified config promises honest settings, so skip-and-log
-                # oversized files instead of silently ignoring the limit).
-                size = file_path.stat().st_size
-                if size > max_bytes:
-                    log.warning(
-                        "Skipping %s: %.1f MB exceeds max_file_size_mb=%d",
-                        file_path, size / 1024 / 1024,
-                        self.config.max_file_size_mb,
-                    )
-                    continue
                 self.process_single_document(file_path)
             except Exception as e:  # skip-and-continue (ref:src/pdf_processor.py:283-288)
                 log.error("Error processing %s: %s", file_path, e)
                 continue
 
         return self.save_extracted_data()
+
+    def _discover_files(self) -> List[Path]:
+        """Eligible input files, size-filtered.
+
+        Enforces MAX_FILE_SIZE_MB (the reference read the env var but never
+        applied it, ref:src/pdf_processor.py:54-60; the unified config
+        promises honest settings, so oversized files are skipped-and-logged
+        instead of silently ignoring the limit).
+        """
+        all_files: List[Path] = []
+        for file_type in self.config.allowed_file_types:
+            all_files.extend(sorted(self.input_dir.glob(f"*.{file_type}")))
+        # synthetic fixtures are always eligible
+        all_files.extend(sorted(self.input_dir.glob("*.synthdoc.json")))
+
+        max_bytes = self.config.max_file_size_mb * 1024 * 1024
+        kept: List[Path] = []
+        for file_path in all_files:
+            size = file_path.stat().st_size
+            if size > max_bytes:
+                log.warning(
+                    "Skipping %s: %.1f MB exceeds max_file_size_mb=%d",
+                    file_path, size / 1024 / 1024,
+                    self.config.max_file_size_mb,
+                )
+                continue
+            kept.append(file_path)
+        return kept
+
+    @staticmethod
+    def _manual_id_for(file_path: Path) -> str:
+        if file_path.name.endswith(".synthdoc.json"):
+            return file_path.name[: -len(".synthdoc.json")]
+        return file_path.stem
+
+    def process_incremental(self) -> dict:
+        """Streaming ingestion: process only NEW or CHANGED input files and
+        merge with the previous outputs.
+
+        A content-hash manifest (``ingest_manifest.json``) records every
+        ingested file. Unchanged files keep their previous rows untouched
+        (no reprocessing, no image re-extraction); new or changed files
+        replace all rows of their manual and their previously extracted
+        image files. The noun vocabulary is rebuilt over the merged chunk
+        corpus. Files removed from the input directory keep their rows —
+        ingestion is append/update; use :meth:`process_all_documents` for a
+        clean rebuild. Returns the summary dict plus ``{"ingested": [...],
+        "skipped_unchanged": N}``.
+        """
+        import hashlib
+
+        manifest_path = self.output_dir / "ingest_manifest.json"
+        manifest: dict = {}
+        if manifest_path.exists():
+            try:
+                manifest = json.loads(manifest_path.read_text())
+            except (OSError, json.JSONDecodeError):
+                manifest = {}
+
+        def load(name):
+            p = self.output_dir / name
+            if p.exists():
+                try:
+                    return json.loads(p.read_text())
+                except (OSError, json.JSONDecodeError):
+                    return []
+            return []
+
+        old_images = load("image_metadata.json")
+        old_chunks = load("text_chunks.json")
+
+        changed: List[Path] = []
+        digests: dict = {}
+        unchanged = 0
+        for file_path in self._discover_files():
+            digest = hashlib.sha256(file_path.read_bytes()).hexdigest()
+            if manifest.get(file_path.name) == digest:
+                unchanged += 1
+                continue
+            digests[file_path.name] = digest
+            changed.append(file_path)
+
+        if not changed:
+            log.info("Ingest: nothing new (%d files unchanged)", unchanged)
+            return {
+                "images": len(old_images), "chunks": len(old_chunks),
+                "lexical_terms": None, "ingested": [],
+                "skipped_unchanged": unchanged,
+            }
+
+        # drop the reprocessed manuals' stale image files BEFORE extraction
+        # writes the new ones (deleting after would destroy fresh output)
+        reprocessed = {self._manual_id_for(p) for p in changed}
+        for manual_id in reprocessed:
+            for image in self.images_dir.glob(f"{manual_id}_p*"):
+                try:
+                    image.unlink()
+                except OSError as e:
+                    log.warning("Could not remove %s: %s", image, e)
+
+        # process only the changed files into fresh accumulators; a file
+        # that fails keeps its OLD manifest hash so the next cycle retries
+        self.image_metadata = []
+        self.text_chunks = []
+        for file_path in changed:
+            try:
+                self.process_single_document(file_path)
+                manifest[file_path.name] = digests[file_path.name]
+            except Exception as e:  # skip-and-continue semantics
+                log.error("Error processing %s: %s", file_path, e)
+                continue
+
+        merged_images = [
+            m for m in old_images if m["manual_id"] not in reprocessed
+        ] + self.image_metadata
+        merged_chunks = [
+            c for c in old_chunks if c["manual_id"] not in reprocessed
+        ] + self.text_chunks
+
+        self.image_metadata = merged_images
+        self.text_chunks = merged_chunks
+        summary = self.save_extracted_data()
+        manifest_path.write_text(json.dumps(manifest, indent=2))
+        summary["ingested"] = sorted(p.name for p in changed)
+        summary["skipped_unchanged"] = unchanged
+        log.info(
+            "Ingest: %d file(s) processed, %d unchanged",
+            len(changed), unchanged,
+        )
+        return summary
 
     def process_single_document(self, file_path: Path) -> None:
         file_path = Path(file_path)

@@ -303,6 +303,67 @@ class Pipeline:
             log.warning("Evaluation completed with warnings: %s", e)
             return None
 
+    # -- streaming ingestion -------------------------------------------------------
+
+    def ingest_cycle(self, evaluate: bool = False) -> dict:
+        """One incremental ingestion pass: process new/changed input files
+        (content-hash dedup), re-filter the vocabulary non-interactively,
+        re-embed, and optionally re-evaluate. Returns the processor summary;
+        ``summary["ingested"]`` is empty when nothing changed.
+
+        Beyond-reference capability (the reference always reprocesses the
+        whole corpus, ref:src/pdf_processor.py:243-267). Embedding re-runs
+        over the merged corpus with store upserts, so it is idempotent; the
+        vocabulary is rebuilt over the merged chunks.
+        """
+        proc = DocumentProcessor(
+            self.config.data, nlp=self._nlp, lexical_fallback=self._lexical_fallback
+        )
+        summary = proc.process_incremental()
+        if not summary.get("ingested"):
+            return summary
+        self._record_step(
+            "document_processing",
+            inputs_fingerprint=self._inputs_fingerprint(),
+            **{k: v for k, v in summary.items()
+               if k in ("images", "chunks", "lexical_terms")},
+        )
+        self.step_lexical_filtering(force=True, non_interactive=True)
+        self.step_store_setup(force=False)
+        self.step_insert_embeddings(force=True)
+        if evaluate:
+            self.step_evaluation()
+        return summary
+
+    def watch(
+        self, interval_seconds: float = 30.0, evaluate: bool = False,
+        max_cycles: Optional[int] = None,
+    ) -> None:
+        """Watchdog mode: poll the input directory and ingest on change.
+
+        Polling (not inotify) keeps this dependency-free and NFS-safe.
+        ``max_cycles`` bounds the loop for tests/one-shot use.
+        """
+        import time as _time
+
+        cycles = 0
+        log.info(
+            "Watching %s every %.0fs (Ctrl-C to stop)",
+            self.config.data.input_dir, interval_seconds,
+        )
+        while max_cycles is None or cycles < max_cycles:
+            try:
+                summary = self.ingest_cycle(evaluate=evaluate)
+                if summary.get("ingested"):
+                    log.info("Ingested: %s", ", ".join(summary["ingested"]))
+            except KeyboardInterrupt:
+                raise
+            except Exception as e:
+                log.error("Ingest cycle failed: %s", e)
+            cycles += 1
+            if max_cycles is None or cycles < max_cycles:
+                _time.sleep(interval_seconds)
+
     # -- run ---------------------------------------------------------------------------
 
     def run(
