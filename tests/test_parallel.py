@@ -372,3 +372,38 @@ def test_wildcard_global_search(use_mesh, mesh8):
         order = np.lexsort((np.arange(203), -sims[r]))[:7]
         np.testing.assert_array_equal(idx[r], order)
     assert (idx < 203).all() and (idx >= 0).all()
+
+
+def test_int8_retrieval_recall():
+    """Opt-in int8 index: high recall vs the exact fp32 ranking, big
+    near-ties may swap (documented approximation)."""
+    rng = np.random.default_rng(17)
+    n, d, nq, k = 5000, 64, 32, 10
+    c = rng.normal(size=(n, d)).astype(np.float32)
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    q = rng.normal(size=(nq, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    man = ["m"] * n
+    pages = [1] * n
+
+    exact = RetrievalIndex(c, man, pages)
+    quant = RetrievalIndex(c, man, pages, precision="int8")
+    ve, ie = exact.search(q, ["m"] * nq, [1] * nq, k)
+    vq, iq = quant.search(q, ["m"] * nq, [1] * nq, k)
+    recall = np.mean([
+        len(set(ie[r]) & set(iq[r])) / k for r in range(nq)
+    ])
+    assert recall >= 0.9, recall
+    # top-1 similarity within quantization error
+    np.testing.assert_allclose(vq[:, 0], ve[:, 0], atol=0.02)
+    # masking semantics identical: unknown manual returns nothing
+    v, i = quant.search(q[:2], ["x", "x"], [1, 1], k)
+    assert (i == -1).all()
+
+
+def test_int8_requires_single_device(mesh8):
+    c = np.eye(8, dtype=np.float32)
+    with pytest.raises(ValueError, match="single-device"):
+        RetrievalIndex(c, ["m"] * 8, [1] * 8, mesh=mesh8, precision="int8")
+    with pytest.raises(ValueError, match="precision"):
+        RetrievalIndex(c, ["m"] * 8, [1] * 8, precision="fp8")

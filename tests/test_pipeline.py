@@ -342,3 +342,38 @@ def test_watch_max_cycles(workdir):
     pipe.ingest_cycle()  # warm manifest
     # two no-op cycles with zero sleep
     pipe.watch(interval_seconds=0.0, max_cycles=2)
+
+
+def test_ingest_heals_interrupted_embed(workdir):
+    """If a previous ingest died between the manifest write and the embed,
+    the next cycle detects the store/processed drift and re-embeds."""
+    pipe = make_pipeline(workdir)
+    pipe.run(non_interactive=True)
+    pipe.ingest_cycle()  # warm manifest
+
+    # simulate the interruption: new file processed + manifest committed,
+    # but downstream stages never ran
+    raw = workdir / "raw"
+    doc_pages = [{
+        "width": 612, "height": 792,
+        "images": [{"data": png((1, 2, 3)), "ext": "png",
+                    "rects": [[10, 10, 90, 90]]}],
+        "drawings": [],
+        "words": [{"text": "herstel", "x0": 50, "x1": 110,
+                   "top": 300, "bottom": 310}],
+    }]
+    write_synthetic_document(raw / "manualX.synthdoc.json", doc_pages)
+    from tpualign.data.processor import DocumentProcessor
+
+    proc = DocumentProcessor(pipe.config.data, nlp=pipe._nlp,
+                             lexical_fallback=pipe._lexical_fallback)
+    proc.process_incremental()  # manifest now ahead of the store
+
+    images = json.loads(
+        (workdir / "processed/image_metadata.json").read_text()
+    )
+    assert pipe.store.counts("vanilla_clip")["images"] != len(images)
+
+    summary = pipe.ingest_cycle()  # nothing new, but store must heal
+    assert summary["ingested"] == []
+    assert pipe.store.counts("vanilla_clip")["images"] == len(images)

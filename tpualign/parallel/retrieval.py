@@ -106,6 +106,40 @@ def _two_key_topk(vals: jnp.ndarray, idx: jnp.ndarray, k: int):
     return -neg[..., :k], si[..., :k]
 
 
+def _quantize_rows(x: np.ndarray):
+    """Symmetric per-row int8 quantization: values in [-127, 127] plus an
+    fp32 scale per row (dequantized dot = int32 accumulate x both scales)."""
+    scale = np.abs(x).max(axis=1, keepdims=True) / 127.0
+    scale = np.maximum(scale, 1e-12)
+    q = np.clip(np.rint(x / scale), -127, 127).astype(np.int8)
+    return q, scale.astype(np.float32)[:, 0]
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _device_masked_topk_int8(q, qk, c_q, c_s, ck, k: int):
+    """int8 serving path: quantize the query block on device, s8xs8->s32
+    matmul on the MXU (2x the bf16 peak on v5e, half the HBM traffic),
+    rescale to fp32 sims, mask, stable top-k.
+
+    Approximate: per-row symmetric quantization perturbs cosine similarity
+    by ~1e-3 for unit-norm embeddings, so near-ties can re-rank (recall@k
+    pinned by tests). Opt-in via RetrievalIndex(precision="int8") — exact
+    fp32 stays the default; note pgvector's HNSW (the reference's index,
+    ref:src/setup_vector_db.py:155-170) is approximate too.
+    """
+    qs = jnp.maximum(jnp.max(jnp.abs(q), axis=1, keepdims=True) / 127.0, 1e-12)
+    qq = jnp.clip(jnp.rint(q / qs), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        qq, c_q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    sims = acc.astype(jnp.float32) * qs * c_s[None, :]
+    mask = ((qk[:, None] == ck[None, :]) | (qk[:, None] == WILDCARD_KEY)) & (
+        ck[None, :] >= 0
+    )
+    sims = jnp.where(mask, sims, NEG_INF)
+    return jax.lax.top_k(sims, k)
+
+
 @partial(jax.jit, static_argnames=("k",))
 def _device_masked_topk(q, qk, c, ck, k: int):
     """Single-device fused path: MXU matmul + key mask + stable top-k.
@@ -234,23 +268,34 @@ class RetrievalIndex:
         corpus_manuals: Sequence[str],
         corpus_pages: Sequence[Optional[int]],
         mesh: Optional[Mesh] = None,
+        precision: str = "fp32",
     ):
         corpus = np.asarray(corpus_embeddings, np.float32)
         self.vocab: Dict[str, int] = {}
         keys, self.vocab = encode_keys(corpus_manuals, corpus_pages, self.vocab)
         self._init_from_arrays(
-            corpus.shape[1] if corpus.ndim == 2 else 0, corpus, keys, mesh
+            corpus.shape[1] if corpus.ndim == 2 else 0, corpus, keys, mesh,
+            precision,
         )
 
     def _init_from_arrays(
         self, dim: int, corpus: np.ndarray, keys: np.ndarray,
-        mesh: Optional[Mesh],
+        mesh: Optional[Mesh], precision: str = "fp32",
     ) -> None:
         self.n = len(corpus)
         self.dim = dim
         self.mesh = mesh if (mesh is not None and mesh.shape["data"] > 1) else None
+        if precision not in ("fp32", "int8"):
+            raise ValueError(f"precision must be fp32 or int8, got {precision!r}")
+        if precision == "int8" and self.mesh is not None:
+            raise ValueError(
+                "int8 retrieval is single-device only (serving path); "
+                "use precision='fp32' with a mesh"
+            )
+        self.precision = precision
         if not hasattr(self, "vocab"):
             self.vocab = {}
+        self._corpus_scales = None
         if self.n == 0:
             self._corpus = self._keys = None
             self._n_local = 0
@@ -271,6 +316,12 @@ class RetrievalIndex:
             self._keys = jax.device_put(
                 keys, NamedSharding(self.mesh, P("data"))
             )
+        elif precision == "int8":
+            q, s = _quantize_rows(corpus)
+            self._n_local = self.n
+            self._corpus = jax.device_put(q)
+            self._corpus_scales = jax.device_put(s)
+            self._keys = jax.device_put(keys)
         else:
             self._n_local = self.n
             self._corpus = jax.device_put(corpus)
@@ -332,6 +383,11 @@ class RetrievalIndex:
         appear as indices >= n only when a query has < k candidates.
         The ring strategy requires Q % data-axis-size == 0."""
         if self.mesh is None:
+            if self.precision == "int8":
+                return _device_masked_topk_int8(
+                    query_embeddings, query_keys, self._corpus,
+                    self._corpus_scales, self._keys, min(k, self.n),
+                )
             return _device_masked_topk(
                 query_embeddings, query_keys, self._corpus, self._keys,
                 min(k, self.n),
@@ -386,7 +442,7 @@ class RetrievalIndex:
             # kernel exists for the regime where that matrix does NOT fit —
             # it streams corpus blocks with O(Q*k) state instead of O(Q*N).
             sim_bytes = 4 * nq * self.n
-            if k <= 16 and sim_bytes > 4 * 1024**3:
+            if k <= 16 and sim_bytes > 4 * 1024**3 and self.precision == "fp32":
                 from tpualign.ops.pallas_kernels import masked_sim_topk
 
                 vals, idx = masked_sim_topk(

@@ -321,7 +321,15 @@ class Pipeline:
         )
         summary = proc.process_incremental()
         if not summary.get("ingested"):
-            return summary
+            if self._store_in_sync():
+                return summary
+            # a previous cycle was interrupted between writing the ingest
+            # manifest and finishing the embed: heal by re-running the
+            # downstream stages over the (already merged) outputs
+            log.warning(
+                "Store out of sync with processed outputs "
+                "(interrupted ingest?); re-embedding"
+            )
         self._record_step(
             "document_processing",
             inputs_fingerprint=self._inputs_fingerprint(),
@@ -334,6 +342,20 @@ class Pipeline:
         if evaluate:
             self.step_evaluation()
         return summary
+
+    def _store_in_sync(self) -> bool:
+        """True when every schema's row counts match the processed JSONs."""
+        try:
+            images, chunks, _ = self._load_processed()
+        except Exception:
+            return True  # nothing processed yet; nothing to heal
+        for schema in SCHEMAS:
+            if not self.store.schema_exists(schema):
+                return False
+            counts = self.store.counts(schema)
+            if counts["images"] != len(images) or counts["text_chunks"] != len(chunks):
+                return False
+        return True
 
     def watch(
         self, interval_seconds: float = 30.0, evaluate: bool = False,
