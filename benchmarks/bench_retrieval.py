@@ -72,6 +72,14 @@ def main() -> None:
 
     timed(lambda: index.search_device(q, qk, k, strategy="gather"),
           "index_gather")
+
+    if mesh is None:
+        index8 = RetrievalIndex.__new__(RetrievalIndex)
+        index8.vocab = {}
+        index8._init_from_arrays(
+            d, np.asarray(c), np.asarray(ck, np.int32), None, "int8"
+        )
+        timed(lambda: index8.search_device(q, qk, k), "index_int8")
     if mesh is not None and q_n % mesh.shape["data"] == 0:
         timed(lambda: index.search_device(q, qk, k, strategy="ring"),
               "index_ring")
