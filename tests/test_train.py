@@ -258,3 +258,49 @@ def test_dryrun_multichip_after_backend_init_subprocess():
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "dryrun_multichip ok" in proc.stdout
+
+
+def test_sharded_checkpoint_roundtrip(tmp_path):
+    """Orbax save/restore of a TP-sharded state keeps the mesh sharding:
+    no host gather on save, restore lands directly in the TP layout."""
+    from tpualign.config import ClipVariant, TrainConfig
+    from tpualign.models.clip import CLIP, init_clip_params
+    from tpualign.parallel.mesh import create_mesh
+    from tpualign.train.checkpoint import restore_checkpoint, save_checkpoint
+    from tpualign.train.step import create_train_state, make_sharded_train_step
+
+    variant = ClipVariant(
+        name="ck", embed_dim=64, image_size=32, patch_size=8,
+        vision_width=128, vision_layers=2, vision_heads=4, context_length=16,
+        vocab_size=512, text_width=128, text_layers=2, text_heads=4,
+    )
+    model = CLIP(variant=variant, use_quick_gelu=True, compute_dtype=jnp.float32)
+    mesh = create_mesh(4, 2)
+    cfg = TrainConfig(batch_size=8, warmup_steps=1, total_steps=4)
+    step_fn, shard_state = make_sharded_train_step(model, mesh, cfg)
+
+    state = shard_state(create_train_state(
+        model, init_clip_params(model, seed=3), cfg))
+    rng = np.random.default_rng(0)
+    images = rng.normal(size=(8, 32, 32, 3)).astype(np.float32)
+    tokens = np.zeros((8, 16), np.int32)
+    tokens[:, 0] = 510
+    tokens[:, 2] = 511
+    state, _ = step_fn(state, images, tokens, rng.random(8).astype(np.float32))
+
+    save_checkpoint(tmp_path / "ckpt", state)
+
+    fresh = shard_state(create_train_state(
+        model, init_clip_params(model, seed=99), cfg))
+    restored = restore_checkpoint(tmp_path / "ckpt", fresh)
+    assert restored is not None
+    assert int(jax.device_get(restored.step)) == 1
+    kern = restored.params["visual"]["transformer"]["resblock_0"]["mlp"]["c_fc_kernel"]
+    assert kern.sharding.spec[1] == "model"  # restored INTO the TP layout
+    np.testing.assert_allclose(
+        jax.device_get(kern),
+        jax.device_get(
+            state.params["visual"]["transformer"]["resblock_0"]["mlp"]["c_fc_kernel"]
+        ),
+        atol=0,
+    )

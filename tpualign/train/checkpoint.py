@@ -33,14 +33,19 @@ def _manager(directory: str | Path, max_to_keep: int = 3):
 
 
 def save_checkpoint(directory: str | Path, state, step: Optional[int] = None) -> int:
-    """Save {params, opt_state, step} (a TrainState or any pytree)."""
+    """Save {params, opt_state, step} (a TrainState or any pytree).
+
+    Sharded arrays (TP/DP-laid-out H-14 states) are passed to orbax AS IS —
+    orbax writes per-shard without gathering to host, so checkpointing
+    scales with the mesh instead of host RAM.
+    """
     import orbax.checkpoint as ocp
 
     if step is None:
         step = int(jax.device_get(state.step))
     payload = {
-        "params": jax.device_get(state.params),
-        "opt_state": jax.device_get(state.opt_state),
+        "params": state.params,
+        "opt_state": state.opt_state,
         "step": step,
     }
     mgr = _manager(directory)
@@ -62,7 +67,12 @@ def latest_step(directory: str | Path) -> Optional[int]:
 
 def restore_checkpoint(directory: str | Path, state, step: Optional[int] = None):
     """Restore into the structure of ``state`` (a TrainState); returns the
-    updated state or None when no checkpoint exists."""
+    updated state or None when no checkpoint exists.
+
+    The template is ``state``'s own (possibly sharded) arrays, so a state
+    that was laid out with ``shard_state`` restores DIRECTLY into the same
+    mesh sharding — no host gather, no re-sharding pass.
+    """
     import orbax.checkpoint as ocp
 
     mgr = _manager(directory)
@@ -70,8 +80,8 @@ def restore_checkpoint(directory: str | Path, state, step: Optional[int] = None)
     if step is None:
         return None
     template = {
-        "params": jax.device_get(state.params),
-        "opt_state": jax.device_get(state.opt_state),
+        "params": state.params,
+        "opt_state": state.opt_state,
         "step": 0,
     }
     restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
