@@ -82,3 +82,24 @@ def test_checks_run(tmp_path, capsys):
     assert rc == 0  # required imports + devices present in this env
     assert "RESULT: healthy" in out
     assert "vanilla_clip" in out  # schema section rendered (absent is fine)
+
+
+def test_train_config_from_env():
+    """Training hyperparameters are env-settable (round-2 fix: these were
+    silently ignored before)."""
+    from tpualign.config import load_config
+
+    cfg = load_config(env_file=None, overrides={
+        "LEARNING_RATE": "2e-3", "TOTAL_STEPS": "150", "WARMUP_STEPS": "10",
+        "TRAIN_BATCH_SIZE": "32", "BATCH_SIZE": "64",
+        "WEAK_SCORE_TEMPERATURE": "0.1",
+    })
+    assert cfg.train.learning_rate == 2e-3
+    assert cfg.train.total_steps == 150
+    assert cfg.train.warmup_steps == 10
+    assert cfg.train.batch_size == 32       # TRAIN_BATCH_SIZE wins
+    assert cfg.batch_size == 64             # embed batch separate
+    assert cfg.train.weak_score_temperature == 0.1
+    # TRAIN_BATCH_SIZE falls back to BATCH_SIZE
+    cfg2 = load_config(env_file=None, overrides={"BATCH_SIZE": "48"})
+    assert cfg2.train.batch_size == 48

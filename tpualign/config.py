@@ -341,11 +341,21 @@ def load_config(
         exclude_terms_file=_env(env, "EXCLUDE_TERMS_FILE", "") or None,
     )
     store = StoreConfig(root=_env(env, "STORE_DIR", "data/store"))
+    train = TrainConfig(
+        learning_rate=float(_env(env, "LEARNING_RATE", "1e-5")),
+        weight_decay=float(_env(env, "WEIGHT_DECAY", "0.2")),
+        batch_size=int(_env(env, "TRAIN_BATCH_SIZE", _env(env, "BATCH_SIZE", "256"))),
+        warmup_steps=int(_env(env, "WARMUP_STEPS", "200")),
+        total_steps=int(_env(env, "TOTAL_STEPS", "2000")),
+        weak_score_temperature=float(_env(env, "WEAK_SCORE_TEMPERATURE", "0.5")),
+        label_smoothing=float(_env(env, "LABEL_SMOOTHING", "0.0")),
+    )
     return PipelineConfig(
         model=model,
         mesh=mesh,
         data=data,
         store=store,
+        train=train,
         eval_output_dir=_env(env, "EVAL_OUTPUT_DIR", "evaluation_results"),
         batch_size=int(_env(env, "BATCH_SIZE", "256")),
         log_level=_env(env, "LOG_LEVEL", "INFO"),
