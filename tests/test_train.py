@@ -304,3 +304,74 @@ def test_sharded_checkpoint_roundtrip(tmp_path):
         ),
         atol=0,
     )
+
+
+class TestPatchMasking:
+    """FLIP-style visible-patch masking (arXiv:2212.00794, PAPERS.md)."""
+
+    def _model(self):
+        from tests.test_models import TINY, tiny_model
+        from tpualign.models.clip import init_clip_params
+
+        model = tiny_model()
+        return TINY, model, init_clip_params(model, seed=0)
+
+    def test_full_permutation_equals_unmasked(self):
+        """K = P with a permutation must reproduce the unmasked embedding
+        (attention is permutation-equivariant once positions are gathered)."""
+        variant, model, params = self._model()
+        rng = np.random.default_rng(0)
+        images = rng.normal(size=(3, 32, 32, 3)).astype(np.float32)
+        p = variant.num_patches
+        idx = np.stack([rng.permutation(p) for _ in range(3)]).astype(np.int32)
+        base = model.apply({"params": params}, jnp.asarray(images),
+                           method=model.encode_image)
+        perm = model.apply({"params": params}, jnp.asarray(images),
+                           patch_indices=jnp.asarray(idx),
+                           method=model.encode_image)
+        np.testing.assert_allclose(np.asarray(base), np.asarray(perm),
+                                   atol=1e-4)
+
+    def test_masked_step_trains(self):
+        from tests.test_models import TINY
+        from tpualign.train.step import sample_patch_indices
+
+        variant, model, params = self._model()
+        config = TrainConfig(learning_rate=1e-3, warmup_steps=0,
+                             total_steps=100, patch_mask_ratio=0.5)
+        state = create_train_state(model, params, config)
+        rng = np.random.default_rng(0)
+        images, tokens, weak = batch_for(TINY, 8, rng)
+        losses = []
+        for _ in range(5):
+            idx = sample_patch_indices(rng, 8, variant.num_patches, 0.5)
+            assert idx.shape == (8, variant.num_patches // 2)
+            state, metrics = train_step(
+                state, model, jnp.asarray(images), jnp.asarray(tokens),
+                jnp.asarray(weak), config, jnp.asarray(idx),
+            )
+            losses.append(float(metrics["loss"]))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0], losses
+
+    def test_ratio_zero_is_none(self):
+        from tpualign.train.step import sample_patch_indices
+
+        assert sample_patch_indices(np.random.default_rng(0), 4, 16, 0.0) is None
+
+    def test_sharded_step_with_masking(self):
+        from tests.test_models import TINY
+        from tpualign.parallel.mesh import create_mesh
+        from tpualign.train.step import sample_patch_indices
+
+        variant, model, params = self._model()
+        config = TrainConfig(learning_rate=1e-3, warmup_steps=0,
+                             total_steps=100, patch_mask_ratio=0.5)
+        mesh = create_mesh(4, 2)
+        step_fn, shard_state = make_sharded_train_step(model, mesh, config)
+        state = shard_state(create_train_state(model, params, config))
+        rng = np.random.default_rng(1)
+        images, tokens, weak = batch_for(TINY, 8, rng)
+        idx = sample_patch_indices(rng, 8, variant.num_patches, 0.5)
+        state, metrics = step_fn(state, images, tokens, weak, idx)
+        assert np.isfinite(float(metrics["loss"]))

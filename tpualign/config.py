@@ -233,6 +233,9 @@ class TrainConfig:
     total_steps: int = 2000
     weak_score_temperature: float = 0.5  # how strongly weak scores weight positives
     label_smoothing: float = 0.0
+    # FLIP-style visible-patch ratio to MASK during training (0 = off);
+    # 0.5 cuts vision-tower step FLOPs ~2x (arXiv:2212.00794, PAPERS.md)
+    patch_mask_ratio: float = 0.0
 
 
 @dataclass(frozen=True)
@@ -349,6 +352,7 @@ def load_config(
         total_steps=int(_env(env, "TOTAL_STEPS", "2000")),
         weak_score_temperature=float(_env(env, "WEAK_SCORE_TEMPERATURE", "0.5")),
         label_smoothing=float(_env(env, "LABEL_SMOOTHING", "0.0")),
+        patch_mask_ratio=float(_env(env, "PATCH_MASK_RATIO", "0.0")),
     )
     return PipelineConfig(
         model=model,

@@ -66,8 +66,11 @@ class CLIP(nn.Module):
             (),
         )
 
-    def encode_image(self, images: jnp.ndarray, normalize: bool = False) -> jnp.ndarray:
-        feats = self.visual(images)
+    def encode_image(
+        self, images: jnp.ndarray, normalize: bool = False,
+        patch_indices: jnp.ndarray | None = None,
+    ) -> jnp.ndarray:
+        feats = self.visual(images, patch_indices)
         if normalize:
             feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
         return feats
@@ -79,9 +82,10 @@ class CLIP(nn.Module):
         return feats
 
     def __call__(
-        self, images: jnp.ndarray, token_ids: jnp.ndarray
+        self, images: jnp.ndarray, token_ids: jnp.ndarray,
+        patch_indices: jnp.ndarray | None = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-        img = self.encode_image(images, normalize=True)
+        img = self.encode_image(images, normalize=True, patch_indices=patch_indices)
         txt = self.encode_text(token_ids, normalize=True)
         return img, txt, jnp.exp(self.logit_scale)
 

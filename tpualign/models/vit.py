@@ -37,8 +37,17 @@ class VisionTransformer(nn.Module):
     use_fused_attention: bool = False
 
     @nn.compact
-    def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
-        """images: (B, H, W, 3) float, already preprocessed/normalized."""
+    def __call__(
+        self, images: jnp.ndarray, patch_indices: jnp.ndarray | None = None
+    ) -> jnp.ndarray:
+        """images: (B, H, W, 3) float, already preprocessed/normalized.
+
+        ``patch_indices``: optional (B, K) int32 indices of VISIBLE patches
+        (FLIP-style masking, arXiv:2212.00794 — see PAPERS.md): the
+        transformer runs on CLS + the K selected patches only, cutting
+        training FLOPs ~(K/P)x while keeping shapes static for XLA.
+        Inference passes None (all patches).
+        """
         b = images.shape[0]
         grid = self.image_size // self.patch_size
         num_tokens = grid * grid + 1
@@ -67,11 +76,22 @@ class VisionTransformer(nn.Module):
             (num_tokens, self.width),
             jnp.float32,
         )
-        cls = jnp.broadcast_to(
-            class_embedding.astype(x.dtype)[None, None, :], (b, 1, self.width)
-        )
-        x = jnp.concatenate([cls, x], axis=1)
-        x = x + positional_embedding.astype(x.dtype)[None]
+        pos = positional_embedding.astype(x.dtype)
+        if patch_indices is not None:
+            # gather visible patches and their positional rows (row 0 is CLS)
+            x = jnp.take_along_axis(x, patch_indices[..., None], axis=1)
+            patch_pos = jnp.take(pos[1:], patch_indices, axis=0)  # (B, K, W)
+            cls = jnp.broadcast_to(
+                class_embedding.astype(x.dtype)[None, None, :],
+                (b, 1, self.width),
+            ) + pos[None, :1]
+            x = jnp.concatenate([cls, x + patch_pos], axis=1)
+        else:
+            cls = jnp.broadcast_to(
+                class_embedding.astype(x.dtype)[None, None, :], (b, 1, self.width)
+            )
+            x = jnp.concatenate([cls, x], axis=1)
+            x = x + pos[None]
 
         x = LayerNorm(name="ln_pre")(x)
         x = Transformer(

@@ -23,7 +23,8 @@ from tpualign.config import TrainConfig
 from tpualign.models.clip import CLIP
 from tpualign.train.loss import clip_contrastive_loss
 
-__all__ = ["TrainState", "create_train_state", "train_step", "make_sharded_train_step"]
+__all__ = ["TrainState", "create_train_state", "train_step",
+           "make_sharded_train_step", "sample_patch_indices"]
 
 MAX_LOGIT_SCALE = 4.6052  # ln(100)
 
@@ -80,11 +81,20 @@ def train_step(
     token_ids: jnp.ndarray,
     weak_scores: Optional[jnp.ndarray],
     config: TrainConfig,
+    patch_indices: Optional[jnp.ndarray] = None,
 ) -> Tuple[TrainState, dict]:
-    """One optimization step (pure function of state + batch)."""
+    """One optimization step (pure function of state + batch).
+
+    ``patch_indices`` (B, K): FLIP-style visible-patch subset
+    (arXiv:2212.00794) — the vision tower runs on K patches instead of all,
+    cutting step FLOPs ~K/P at small accuracy cost; sample per step with
+    :func:`sample_patch_indices`. None = no masking (default).
+    """
 
     def loss_fn(params):
-        img, txt, scale = model.apply({"params": params}, images, token_ids)
+        img, txt, scale = model.apply(
+            {"params": params}, images, token_ids, patch_indices
+        )
         return clip_contrastive_loss(
             img, txt, scale,
             weak_scores=weak_scores,
@@ -149,15 +159,35 @@ def make_sharded_train_step(
     step = partial(train_step, model=model, config=config)
 
     @jax.jit
-    def jitted(state, images, token_ids, weak_scores):
+    def jitted(state, images, token_ids, weak_scores, patch_indices):
         return step(state, images=images, token_ids=token_ids,
-                    weak_scores=weak_scores)
+                    weak_scores=weak_scores, patch_indices=patch_indices)
 
-    def run(state, images, token_ids, weak_scores):
+    def run(state, images, token_ids, weak_scores, patch_indices=None):
         images = jax.device_put(images, batch_img)
         token_ids = jax.device_put(token_ids, batch_txt)
         if weak_scores is not None:
             weak_scores = jax.device_put(weak_scores, batch_w)
-        return jitted(state, images, token_ids, weak_scores)
+        if patch_indices is not None:
+            patch_indices = jax.device_put(
+                patch_indices, NamedSharding(mesh, P("data", None))
+            )
+        return jitted(state, images, token_ids, weak_scores, patch_indices)
 
     return run, shard_state
+
+
+def sample_patch_indices(
+    rng: "np.random.Generator", batch: int, num_patches: int, mask_ratio: float
+):
+    """(batch, K) visible-patch indices for FLIP-style masking, K fixed by
+    ``mask_ratio`` so jit shapes stay static; None when ratio <= 0."""
+    import numpy as np
+
+    if mask_ratio <= 0.0:
+        return None
+    keep = max(1, int(round(num_patches * (1.0 - mask_ratio))))
+    idx = np.empty((batch, keep), np.int32)
+    for i in range(batch):
+        idx[i] = rng.permutation(num_patches)[:keep]
+    return idx

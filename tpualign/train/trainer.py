@@ -25,7 +25,12 @@ from tpualign.models.loader import load_checkpoint_params
 from tpualign.ops.preprocess import preprocess_host
 from tpualign.store import EmbeddingStore
 from tpualign.tokenizer import ClipTokenizer
-from tpualign.train.step import create_train_state, make_sharded_train_step, train_step
+from tpualign.train.step import (
+    create_train_state,
+    make_sharded_train_step,
+    sample_patch_indices,
+    train_step,
+)
 from tpualign.utils.logging import get_logger
 from tpualign.utils.profiling import ThroughputMeter
 
@@ -110,8 +115,10 @@ class Trainer:
             model, tc = self.model, config.train
 
             @jax.jit
-            def _single_step(state, images, token_ids, weak_scores):
-                return train_step(state, model, images, token_ids, weak_scores, tc)
+            def _single_step(state, images, token_ids, weak_scores,
+                             patch_indices=None):
+                return train_step(state, model, images, token_ids,
+                                  weak_scores, tc, patch_indices)
 
             self._step = _single_step
 
@@ -183,15 +190,29 @@ class Trainer:
         meter = ThroughputMeter()
         metrics = {}
         it = self.batches(triples, batch_size, seed=self.config.seed)
+        import numpy as _np
+
+        mask_rng = _np.random.default_rng(self.config.seed + 1)
         start_step = int(jax.device_get(self.state.step))
         t0 = time.perf_counter()
         for step_i in range(start_step, steps):
             imgs, tokens, weights = next(it)
+            patch_idx = sample_patch_indices(
+                mask_rng, batch_size,
+                (self.variant.image_size // self.variant.patch_size) ** 2,
+                self.config.train.patch_mask_ratio,
+            )
             with meter.measure("train_pairs", batch_size):
-                self.state, metrics = self._step(
-                    self.state, jnp.asarray(imgs), jnp.asarray(tokens),
-                    jnp.asarray(weights),
-                )
+                if patch_idx is None:
+                    self.state, metrics = self._step(
+                        self.state, jnp.asarray(imgs), jnp.asarray(tokens),
+                        jnp.asarray(weights),
+                    )
+                else:
+                    self.state, metrics = self._step(
+                        self.state, jnp.asarray(imgs), jnp.asarray(tokens),
+                        jnp.asarray(weights), jnp.asarray(patch_idx),
+                    )
             if (step_i + 1) % log_every == 0:
                 log.info(
                     "step %d: loss=%.4f acc_i2t=%.3f grad_norm=%.3f",
