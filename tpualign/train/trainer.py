@@ -114,7 +114,9 @@ class Trainer:
         else:
             model, tc = self.model, config.train
 
-            @jax.jit
+            from functools import partial as _partial
+
+            @_partial(jax.jit, donate_argnums=(0,))
             def _single_step(state, images, token_ids, weak_scores,
                              patch_indices=None):
                 return train_step(state, model, images, token_ids,
