@@ -105,6 +105,20 @@ def check_bbox_quality(config: PipelineConfig) -> None:
         print(f"    bbox_source={src}: {n}")
 
 
+def check_native() -> bool:
+    """Native C++ library builds (or rebuilds) and passes its self-test."""
+    try:
+        from tpualign.native import native_available
+
+        ok = native_available()
+        print(f"  {'OK' if ok else '--'} native C++ library "
+              f"{'available (self-tested)' if ok else 'unavailable; pure-Python fallbacks active'}")
+        return True  # fallbacks make this non-fatal
+    except Exception as e:
+        print(f"  -- native check failed: {e}")
+        return True
+
+
 def run_checks(config: PipelineConfig) -> int:
     print("tpualign installation check")
     print("=" * 60)
@@ -114,6 +128,8 @@ def run_checks(config: PipelineConfig) -> int:
     devices_ok = check_devices()
     print("directories:")
     check_directories(config)
+    print("native:")
+    check_native()
     print("store:")
     check_store(config)
     print("bbox quality:")
