@@ -375,3 +375,52 @@ class TestPatchMasking:
         idx = sample_patch_indices(rng, 8, variant.num_patches, 0.5)
         state, metrics = step_fn(state, images, tokens, weak, idx)
         assert np.isfinite(float(metrics["loss"]))
+
+
+def test_siglip_loss_math():
+    """Pairwise sigmoid loss: perfect alignment beats shuffled; matches a
+    hand-computed softplus formula; uniform weak scores = unweighted."""
+    from tpualign.train.loss import siglip_loss
+
+    rng = np.random.default_rng(4)
+    e = unit(rng, (6, 16))
+    bias = jnp.asarray(-2.0)
+    aligned, m = siglip_loss(jnp.asarray(e), jnp.asarray(e), jnp.asarray(20.0), bias)
+    shuffled = e[np.random.default_rng(5).permutation(6)]
+    rand, _ = siglip_loss(jnp.asarray(e), jnp.asarray(shuffled), jnp.asarray(20.0), bias)
+    assert float(aligned) < float(rand)
+    assert float(m["acc_i2t"]) == 1.0
+
+    # hand formula
+    img, txt = unit(rng, (4, 8)), unit(rng, (4, 8))
+    logits = 10.0 * img @ txt.T - 2.0
+    signs = 2 * np.eye(4) - 1
+    want = np.logaddexp(0.0, -signs * logits).sum() / 4
+    got, _ = siglip_loss(jnp.asarray(img), jnp.asarray(txt),
+                         jnp.asarray(10.0), jnp.asarray(-2.0))
+    np.testing.assert_allclose(float(got), want, rtol=1e-5)
+
+    # uniform weak scores reduce to unweighted
+    uw, _ = siglip_loss(jnp.asarray(img), jnp.asarray(txt), jnp.asarray(10.0),
+                        jnp.asarray(-2.0), weak_scores=jnp.full((4,), 0.3))
+    np.testing.assert_allclose(float(uw), want, rtol=1e-5)
+
+
+def test_siglip_training_decreases_loss(tiny_setup):
+    from tests.test_models import TINY
+
+    model, params = tiny_setup
+    config = TrainConfig(learning_rate=1e-3, warmup_steps=0, total_steps=100,
+                         loss_type="siglip", siglip_bias=-5.0)
+    state = create_train_state(model, params, config)
+    rng = np.random.default_rng(0)
+    images, tokens, weak = batch_for(TINY, 8, rng)
+    losses = []
+    for _ in range(5):
+        state, metrics = train_step(
+            state, model, jnp.asarray(images), jnp.asarray(tokens),
+            jnp.asarray(weak), config,
+        )
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses

@@ -236,6 +236,11 @@ class TrainConfig:
     # FLIP-style visible-patch ratio to MASK during training (0 = off);
     # 0.5 cuts vision-tower step FLOPs ~2x (arXiv:2212.00794, PAPERS.md)
     patch_mask_ratio: float = 0.0
+    # contrastive objective: "clip" (symmetric InfoNCE) or "siglip"
+    # (pairwise sigmoid, arXiv:2303.15343 — no cross-batch softmax, scales
+    # to huge effective batches without gathers)
+    loss_type: str = "clip"
+    siglip_bias: float = -10.0  # fixed logit bias for the sigmoid loss
 
 
 @dataclass(frozen=True)
@@ -353,6 +358,8 @@ def load_config(
         weak_score_temperature=float(_env(env, "WEAK_SCORE_TEMPERATURE", "0.5")),
         label_smoothing=float(_env(env, "LABEL_SMOOTHING", "0.0")),
         patch_mask_ratio=float(_env(env, "PATCH_MASK_RATIO", "0.0")),
+        loss_type=_env(env, "LOSS_TYPE", "clip"),
+        siglip_bias=float(_env(env, "SIGLIP_BIAS", "-10.0")),
     )
     return PipelineConfig(
         model=model,

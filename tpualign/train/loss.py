@@ -20,7 +20,54 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["clip_contrastive_loss"]
+__all__ = ["clip_contrastive_loss", "siglip_loss"]
+
+
+def siglip_loss(
+    image_embs: jnp.ndarray,
+    text_embs: jnp.ndarray,
+    logit_scale: jnp.ndarray,
+    logit_bias: jnp.ndarray,
+    weak_scores: Optional[jnp.ndarray] = None,
+    weight_temperature: float = 0.5,
+) -> Tuple[jnp.ndarray, dict]:
+    """SigLIP pairwise sigmoid loss (Zhai et al., arXiv:2303.15343).
+
+    Every (i, j) logit is an independent binary problem: label +1 on the
+    diagonal, -1 off it — no cross-batch softmax, so the loss needs no
+    global normalization and scales to very large effective batches without
+    a gather (a TPU-friendly property; with the batch sharded over ``data``
+    GSPMD keeps the (B, B) logits fully sharded). Weak scores weight each
+    POSITIVE pair's row+column contribution like the InfoNCE path.
+
+    ``logit_bias``: learned scalar added to all logits (SigLIP inits it
+    around -10 so training starts near the all-negatives prior).
+    """
+    b = image_embs.shape[0]
+    logits = (
+        logit_scale
+        * jnp.dot(image_embs, text_embs.T, preferred_element_type=jnp.float32)
+        + logit_bias
+    )
+    signs = 2.0 * jnp.eye(b, dtype=jnp.float32) - 1.0  # +1 diag, -1 off
+    # -log sigmoid(sign * logit), numerically via softplus(-x)
+    pairwise = jax.nn.softplus(-signs * logits)  # (B, B)
+
+    if weak_scores is not None:
+        w = jax.nn.softmax(weak_scores / weight_temperature) * b
+        # weight row i (image i's positives+negatives) and implicitly the
+        # matching column through symmetry of the diagonal weighting
+        pairwise = pairwise * w[:, None]
+    loss = jnp.sum(pairwise) / b
+
+    acc_i2t = jnp.mean(jnp.argmax(logits, axis=-1) == jnp.arange(b))
+    acc_t2i = jnp.mean(jnp.argmax(logits, axis=0) == jnp.arange(b))
+    return loss, {
+        "loss": loss,
+        "acc_i2t": acc_i2t,
+        "acc_t2i": acc_t2i,
+        "logit_scale": logit_scale,
+    }
 
 
 def clip_contrastive_loss(

@@ -21,7 +21,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tpualign.config import TrainConfig
 from tpualign.models.clip import CLIP
-from tpualign.train.loss import clip_contrastive_loss
+from tpualign.train.loss import clip_contrastive_loss, siglip_loss
 
 __all__ = ["TrainState", "create_train_state", "train_step",
            "make_sharded_train_step", "sample_patch_indices"]
@@ -95,6 +95,12 @@ def train_step(
         img, txt, scale = model.apply(
             {"params": params}, images, token_ids, patch_indices
         )
+        if config.loss_type == "siglip":
+            return siglip_loss(
+                img, txt, scale, jnp.asarray(config.siglip_bias),
+                weak_scores=weak_scores,
+                weight_temperature=config.weak_score_temperature,
+            )
         return clip_contrastive_loss(
             img, txt, scale,
             weak_scores=weak_scores,
