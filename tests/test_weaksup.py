@@ -186,3 +186,67 @@ def test_rerank_tie_break_by_index():
     idx = np.asarray([[7, 3]])
     _, i = rerank_with_weak_scores(vals, idx, ["q"], ["c"] * 8, {}, 0.0)
     np.testing.assert_array_equal(i[0], [3, 7])
+
+
+class TestCalibration:
+    def test_pav_monotone_and_means(self):
+        from tpualign.weaksup.calibration import apply_calibration, fit_isotonic
+
+        # textbook PAV case with a violator: (1,3) pooled with (2,1) -> 2.0
+        x = np.array([0.1, 0.2, 0.3, 0.4])
+        y = np.array([1.0, 3.0, 1.0, 4.0])
+        knots = fit_isotonic(x, y)
+        fitted = apply_calibration(x, knots)
+        assert (np.diff(fitted) >= -1e-9).all()
+        np.testing.assert_allclose(fitted, [1.0, 2.0, 2.0, 4.0])
+        # means preserved within pooled blocks
+        np.testing.assert_allclose(fitted.sum(), y.sum())
+
+    def test_pav_ties_pooled(self):
+        from tpualign.weaksup.calibration import apply_calibration, fit_isotonic
+
+        x = np.array([0.5, 0.5, 0.9])
+        y = np.array([0.0, 1.0, 2.0])
+        knots = fit_isotonic(x, y)
+        np.testing.assert_allclose(apply_calibration(np.array([0.5]), knots), [0.5])
+
+    def test_calibrate_schema_roundtrip(self, tmp_path):
+        from tpualign.store import EmbeddingStore
+        from tpualign.weaksup.calibration import calibrate_schema
+
+        rng = np.random.default_rng(0)
+        store = EmbeddingStore(tmp_path / "s", embed_dim=8)
+        store.setup(["clip_combined"])
+        n = 20
+        emb_i = rng.normal(size=(n, 8)).astype(np.float32)
+        emb_i /= np.linalg.norm(emb_i, axis=1, keepdims=True)
+        # chunks = noisy copies of their image -> sims correlate with index
+        noise = rng.normal(size=(n, 8)).astype(np.float32) * np.linspace(
+            1.5, 0.0, n
+        )[:, None]
+        emb_c = emb_i + noise
+        emb_c /= np.linalg.norm(emb_c, axis=1, keepdims=True)
+        img_rows = [{"image_id": f"i{k}", "manual_id": "m", "page": k,
+                     "bbox": [0, 0, 1, 1], "bbox_source": "native",
+                     "caption": None, "filename": None,
+                     "image_type": "raster_image"} for k in range(n)]
+        chunk_rows = [{"chunk_id": f"c{k}", "manual_id": "m", "page": k,
+                       "bbox": [0, 0, 1, 1], "text": f"t{k}"} for k in range(n)]
+        store.insert_images("clip_combined", img_rows, emb_i)
+        store.insert_chunks("clip_combined", chunk_rows, emb_c)
+        # weak scores roughly increasing with true quality, noisy
+        weak = np.clip(np.linspace(0.1, 0.9, n) + rng.normal(0, 0.05, n), 0, 1)
+        store.insert_alignments(
+            "clip_combined",
+            [(f"i{k}", f"c{k}", float(weak[k]), "combined") for k in range(n)],
+        )
+
+        out = calibrate_schema(store, "clip_combined", write=True)
+        assert out["n_pairs"] == n
+        lo, hi = out["calibrated_range"]
+        assert -1.0 <= lo <= hi <= 1.0  # cosine scale now
+        # write-back preserved ranking (monotone map) and hit the store
+        new = {(a, b): s for a, b, s, _ in store.alignments("clip_combined")}
+        raw_order = np.argsort(weak, kind="stable")
+        cal = np.array([new[(f"i{k}", f"c{k}")] for k in range(n)])
+        assert (np.diff(cal[raw_order]) >= -1e-6).all()

@@ -144,6 +144,15 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         help="skip loading the text tower (embedding-only queries)",
     )
 
+    p_cal = sub.add_parser(
+        "calibrate",
+        help="calibrate weak-supervision scores onto the tower cosine scale",
+    )
+    _add_common(p_cal)
+    p_cal.add_argument("--schema", default="clip_combined", choices=list(SCHEMAS))
+    p_cal.add_argument("--write", action="store_true",
+                       help="upsert calibrated scores back into the store")
+
     p_query = sub.add_parser("query", help="similarity search over the store")
     _add_common(p_query)
     p_query.add_argument("--schema", default="vanilla_clip", choices=list(SCHEMAS))
@@ -272,6 +281,23 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             httpd.serve_forever()
         except KeyboardInterrupt:
             pass
+        return 0
+
+    if args.command == "calibrate":
+        from tpualign.store import EmbeddingStore
+        from tpualign.weaksup.calibration import calibrate_schema
+
+        config = _config_from(args)
+        store = EmbeddingStore(config.store.root, embed_dim=config.model.embed_dim)
+        out = calibrate_schema(store, args.schema, write=args.write)
+        if out["n_pairs"] == 0:
+            print(f"no alignments in schema {args.schema}")
+            return 1
+        print(f"calibrated {out['n_pairs']} pairs: "
+              f"raw {out['raw_range'][0]:.3f}..{out['raw_range'][1]:.3f} -> "
+              f"cosine {out['calibrated_range'][0]:.3f}.."
+              f"{out['calibrated_range'][1]:.3f}"
+              + (" (written)" if args.write else " (dry run; --write to persist)"))
         return 0
 
     if args.command == "query":

@@ -17,3 +17,8 @@ from tpualign.weaksup.alignment import (  # noqa: F401
     POSITIONAL_THRESHOLD,
     COMBINED_THRESHOLD,
 )
+from tpualign.weaksup.calibration import (  # noqa: F401
+    apply_calibration,
+    calibrate_schema,
+    fit_isotonic,
+)
