@@ -132,9 +132,17 @@ def make_sharded_train_step(
     batch_txt = NamedSharding(mesh, P("data", None))
     batch_w = NamedSharding(mesh, P("data"))
 
+    # Placement that always materializes FRESH buffers: the jitted step
+    # donates its input state, and jax.device_put may alias the source
+    # buffer (e.g. replicating on the source device), which would let the
+    # donation invalidate arrays the CALLER still holds (their original
+    # params). A jitted identity never aliases its input unless asked to.
+    def _place(x, sharding):
+        return jax.jit(lambda a: a, out_shardings=sharding)(x)
+
     def shard_state(state: TrainState) -> TrainState:
         pshard = param_sharding(state.params)
-        params = jax.tree.map(jax.device_put, state.params, pshard)
+        params = jax.tree.map(_place, state.params, pshard)
         replicated = NamedSharding(mesh, P())
         param_struct = jax.tree.structure(state.params)
 
@@ -147,9 +155,9 @@ def make_sharded_train_step(
                 isinstance(sub, dict)
                 and jax.tree.structure(sub) == param_struct
             ):
-                return jax.tree.map(jax.device_put, sub, pshard)
+                return jax.tree.map(_place, sub, pshard)
             return jax.tree.map(
-                lambda leaf: jax.device_put(leaf, replicated), sub
+                lambda leaf: _place(leaf, replicated), sub
             )
 
         opt_state = jax.tree.map(
@@ -157,7 +165,7 @@ def make_sharded_train_step(
             is_leaf=lambda x: isinstance(x, dict),
         )
         return state.replace(
-            step=jax.device_put(state.step, replicated),
+            step=_place(state.step, replicated),
             params=params,
             opt_state=opt_state,
         )
