@@ -407,3 +407,19 @@ def test_int8_requires_single_device(mesh8):
         RetrievalIndex(c, ["m"] * 8, [1] * 8, mesh=mesh8, precision="int8")
     with pytest.raises(ValueError, match="precision"):
         RetrievalIndex(c, ["m"] * 8, [1] * 8, precision="fp8")
+
+
+def test_search_never_mutates_corpus_vocab():
+    """Query-side encode uses a vocab snapshot: unknown manuals match
+    nothing and never land in the shared vocab (a concurrent-serving race
+    could otherwise alias a novel query manual onto a corpus code)."""
+    rng = np.random.default_rng(9)
+    c = rng.normal(size=(12, 8)).astype(np.float32)
+    index = RetrievalIndex(c, [f"m{i % 3}" for i in range(12)], [1] * 12)
+    before = dict(index.vocab)
+    v, i = index.search(
+        rng.normal(size=(2, 8)).astype(np.float32), ["novel", "m1"], [1, 1], 3
+    )
+    assert index.vocab == before
+    assert (i[0] == -1).all()       # unknown manual: no candidates
+    assert (i[1] >= 0).any()        # known manual still matches

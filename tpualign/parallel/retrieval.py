@@ -368,7 +368,12 @@ class RetrievalIndex:
         if global_search or query_manuals is None:
             qk = np.full(len(queries), WILDCARD_KEY, np.int32)
         else:
-            qk, _ = encode_keys(query_manuals, query_pages, self.vocab)
+            # encode against a SNAPSHOT of the corpus vocab: unknown query
+            # manuals get codes beyond the corpus range (match nothing) and
+            # the shared vocab is never mutated — concurrent searches from
+            # the serving daemon could otherwise race two novel manuals
+            # onto one code and alias an existing corpus manual
+            qk, _ = encode_keys(query_manuals, query_pages, dict(self.vocab))
         return self._search_encoded(queries, qk, k, strategy)
 
     def search_device(
