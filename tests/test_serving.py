@@ -112,3 +112,60 @@ def test_no_text_tower_mode():
     svc = RetrievalService(emb, list("abcd"), ["m"] * 4, [1] * 4)
     with pytest.raises(RuntimeError, match="text encoder"):
         svc.search_text(["x"])
+
+
+def test_service_on_mesh():
+    """Service over a sharded index (8-device CPU mesh) returns the same
+    results as single-device."""
+    from tpualign.parallel.mesh import create_mesh
+
+    rng = np.random.default_rng(2)
+    n, d = 96, 16
+    emb = rng.normal(size=(n, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    ids = [f"c{i}" for i in range(n)]
+    manuals = [f"m{i % 2}" for i in range(n)]
+    pages = [i % 3 for i in range(n)]
+    s1 = RetrievalService(emb, ids, manuals, pages)
+    s8 = RetrievalService(emb, ids, manuals, pages, mesh=create_mesh(8, 1))
+    def same(a, b):
+        # identical rankings; scores equal up to fp32 reduction-order noise
+        for ra, rb in zip(a, b):
+            assert [h["chunk_id"] for h in ra] == [h["chunk_id"] for h in rb]
+            np.testing.assert_allclose(
+                [h["score"] for h in ra], [h["score"] for h in rb], atol=1e-6
+            )
+
+    q = emb[7:9]
+    r1 = s1.search_embeddings(q, [manuals[7], manuals[8]], [pages[7], pages[8]], k=4)
+    r8 = s8.search_embeddings(q, [manuals[7], manuals[8]], [pages[7], pages[8]], k=4)
+    same(r1, r8)
+    g1 = s1.search_embeddings(q, None, None, k=4, global_search=True)
+    g8 = s8.search_embeddings(q, None, None, k=4, global_search=True)
+    same(g1, g8)
+
+
+def test_concurrent_requests():
+    """Concurrent searches (the ThreadingHTTPServer situation) give
+    identical results to serial ones, including novel query manuals."""
+    import concurrent.futures
+
+    rng = np.random.default_rng(3)
+    n, d = 64, 16
+    emb = rng.normal(size=(n, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    ids = [f"c{i}" for i in range(n)]
+    manuals = [f"m{i % 4}" for i in range(n)]
+    pages = [1] * n
+    svc = RetrievalService(emb, ids, manuals, pages)
+
+    def one(i):
+        man = manuals[i % n] if i % 3 else f"novel{i}"
+        return man, svc.search_embeddings(emb[i % n: i % n + 1], [man], [1], k=3)
+
+    serial = [one(i) for i in range(24)]
+    with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
+        parallel = list(ex.map(one, range(24)))
+    assert serial == parallel
+    # novel manuals never contaminated the shared vocab
+    assert all(not m.startswith("novel") for m in svc.index.vocab)

@@ -17,8 +17,11 @@ A ground-up JAX/Flax/Pallas rebuild of the capabilities of
   / clip_combined)               -> :mod:`tpualign.store`
 - Retrieval evaluation: Top-K accuracy, MRR, mean similarity, plots
                                  -> :mod:`tpualign.evaluation`
-- Weak-supervision-weighted contrastive fine-tuning -> :mod:`tpualign.train`
-- Pipeline orchestrator + CLI    -> :mod:`tpualign.pipeline`, ``python -m tpualign``
+- Weak-supervision-weighted contrastive fine-tuning (CLIP/SigLIP losses,
+  FLIP patch masking, sharded orbax checkpoints) -> :mod:`tpualign.train`
+- Device-resident retrieval serving daemon (HTTP/JSON) -> :mod:`tpualign.serving`
+- Pipeline orchestrator + CLI (incl. streaming ingest/watch)
+                                 -> :mod:`tpualign.pipeline`, ``python -m tpualign``
 
 Reference behavior citations in docstrings use ``ref:<file>:<lines>`` and are
 relative to the upstream repository root.
