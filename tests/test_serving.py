@@ -169,3 +169,36 @@ def test_concurrent_requests():
     assert serial == parallel
     # novel manuals never contaminated the shared vocab
     assert all(not m.startswith("novel") for m in svc.index.vocab)
+
+
+def test_build_service_from_store(tmp_path):
+    """build_service wires a store schema into a working service
+    (no-text-tower mode avoids the full tower load)."""
+    from tpualign.serving import build_service
+    from tpualign.config import load_config
+    from tpualign.store import EmbeddingStore
+
+    rng = np.random.default_rng(4)
+    store = EmbeddingStore(tmp_path / "store", embed_dim=512)
+    store.setup(["vanilla_clip"])
+    emb = rng.normal(size=(6, 512)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    store.insert_images("vanilla_clip", [
+        {"image_id": f"i{k}", "manual_id": "m", "page": 1, "bbox": [0, 0, 1, 1],
+         "bbox_source": "native", "caption": None, "filename": None,
+         "image_type": "raster_image"} for k in range(6)
+    ], emb)
+    store.insert_chunks("vanilla_clip", [
+        {"chunk_id": f"c{k}", "manual_id": "m", "page": 1,
+         "bbox": [0, 0, 1, 1], "text": f"t{k}"} for k in range(6)
+    ], emb)
+    store.save(["vanilla_clip"])
+
+    cfg = load_config(env_file=None, overrides={"STORE_DIR": str(tmp_path / "store")})
+    svc = build_service(cfg, "vanilla_clip", text_tower=False)
+    assert svc.stats()["corpus_size"] == 6
+    res = svc.search_embeddings(emb[2:3], ["m"], [1], k=2)
+    assert res[0][0]["chunk_id"] == "c2"
+
+    with pytest.raises(ValueError, match="no embeddings"):
+        build_service(cfg, "clip_lexical", text_tower=False)
