@@ -89,3 +89,101 @@ def test_two_process_distributed_psum(tmp_path):
     for p, (out, err) in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out}\n{err[-2000:]}"
         assert "psum ok: 6.0" in out
+
+
+_TRAIN_WORKER = r"""
+import os
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from tpualign.parallel.multihost import initialize_distributed, hybrid_mesh
+from tpualign.config import ClipVariant, TrainConfig
+from tpualign.models.clip import CLIP, init_clip_params
+from tpualign.train.step import create_train_state, make_sharded_train_step
+
+assert initialize_distributed() is True
+pid = jax.process_index()
+mesh = hybrid_mesh(model_parallel=2)  # data=2 across processes, model=2 local
+
+variant = ClipVariant(
+    name="mh", embed_dim=32, image_size=16, patch_size=8, vision_width=64,
+    vision_layers=1, vision_heads=2, context_length=8, vocab_size=128,
+    text_width=64, text_layers=1, text_heads=2,
+)
+model = CLIP(variant=variant, use_quick_gelu=True, compute_dtype=jnp.float32)
+params = init_clip_params(model, seed=0)  # identical on both processes
+config = TrainConfig(batch_size=4, warmup_steps=1, total_steps=4,
+                     learning_rate=1e-3)
+state = create_train_state(model, params, config)
+step_fn, shard_state = make_sharded_train_step(model, mesh, config)
+state = shard_state(state)
+
+# global batch 4, data axis = 2 processes -> each supplies 2 local rows
+rng = np.random.default_rng(0)
+g_images = rng.normal(size=(4, 16, 16, 3)).astype(np.float32)
+g_tokens = np.zeros((4, 8), np.int32); g_tokens[:, 0] = 126; g_tokens[:, 2] = 127
+g_weak = rng.random(4).astype(np.float32)
+lo, hi = 2 * pid, 2 * pid + 2
+
+def place(local, spec, gshape):
+    return jax.make_array_from_process_local_data(
+        NamedSharding(mesh, spec), local, global_shape=gshape
+    )
+
+images = place(g_images[lo:hi], P("data", None, None, None), g_images.shape)
+tokens = place(g_tokens[lo:hi], P("data", None), g_tokens.shape)
+weak = place(g_weak[lo:hi], P("data"), g_weak.shape)
+
+# call a jitted step directly (the convenience run() wrapper device_puts
+# host arrays, which assumes single-controller semantics)
+from tpualign.train import step as step_mod
+
+jitted = jax.jit(
+    lambda s, i, t, w: step_mod.train_step(s, model, i, t, w, config),
+    donate_argnums=(0,),
+)
+new_state, metrics = jitted(state, images, tokens, weak)
+loss = float(jax.device_get(metrics["loss"]))
+gn = float(jax.device_get(metrics["grad_norm"]))
+assert np.isfinite(loss) and np.isfinite(gn)
+assert int(jax.device_get(new_state.step)) == 1
+print(f"worker {pid} train ok: loss={loss:.6f} grad_norm={gn:.6f}")
+"""
+
+
+def test_two_process_sharded_train_step(tmp_path):
+    """One full TP+DP training step across two OS processes: data axis
+    spans processes (gradient psum over DCN-analog), model axis local."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    worker = _TRAIN_WORKER
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    procs = []
+    for pid in range(2):
+        env = {k: v for k, v in os.environ.items()
+               if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+        env.update(COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+                   NUM_PROCESSES="2", PROCESS_ID=str(pid))
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", worker], cwd=repo, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        ))
+    outs = [p.communicate(timeout=600) for p in procs]
+    losses = []
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err[-3000:]}"
+        assert "train ok" in out
+        losses.append(out.split("loss=")[1].split(" ")[0])
+    assert losses[0] == losses[1]  # both processes agree on the global loss

@@ -377,3 +377,44 @@ def test_ingest_heals_interrupted_embed(workdir):
     summary = pipe.ingest_cycle()  # nothing new, but store must heal
     assert summary["ingested"] == []
     assert pipe.store.counts("vanilla_clip")["images"] == len(images)
+
+
+def test_pipeline_end_to_end_on_mesh(workdir):
+    """Full 5-stage pipeline with retrieval/evaluation sharded over the
+    8-device mesh produces the same metrics as the single-device run."""
+    from tpualign.parallel.mesh import create_mesh
+
+    pipe1 = make_pipeline(workdir)
+    pipe1.run(non_interactive=True)
+    ev_single = json.loads(
+        (workdir / "eval/metrics.json").read_text()
+    )
+
+    mesh_dir = workdir / "mesh"
+    mesh_dir.mkdir()
+    import shutil
+
+    shutil.copytree(workdir / "raw", mesh_dir / "raw")
+    (mesh_dir / "exclude.txt").write_text("pagina\n")
+    cfg = load_config(
+        env_file=None,
+        overrides={
+            "INPUT_DIR": str(mesh_dir / "raw"),
+            "OUTPUT_DIR": str(mesh_dir / "processed"),
+            "STORE_DIR": str(mesh_dir / "store"),
+            "EVAL_OUTPUT_DIR": str(mesh_dir / "eval"),
+            "EXCLUDE_TERMS_FILE": str(mesh_dir / "exclude.txt"),
+            "LANGUAGE": "nl",
+        },
+    )
+    pipe8 = Pipeline(cfg, engine=StubEngine(), mesh=create_mesh(8, 1))
+    pipe8.run(non_interactive=True)
+    ev_mesh = json.loads((mesh_dir / "eval/metrics.json").read_text())
+
+    assert ev_single.keys() == ev_mesh.keys()
+    for schema in ev_single:
+        a, b = ev_single[schema], ev_mesh[schema]
+        assert a["num_pairs"] == b["num_pairs"]
+        assert a["top_k"] == b["top_k"]
+        np.testing.assert_allclose(a["mrr"], b["mrr"], atol=1e-9)
+        np.testing.assert_allclose(a["avg_similarity"], b["avg_similarity"], atol=1e-5)
