@@ -11,10 +11,9 @@ orbax, sharding-aware on restore.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Any, Optional
+from typing import Optional
 
 import jax
-import numpy as np
 
 from tpualign.utils.logging import get_logger
 

@@ -12,7 +12,7 @@ C++ native kernel in tpualign/native); the normalization runs vectorized.
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import Sequence
 
 import numpy as np
 
