@@ -94,14 +94,7 @@ class Evaluator:
             vals = np.zeros((0, MRR_WINDOW), np.float32)
             idx = np.full((0, MRR_WINDOW), -1, np.int64)
 
-        # rank of every chunk in every image's candidate list (1-based; 0 = absent)
         chunk_pos = {cid: p for p, cid in enumerate(chunk_ids)}
-        rank: Dict[Tuple[str, str], int] = {}
-        for r, img in enumerate(images):
-            for j, cidx in enumerate(idx[r]):
-                if cidx >= 0:
-                    rank[(img["image_id"], chunk_ids[cidx])] = j + 1
-
         img_pos = {iid: p for p, iid in enumerate(img_ids)}
         pairs = get_image_text_pairs(images, chunks)
 
@@ -113,10 +106,42 @@ class Evaluator:
             "img_pos": img_pos,
             "chunk_pos": chunk_pos,
             "pairs": pairs,
-            "rank": rank,
+            "topk_idx": idx,  # (n_images, MRR_WINDOW) global chunk indices
+            "rank_cache": {},
         }
         self._cache[schema] = state
         return state
+
+    def _pair_ranks(self, schema: str, gt: str) -> np.ndarray:
+        """1-based rank of each GT pair's chunk in its image's candidate
+        list (0 = absent), fully vectorized: one (P, MRR_WINDOW) equality
+        scan instead of a per-(image, candidate) Python dict build — the
+        host-side hot path at corpus scale (100k+ pairs)."""
+        st = self._schema_state(schema)
+        if gt in st["rank_cache"]:
+            return st["rank_cache"][gt]
+        pairs = self._gt_pairs(schema, gt)
+        if not pairs:
+            ranks = np.zeros(0, np.int64)
+        else:
+            r_arr = np.fromiter(
+                (st["img_pos"].get(p[0], -1) for p in pairs),
+                np.int64, len(pairs),
+            )
+            c_arr = np.fromiter(
+                (st["chunk_pos"].get(p[1], -1) for p in pairs),
+                np.int64, len(pairs),
+            )
+            valid = (r_arr >= 0) & (c_arr >= 0)
+            ranks = np.zeros(len(pairs), np.int64)
+            if valid.any():
+                rows = st["topk_idx"][r_arr[valid]]  # (V, W)
+                hit = rows == c_arr[valid][:, None]
+                found = hit.any(axis=1)
+                pos = hit.argmax(axis=1) + 1
+                ranks[valid] = np.where(found, pos, 0)
+        st["rank_cache"][gt] = ranks
+        return ranks
 
     # -- metrics -------------------------------------------------------------------
     #
@@ -149,28 +174,20 @@ class Evaluator:
         self, schema: str, k_values: Sequence[int] = (1, 5, 10),
         gt: str = "cartesian",
     ) -> Dict[int, float]:
-        st = self._schema_state(schema)
-        pairs = self._gt_pairs(schema, gt)
-        if not pairs:
+        ranks = self._pair_ranks(schema, gt)
+        if len(ranks) == 0:
             return {k: 0.0 for k in k_values}
-        correct = {k: 0 for k in k_values}
-        for image_id, chunk_id in pairs:
-            r = st["rank"].get((image_id, chunk_id), 0)
-            for k in k_values:
-                if 0 < r <= k:
-                    correct[k] += 1
-        return {k: correct[k] / len(pairs) for k in k_values}
+        found = ranks > 0
+        return {
+            k: float(np.mean(found & (ranks <= k))) for k in k_values
+        }
 
     def compute_mrr(self, schema: str, gt: str = "cartesian") -> float:
-        st = self._schema_state(schema)
-        pairs = self._gt_pairs(schema, gt)
-        if not pairs:
+        ranks = self._pair_ranks(schema, gt)
+        if len(ranks) == 0:
             return 0.0
-        rrs = []
-        for image_id, chunk_id in pairs:
-            r = st["rank"].get((image_id, chunk_id), 0)
-            rrs.append(1.0 / r if r > 0 else 0.0)
-        return float(np.mean(rrs))
+        rr = np.where(ranks > 0, 1.0 / np.maximum(ranks, 1), 0.0)
+        return float(np.mean(rr))
 
     def compute_average_similarity(self, schema: str) -> float:
         st = self._schema_state(schema)
