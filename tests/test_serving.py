@@ -202,3 +202,75 @@ def test_build_service_from_store(tmp_path):
 
     with pytest.raises(ValueError, match="no embeddings"):
         build_service(cfg, "clip_lexical", text_tower=False)
+
+
+def test_search_images_with_rerank():
+    """Stored-image queries (the reference's canonical pattern) + weak-score
+    reranking promote a weakly-aligned chunk above a cosine-preferred one."""
+    rng = np.random.default_rng(5)
+    n, d = 8, 16
+    chunk_emb = rng.normal(size=(n, d)).astype(np.float32)
+    chunk_emb /= np.linalg.norm(chunk_emb, axis=1, keepdims=True)
+    ids = [f"c{i}" for i in range(n)]
+    manuals = ["m"] * n
+    pages = [1] * n
+    images = [{"image_id": "img0", "manual_id": "m", "page": 1}]
+    img_emb = chunk_emb[0:1].copy()  # cosine top-1 = c0
+
+    svc = RetrievalService(
+        chunk_emb, ids, manuals, pages,
+        images=images, image_embeddings=img_emb,
+        weak_lookup={("img0", "c3"): 1.0},
+    )
+    plain = svc.search_images(["img0"], k=8)
+    assert plain[0][0]["chunk_id"] == "c0"
+    # reranking re-sorts the retrieved candidates; with k covering the
+    # corpus, the weakly-aligned c3 is promoted above the cosine winner
+    blended = svc.search_images(["img0"], k=8, rerank_alpha=0.9)
+    assert blended[0][0]["chunk_id"] == "c3"
+    # alpha=0 reproduces pure cosine
+    zero = svc.search_images(["img0"], k=8, rerank_alpha=0.0)
+    assert [h["chunk_id"] for h in zero[0]] == [h["chunk_id"] for h in plain[0]]
+
+    with pytest.raises(KeyError):
+        svc.search_images(["missing"])
+    svc2 = RetrievalService(chunk_emb, ids, manuals, pages)
+    with pytest.raises(RuntimeError, match="image embeddings"):
+        svc2.search_images(["img0"])
+
+
+def test_http_search_image(service):
+    import threading
+    import urllib.request
+
+    svc, emb, ids, manuals, pages = service
+    # rebuild the fixture service with image support
+    images = [{"image_id": "q", "manual_id": manuals[5], "page": pages[5]}]
+    svc = RetrievalService(
+        emb, ids, manuals, pages,
+        images=images, image_embeddings=emb[5:6],
+        weak_lookup={},
+    )
+    httpd = serve(svc, host="127.0.0.1", port=0)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        body = json.dumps({"image_ids": ["q"], "k": 2, "rerank": 0.3}).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/search_image", data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        out = json.loads(urllib.request.urlopen(req, timeout=60).read())
+        assert out["results"][0][0]["chunk_id"] == ids[5]
+        # unknown id -> 400
+        body = json.dumps({"image_ids": ["nope"]}).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/search_image", data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req, timeout=30)
+        assert exc.value.code == 400
+    finally:
+        httpd.shutdown()
+        httpd.server_close()

@@ -16,6 +16,10 @@ Endpoints:
   "pages": [...], "k": 10, "global": false}``; returns ranked chunk ids +
   scores per query. Candidates restricted to same (manual, page) unless
   ``"global": true`` (the reference's JOIN semantics).
+- ``POST /search_image`` — body ``{"image_ids": [...], "k": 10,
+  "rerank": 0.5, "global": false}``; the reference's canonical per-image
+  query over STORED images, optionally blending weak-supervision scores
+  into the ranking ((1-alpha)*cosine + alpha*weak).
 - ``POST /search_text`` — body ``{"texts": [...], "k": 10, "manual": ...,
   "page": ..., "global": true}``; encodes the texts with the text tower and
   searches. Requires a text encoder (absent in ``--no-text-tower`` mode).
@@ -50,6 +54,9 @@ class RetrievalService:
         schema: str = "vanilla_clip",
         mesh=None,
         text_encoder: Optional[Callable[[List[str]], np.ndarray]] = None,
+        images: Optional[Sequence[dict]] = None,
+        image_embeddings: Optional[np.ndarray] = None,
+        weak_lookup: Optional[dict] = None,
     ):
         self.schema = schema
         self.chunk_ids = list(chunk_ids)
@@ -57,8 +64,29 @@ class RetrievalService:
             chunk_embeddings, chunk_manuals, chunk_pages, mesh=mesh
         )
         self.text_encoder = text_encoder
+        # stored-image queries (the reference's canonical query pattern,
+        # ref:src/evaluate_alignments.py:109-143) + weak-score reranking
+        self._images = {img["image_id"]: i for i, img in enumerate(images or [])}
+        self._image_meta = list(images or [])
+        self._image_embs = (
+            np.asarray(image_embeddings, np.float32)
+            if image_embeddings is not None else None
+        )
+        self.weak_lookup = weak_lookup or {}
 
     # -- queries -----------------------------------------------------------------
+
+    def _format(self, vals, idx) -> List[List[dict]]:
+        out: List[List[dict]] = []
+        for r in range(len(vals)):
+            row = []
+            for v, j in zip(vals[r], idx[r]):
+                if j < 0:
+                    break
+                row.append({"chunk_id": self.chunk_ids[j],
+                            "score": float(v)})
+            out.append(row)
+        return out
 
     def search_embeddings(
         self,
@@ -71,21 +99,43 @@ class RetrievalService:
         embeddings = np.asarray(embeddings, np.float32)
         if embeddings.ndim == 1:
             embeddings = embeddings[None]
-        nq = len(embeddings)
         vals, idx = self.index.search(
             embeddings, manuals, pages, k,
             global_search=global_search or manuals is None,
         )
-        out: List[List[dict]] = []
-        for r in range(nq):
-            row = []
-            for v, j in zip(vals[r], idx[r]):
-                if j < 0:
-                    break
-                row.append({"chunk_id": self.chunk_ids[j],
-                            "score": float(v)})
-            out.append(row)
-        return out
+        return self._format(vals, idx)
+
+    def search_images(
+        self,
+        image_ids: Sequence[str],
+        k: int = 10,
+        rerank_alpha: Optional[float] = None,
+        global_search: bool = False,
+    ) -> List[List[dict]]:
+        """Top chunks for STORED images — the reference's per-image query
+        (ref:src/evaluate_alignments.py:109-143) — with optional
+        weak-supervision reranking:
+        combined = (1-alpha)*cosine + alpha*weak_score."""
+        if self._image_embs is None:
+            raise RuntimeError("service built without image embeddings")
+        unknown = [i for i in image_ids if i not in self._images]
+        if unknown:
+            raise KeyError(f"unknown image ids: {unknown[:5]}")
+        rows = [self._images[i] for i in image_ids]
+        embs = self._image_embs[rows]
+        manuals = [self._image_meta[r]["manual_id"] for r in rows]
+        pages = [self._image_meta[r].get("page") for r in rows]
+        vals, idx = self.index.search(
+            embs, manuals, pages, k, global_search=global_search
+        )
+        if rerank_alpha is not None:
+            from tpualign.weaksup.rerank import rerank_with_weak_scores
+
+            vals, idx = rerank_with_weak_scores(
+                vals, idx, list(image_ids), self.chunk_ids,
+                self.weak_lookup, alpha=rerank_alpha,
+            )
+        return self._format(vals, idx)
 
     def search_text(
         self,
@@ -109,6 +159,8 @@ class RetrievalService:
             "corpus_size": self.index.n,
             "dim": self.index.dim,
             "text_search": self.text_encoder is not None,
+            "image_search": self._image_embs is not None,
+            "num_images": len(self._image_meta),
             "mesh": dict(self.index.mesh.shape) if self.index.mesh else None,
         }
 
@@ -126,11 +178,22 @@ def build_service(config, schema: str, mesh=None, text_tower: bool = True) -> Re
 
         engine = EmbedEngine(config.model, mesh=mesh, batch_size=64)
         encoder = engine.encode_text_batch
+
+    images = store.images(schema)
+    img_ids, img_emb = store.embedding_matrix(schema, "images")
+    # align metadata rows with the embedding matrix order
+    by_id = {im["image_id"]: im for im in images}
+    image_meta = [by_id[i] for i in img_ids]
+
+    from tpualign.weaksup.rerank import build_weak_lookup
+
     return RetrievalService(
         chunk_emb, chunk_ids,
         [c["manual_id"] for c in chunks],
         [c.get("page") for c in chunks],
         schema=schema, mesh=mesh, text_encoder=encoder,
+        images=image_meta, image_embeddings=img_emb,
+        weak_lookup=build_weak_lookup(store.alignments(schema)),
     )
 
 
@@ -166,6 +229,13 @@ def _make_handler(service: RetrievalService):
                         k=k,
                         global_search=bool(req.get("global", False)),
                     )
+                elif self.path == "/search_image":
+                    results = service.search_images(
+                        req["image_ids"],
+                        k=k,
+                        rerank_alpha=req.get("rerank"),
+                        global_search=bool(req.get("global", False)),
+                    )
                 elif self.path == "/search_text":
                     results = service.search_text(
                         req["texts"],
@@ -178,7 +248,8 @@ def _make_handler(service: RetrievalService):
                     self._reply(404, {"error": f"unknown path {self.path}"})
                     return
                 self._reply(200, {"results": results})
-            except (KeyError, ValueError, TypeError, json.JSONDecodeError) as e:
+            except (KeyError, ValueError, TypeError, RuntimeError,
+                    json.JSONDecodeError) as e:
                 self._reply(400, {"error": str(e)})
             except Exception as e:  # pragma: no cover - defensive
                 log.exception("request failed")
