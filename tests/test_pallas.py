@@ -137,3 +137,30 @@ def test_fused_mha_gradients():
     # no-mask variant also differentiates
     g3 = jax.grad(lambda q: jnp.sum(fused_mha(q, 4) ** 2))(qkv)
     assert np.isfinite(np.asarray(g3)).all()
+
+
+def test_auto_block_b_fits_vmem():
+    """Block auto-sizing: 16 at ViT-B shapes (measured fastest), scaled
+    down for the L/H towers whose (16, 257, 3*D) QKV blocks exceed the
+    16 MB scoped-vmem limit (observed as a remote-compile OOM)."""
+    from tpualign.ops.pallas_attention import _auto_block_b
+
+    assert _auto_block_b(50, 768) == 16    # B-32 vision
+    assert _auto_block_b(77, 512) == 16    # B-32 text
+    for t, d in [(197, 768), (257, 1024), (257, 1280)]:  # B-16/L-14/H-14
+        bb = _auto_block_b(t, d)
+        assert 1 <= bb < 16
+        # double-buffered qkv+out block + fp32 scores stay under 16 MB
+        working = bb * (t * 3 * d * 2 * 2 + t * d * 2 * 2 + t * t * 4)
+        assert working <= 16 * 2**20
+
+
+def test_fused_mha_large_variant_shape():
+    """L-14-shaped attention (auto block_b=2) matches the XLA reference."""
+    from tpualign.ops.pallas_attention import _xla_reference_mha, fused_mha
+
+    rng = np.random.default_rng(2)
+    qkv = jnp.asarray(rng.normal(size=(3, 257, 3 * 64)).astype(np.float32))
+    out = fused_mha(qkv, 4, None, 2)
+    ref = _xla_reference_mha(qkv, 4, None)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)

@@ -53,11 +53,27 @@ def _mha_kernel(qkv_ref, mask_ref, out_ref, *, num_heads: int, head_dim: int,
         out_ref[:, :, h * head_dim:(h + 1) * head_dim] = ctx.astype(out_ref.dtype)
 
 
+def _auto_block_b(t: int, d: int, itemsize: int = 2,
+                  budget: int = 12 * 2**20) -> int:
+    """Largest batch block whose VMEM working set fits the scoped budget.
+
+    Per batch row the kernel holds: the QKV input block and the context
+    output block (both double-buffered by the pipeline) plus the fp32
+    per-head score matrix. v5e's scoped-vmem limit is 16 MB; a 12 MB
+    budget keeps the measured-fastest block_b=16 at ViT-B shapes while
+    sizing down for the long-sequence/wide towers (ViT-L/H-14: T=257,
+    D>=1024 — block_b=16 there allocates 66 MB and fails the compile)."""
+    per_row = t * 3 * d * itemsize * 2   # qkv in, double-buffered
+    per_row += t * d * itemsize * 2      # ctx out, double-buffered
+    per_row += t * t * 4                 # fp32 scores temporary
+    return max(1, min(16, budget // per_row))
+
+
 def _fused_mha_impl(
     qkv: jnp.ndarray,
     num_heads: int,
     mask: Optional[jnp.ndarray] = None,
-    block_b: int = 16,
+    block_b: Optional[int] = None,
 ) -> jnp.ndarray:
     """Fused attention over packed QKV (forward implementation).
 
@@ -66,8 +82,9 @@ def _fused_mha_impl(
       num_heads: number of heads H; D must divide evenly.
       mask: optional additive (T, T) mask (e.g. causal -inf upper triangle),
         or (1, 1, T, T) which is squeezed.
-      block_b: batch rows kept in VMEM per grid step (32+ exhausts VMEM at
-        CLIP-B sizes; 16 measured fastest on v5e).
+      block_b: batch rows kept in VMEM per grid step; None (default)
+        auto-sizes to the VMEM budget (16 at CLIP-B shapes — measured
+        fastest on v5e — scaling down for the L/H towers).
 
     Returns (B, T, D) attention context (pre-out-projection).
     """
@@ -77,6 +94,8 @@ def _fused_mha_impl(
     assert hd * num_heads == d, "width must divide heads"
     scale = 1.0 / (hd ** 0.5)
 
+    if block_b is None:
+        block_b = _auto_block_b(t, d, qkv.dtype.itemsize)
     block_b = max(1, min(block_b, b))
     pad_b = (-b) % block_b
     if pad_b:
@@ -140,7 +159,7 @@ def _xla_reference_mha(qkv, num_heads, mask):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 3))
-def fused_mha(qkv, num_heads: int, mask=None, block_b: int = 16):
+def fused_mha(qkv, num_heads: int, mask=None, block_b: Optional[int] = None):
     """Differentiable fused attention: Pallas kernel forward, XLA-recompute
     backward (training runs through the plain-XLA VJP; inference — the
     throughput-critical path — gets the fused kernel)."""
