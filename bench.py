@@ -34,7 +34,14 @@ def main() -> None:
     from tpualign.config import ModelConfig
     from tpualign.models.clip import build_clip, init_clip_params
 
-    config = ModelConfig(model_name="ViT-B-32", compute_dtype="bfloat16")
+    import os
+
+    # TPUALIGN_BENCH_QUANT=int8 benches the quantized serving path; the
+    # headline stays the bf16 parity-grade path.
+    quant = os.environ.get("TPUALIGN_BENCH_QUANT", "none")
+    config = ModelConfig(
+        model_name="ViT-B-32", compute_dtype="bfloat16", quant=quant
+    )
     model = build_clip(config)
     params = init_clip_params(model, seed=0)  # on-device init, no host upload
     v = config.variant
@@ -99,6 +106,8 @@ def main() -> None:
         achieved = pairs_per_sec * clip_pair_flops(v)
         record["mfu"] = round(achieved / peak, 4)
         record["tflops_per_sec"] = round(achieved / 1e12, 1)
+    if quant != "none":
+        record["quant"] = quant  # mfu above is vs the bf16 peak
     print(json.dumps(record))
 
 

@@ -1,0 +1,146 @@
+"""int8 quantized serving path: op accuracy, tower drift, ranking stability.
+
+The int8 mode (CLIP_QUANT=int8) is a serving-only throughput/capacity
+lever (1.61x on the MLP stack, benchmarks/bench_int8_gemm.py); these tests
+pin its numerics: per-op error bounds, embedding cosine drift vs the fp32
+towers, and top-k retrieval agreement — the same style of pin as the int8
+retrieval corpus mode.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tpualign.config import ClipVariant, ModelConfig
+from tpualign.models.clip import CLIP, build_clip, init_clip_params
+from tpualign.ops.quant import int8_dot, quantize_weight
+
+TINY = ClipVariant(
+    name="tiny", embed_dim=64,
+    image_size=32, patch_size=8, vision_width=64, vision_layers=2, vision_heads=4,
+    context_length=16, vocab_size=1000, text_width=64, text_layers=2, text_heads=4,
+)
+
+
+def test_quantize_weight_roundtrip():
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.normal(size=(64, 96)).astype(np.float32))
+    w_q, scales = quantize_weight(w)
+    assert w_q.dtype == jnp.int8
+    assert scales.shape == (1, 96)
+    recon = w_q.astype(jnp.float32) * scales
+    # symmetric rounding: per-element error <= half a quantization step
+    err = np.abs(np.asarray(recon - w))
+    assert (err <= np.asarray(scales) / 2 + 1e-7).all()
+
+
+def test_quantize_weight_zero_column():
+    w = jnp.zeros((8, 4), jnp.float32)
+    w_q, scales = quantize_weight(w)
+    assert np.asarray(w_q).sum() == 0
+    assert np.isfinite(np.asarray(scales)).all()
+
+
+def test_int8_dot_matches_fp32():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(32, 64)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(64, 96)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(96,)).astype(np.float32))
+    exact = np.asarray(x @ w + b)
+    quant = np.asarray(int8_dot(x, w, b))
+    # int8 dynamic quant at gaussian data: ~1% error at the output's scale
+    scale = np.sqrt(np.mean(exact**2))
+    err = np.abs(quant - exact) / scale
+    assert np.max(err) < 0.05
+    assert np.mean(err) < 0.01
+
+
+def test_int8_dot_zero_row_finite():
+    x = jnp.zeros((4, 16), jnp.float32)
+    w = jnp.ones((16, 8), jnp.float32)
+    out = np.asarray(int8_dot(x, w))
+    assert np.isfinite(out).all()
+    np.testing.assert_array_equal(out, 0.0)
+
+
+def test_int8_dot_3d_batch():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(2, 5, 16)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(16, 12)).astype(np.float32))
+    exact = np.asarray(jnp.einsum("btk,kn->btn", x, w))
+    quant = np.asarray(int8_dot(x, w))
+    assert quant.shape == (2, 5, 12)
+    assert np.max(np.abs(quant - exact)) / np.max(np.abs(exact)) < 0.05
+
+
+def _embed(model, params, images, tokens):
+    img = model.apply({"params": params}, images, normalize=True,
+                      method=model.encode_image)
+    txt = model.apply({"params": params}, tokens, normalize=True,
+                      method=model.encode_text)
+    return np.asarray(img), np.asarray(txt)
+
+
+def test_int8_tower_drift_and_ranking():
+    """Quantized towers: high cosine agreement with fp32, stable top-k."""
+    rng = np.random.default_rng(3)
+    images = jnp.asarray(rng.normal(size=(8, 32, 32, 3)).astype(np.float32))
+    tokens = np.zeros((8, 16), np.int32)
+    tokens[:, 0] = 998
+    tokens[:, 1] = rng.integers(1, 900, size=8)
+    tokens[:, 2] = 999
+    tokens = jnp.asarray(tokens)
+
+    fp32 = CLIP(variant=TINY, use_quick_gelu=True, compute_dtype=jnp.float32)
+    params = init_clip_params(fp32, seed=0)
+    q = CLIP(variant=TINY, use_quick_gelu=True, compute_dtype=jnp.float32,
+             quant="int8")
+
+    img_f, txt_f = _embed(fp32, params, images, tokens)
+    img_q, txt_q = _embed(q, params, images, tokens)
+
+    # per-embedding cosine agreement (both already unit-norm)
+    assert np.min(np.sum(img_f * img_q, axis=-1)) > 0.99
+    assert np.min(np.sum(txt_f * txt_q, axis=-1)) > 0.99
+
+    # retrieval stability: top-3 chunk sets per image mostly unchanged
+    sims_f = img_f @ txt_f.T
+    sims_q = img_q @ txt_q.T
+    top_f = np.argsort(-sims_f, axis=1)[:, :3]
+    top_q = np.argsort(-sims_q, axis=1)[:, :3]
+    overlap = np.mean([
+        len(set(a) & set(b)) / 3.0 for a, b in zip(top_f, top_q)
+    ])
+    assert overlap >= 0.75
+
+
+def test_build_clip_quant_wiring():
+    model = build_clip(ModelConfig(model_name="ViT-B-32", quant="int8"))
+    assert model.quant == "int8"
+    # parity mode forces the quantizer off
+    model = build_clip(ModelConfig(model_name="ViT-B-32", quant="int8",
+                                   parity_mode=True))
+    assert model.quant == "none"
+    with pytest.raises(ValueError, match="CLIP_QUANT"):
+        build_clip(ModelConfig(model_name="ViT-B-32", quant="fp4"))
+
+
+def test_env_wiring():
+    from tpualign.config import load_config
+
+    cfg = load_config(env_file=None, overrides={"CLIP_QUANT": "int8"})
+    assert cfg.model.quant == "int8"
+
+
+def test_train_step_refuses_quantized_model():
+    from tpualign.config import TrainConfig
+    from tpualign.parallel.mesh import create_mesh
+    from tpualign.train.step import make_sharded_train_step
+
+    model = CLIP(variant=TINY, use_quick_gelu=True,
+                 compute_dtype=jnp.float32, quant="int8")
+    mesh = create_mesh(1, 1, devices=jax.devices("cpu")[:1])
+    with pytest.raises(ValueError, match="zero gradient"):
+        make_sharded_train_step(model, mesh, TrainConfig(batch_size=2))

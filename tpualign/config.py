@@ -129,6 +129,7 @@ class ModelConfig:
     parity_mode: bool = False              # fp32 everywhere for <=1e-3 parity runs
     remat: bool = False                    # jax.checkpoint the transformer blocks
     fused_attention: Optional[bool] = None  # None => auto (Pallas kernel on TPU)
+    quant: str = "none"                    # "int8": quantized GEMMs, serving only
 
     @property
     def variant(self) -> ClipVariant:
@@ -329,6 +330,7 @@ def load_config(
         ),
         compute_dtype=_env(env, "COMPUTE_DTYPE", "bfloat16"),
         parity_mode=_env_bool(env, "PARITY_MODE", False),
+        quant=_env(env, "CLIP_QUANT", "none"),
     )
     mesh = MeshConfig(
         data=int(_env(env, "MESH_DATA", "1")),

@@ -33,6 +33,7 @@ class CLIP(nn.Module):
     compute_dtype: Dtype = jnp.bfloat16
     remat: bool = False
     use_fused_attention: bool = False
+    quant: str = "none"  # "int8": serving-only quantized GEMMs (see ops.quant)
 
     def setup(self):
         v = self.variant
@@ -47,6 +48,7 @@ class CLIP(nn.Module):
             compute_dtype=self.compute_dtype,
             remat=self.remat,
             use_fused_attention=self.use_fused_attention,
+            quant=self.quant,
         )
         self.text = TextTransformer(
             context_length=v.context_length,
@@ -59,6 +61,7 @@ class CLIP(nn.Module):
             compute_dtype=self.compute_dtype,
             remat=self.remat,
             use_fused_attention=self.use_fused_attention,
+            quant=self.quant,
         )
         self.logit_scale = self.param(
             "logit_scale",
@@ -103,12 +106,17 @@ def build_clip(config: ModelConfig) -> CLIP:
     fused = config.fused_attention
     if fused is None:
         fused = (not config.parity_mode) and jax.default_backend() == "tpu"
+    quant = "none" if config.parity_mode else config.quant
+    if quant not in ("none", "int8"):
+        raise ValueError(f"Unknown CLIP_QUANT mode {config.quant!r}; "
+                         "expected 'none' or 'int8'")
     return CLIP(
         variant=config.variant,
         use_quick_gelu=config.use_quick_gelu,
         compute_dtype=compute_dtype,
         remat=config.remat,
         use_fused_attention=fused,
+        quant=quant,
     )
 
 

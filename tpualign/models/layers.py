@@ -68,6 +68,7 @@ class MultiHeadAttention(nn.Module):
     num_heads: int
     compute_dtype: Dtype = jnp.bfloat16
     use_fused_attention: bool = False
+    quant: str = "none"  # "int8": in/out projections on the int8 MXU path
 
     @nn.compact
     def __call__(
@@ -89,11 +90,19 @@ class MultiHeadAttention(nn.Module):
         out_bias = self.param("out_proj_bias", nn.initializers.zeros, (d,), jnp.float32)
 
         cdt = self.compute_dtype
-        xq = x.astype(cdt)
-        qkv = (
-            jnp.dot(xq, in_kernel.astype(cdt), preferred_element_type=jnp.float32)
-            + in_bias
-        )
+
+        def proj(t, kernel, bias):
+            if self.quant == "int8":
+                from tpualign.ops.quant import int8_dot
+
+                return int8_dot(t, kernel, bias)
+            return (
+                jnp.dot(t.astype(cdt), kernel.astype(cdt),
+                        preferred_element_type=jnp.float32)
+                + bias
+            )
+
+        qkv = proj(x, in_kernel, in_bias)
 
         if self.use_fused_attention:
             # Pallas fused kernel: scores/softmax/context stay in VMEM
@@ -102,11 +111,7 @@ class MultiHeadAttention(nn.Module):
             from tpualign.ops.pallas_attention import fused_mha
 
             ctx = fused_mha(qkv.astype(cdt), h, mask)
-            out = (
-                jnp.dot(ctx, out_kernel.astype(cdt),
-                        preferred_element_type=jnp.float32)
-                + out_bias
-            )
+            out = proj(ctx, out_kernel, out_bias)
             return out.astype(x.dtype)
 
         q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -133,10 +138,7 @@ class MultiHeadAttention(nn.Module):
             preferred_element_type=jnp.float32,
         )
         ctx = ctx.reshape(ctx.shape[0], ctx.shape[1], d)
-        out = (
-            jnp.dot(ctx.astype(cdt), out_kernel.astype(cdt), preferred_element_type=jnp.float32)
-            + out_bias
-        )
+        out = proj(ctx, out_kernel, out_bias)
         return out.astype(x.dtype)
 
 
@@ -146,6 +148,7 @@ class MLP(nn.Module):
     hidden_mult: int = 4
     use_quick_gelu: bool = True
     compute_dtype: Dtype = jnp.bfloat16
+    quant: str = "none"  # "int8": both GEMMs on the int8 MXU path
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -162,15 +165,20 @@ class MLP(nn.Module):
 
         cdt = self.compute_dtype
         act = get_activation(self.use_quick_gelu)
-        y = (
-            jnp.dot(x.astype(cdt), fc_kernel.astype(cdt), preferred_element_type=jnp.float32)
-            + fc_bias
-        )
-        y = act(y)
-        y = (
-            jnp.dot(y.astype(cdt), proj_kernel.astype(cdt), preferred_element_type=jnp.float32)
-            + proj_bias
-        )
+
+        def dense(t, kernel, bias):
+            if self.quant == "int8":
+                from tpualign.ops.quant import int8_dot
+
+                return int8_dot(t, kernel, bias)
+            return (
+                jnp.dot(t.astype(cdt), kernel.astype(cdt),
+                        preferred_element_type=jnp.float32)
+                + bias
+            )
+
+        y = act(dense(x, fc_kernel, fc_bias))
+        y = dense(y, proj_kernel, proj_bias)
         return y.astype(x.dtype)
 
 
@@ -181,6 +189,7 @@ class ResidualBlock(nn.Module):
     use_quick_gelu: bool = True
     compute_dtype: Dtype = jnp.bfloat16
     use_fused_attention: bool = False
+    quant: str = "none"
 
     @nn.compact
     def __call__(
@@ -188,11 +197,13 @@ class ResidualBlock(nn.Module):
     ) -> jnp.ndarray:
         x = x + MultiHeadAttention(
             num_heads=self.num_heads, compute_dtype=self.compute_dtype,
-            use_fused_attention=self.use_fused_attention, name="attn"
+            use_fused_attention=self.use_fused_attention, quant=self.quant,
+            name="attn"
         )(LayerNorm(name="ln_1")(x), mask)
         x = x + MLP(
             use_quick_gelu=self.use_quick_gelu,
             compute_dtype=self.compute_dtype,
+            quant=self.quant,
             name="mlp",
         )(LayerNorm(name="ln_2")(x))
         return x
@@ -211,6 +222,7 @@ class Transformer(nn.Module):
     compute_dtype: Dtype = jnp.bfloat16
     remat: bool = False
     use_fused_attention: bool = False
+    quant: str = "none"
 
     @nn.compact
     def __call__(
@@ -225,6 +237,7 @@ class Transformer(nn.Module):
                 use_quick_gelu=self.use_quick_gelu,
                 compute_dtype=self.compute_dtype,
                 use_fused_attention=self.use_fused_attention,
+                quant=self.quant,
                 name=f"resblock_{i}",
             )(x, mask)
         return x

@@ -38,6 +38,7 @@ class TextTransformer(nn.Module):
     compute_dtype: Dtype = jnp.bfloat16
     remat: bool = False
     use_fused_attention: bool = False
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, token_ids: jnp.ndarray) -> jnp.ndarray:
@@ -66,6 +67,7 @@ class TextTransformer(nn.Module):
             compute_dtype=self.compute_dtype,
             remat=self.remat,
             use_fused_attention=self.use_fused_attention,
+            quant=self.quant,
             name="transformer",
         )(x, mask)
         x = LayerNorm(name="ln_final")(x)

@@ -35,6 +35,7 @@ class VisionTransformer(nn.Module):
     compute_dtype: Dtype = jnp.bfloat16
     remat: bool = False
     use_fused_attention: bool = False
+    quant: str = "none"
 
     @nn.compact
     def __call__(
@@ -101,6 +102,7 @@ class VisionTransformer(nn.Module):
             compute_dtype=self.compute_dtype,
             remat=self.remat,
             use_fused_attention=self.use_fused_attention,
+            quant=self.quant,
             name="transformer",
         )(x)
         x = LayerNorm(name="ln_post")(x[:, 0, :])

@@ -124,6 +124,13 @@ def make_sharded_train_step(
     """
     from tpualign.parallel.sharding import clip_param_specs
 
+    if getattr(model, "quant", "none") != "none":
+        raise ValueError(
+            "Training a quantized model is not supported: the int8 path's "
+            "round() has zero gradient. Build the trainer's model with "
+            "quant='none' (CLIP_QUANT is a serving-only knob)."
+        )
+
     def param_sharding(params):
         specs = clip_param_specs(params)
         return jax.tree.map(lambda s: NamedSharding(mesh, s), specs)
