@@ -145,6 +145,113 @@ def test_sharded_step_matches_single_device(tiny_setup):
     np.testing.assert_allclose(p1, p2, atol=1e-5)
 
 
+class TestGradAccum:
+    """Cached-feature gradient accumulation must reproduce the FULL-batch
+    update exactly — not the naive microbatch-negatives loss."""
+
+    def _one_step(self, model, params, config, images, tokens, weak,
+                  patch_indices=None):
+        state = create_train_state(model, params, config)
+        state, metrics = train_step(
+            state, model, jnp.asarray(images), jnp.asarray(tokens),
+            jnp.asarray(weak), config,
+            patch_indices=None if patch_indices is None
+            else jnp.asarray(patch_indices),
+        )
+        return state, metrics
+
+    @pytest.mark.parametrize("accum", [2, 4])
+    @pytest.mark.parametrize("loss_type", ["clip", "siglip"])
+    def test_matches_full_batch_update(self, tiny_setup, accum, loss_type):
+        from tests.test_models import TINY
+
+        model, params = tiny_setup
+        rng = np.random.default_rng(7)
+        images, tokens, weak = batch_for(TINY, 8, rng)
+
+        base = TrainConfig(learning_rate=1e-3, warmup_steps=0,
+                           total_steps=100, loss_type=loss_type)
+        s_full, m_full = self._one_step(model, params, base, images, tokens, weak)
+        cfg_a = TrainConfig(learning_rate=1e-3, warmup_steps=0,
+                            total_steps=100, loss_type=loss_type,
+                            grad_accum_steps=accum)
+        s_acc, m_acc = self._one_step(model, params, cfg_a, images, tokens, weak)
+
+        # full-batch loss (same negatives), full-batch gradient
+        np.testing.assert_allclose(
+            float(m_acc["loss"]), float(m_full["loss"]), rtol=1e-5)
+        np.testing.assert_allclose(
+            float(m_acc["grad_norm"]), float(m_full["grad_norm"]), rtol=1e-4)
+        for key in ("logit_scale",):
+            np.testing.assert_allclose(
+                float(s_acc.params[key]), float(s_full.params[key]), atol=1e-6)
+        p1 = jax.device_get(s_full.params["text"]["text_projection"])
+        p2 = jax.device_get(s_acc.params["text"]["text_projection"])
+        np.testing.assert_allclose(p1, p2, atol=1e-5)
+        blk1 = s_full.params["visual"]["transformer"]["resblock_0"]["mlp"]
+        blk2 = s_acc.params["visual"]["transformer"]["resblock_0"]["mlp"]
+        for a, b in zip(jax.tree.leaves(blk1), jax.tree.leaves(blk2)):
+            np.testing.assert_allclose(
+                jax.device_get(a), jax.device_get(b), atol=1e-5)
+
+    def test_with_patch_masking(self, tiny_setup):
+        from tests.test_models import TINY
+        from tpualign.train.step import sample_patch_indices
+
+        model, params = tiny_setup
+        rng = np.random.default_rng(9)
+        images, tokens, weak = batch_for(TINY, 8, rng)
+        idx = sample_patch_indices(rng, 8, TINY.num_patches, 0.5)
+
+        base = TrainConfig(learning_rate=1e-3, warmup_steps=0, total_steps=100)
+        s_full, m_full = self._one_step(
+            model, params, base, images, tokens, weak, idx)
+        cfg_a = TrainConfig(learning_rate=1e-3, warmup_steps=0,
+                            total_steps=100, grad_accum_steps=2)
+        s_acc, m_acc = self._one_step(
+            model, params, cfg_a, images, tokens, weak, idx)
+        np.testing.assert_allclose(
+            float(m_acc["loss"]), float(m_full["loss"]), rtol=1e-5)
+        p1 = jax.device_get(s_full.params["text"]["text_projection"])
+        p2 = jax.device_get(s_acc.params["text"]["text_projection"])
+        np.testing.assert_allclose(p1, p2, atol=1e-5)
+
+    def test_sharded_accum_matches(self, tiny_setup):
+        """Accumulation under the mesh: same update as the unsharded step."""
+        from tests.test_models import TINY
+        from tpualign.parallel.mesh import create_mesh
+
+        model, params = tiny_setup
+        rng = np.random.default_rng(11)
+        images, tokens, weak = batch_for(TINY, 8, rng)
+        cfg = TrainConfig(learning_rate=1e-3, warmup_steps=0,
+                          total_steps=100, grad_accum_steps=2)
+        s1, m1 = self._one_step(model, params, cfg, images, tokens, weak)
+
+        mesh = create_mesh(4, 2)
+        s2 = create_train_state(model, params, cfg)
+        step_fn, shard_state = make_sharded_train_step(model, mesh, cfg)
+        s2 = shard_state(s2)
+        s2, m2 = step_fn(s2, images, tokens, weak)
+        np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                                   rtol=1e-4)
+        p1 = jax.device_get(s1.params["text"]["text_projection"])
+        p2 = jax.device_get(s2.params["text"]["text_projection"])
+        np.testing.assert_allclose(p1, p2, atol=1e-5)
+
+    def test_indivisible_batch_raises(self, tiny_setup):
+        from tests.test_models import TINY
+
+        model, params = tiny_setup
+        rng = np.random.default_rng(13)
+        images, tokens, weak = batch_for(TINY, 6, rng)
+        cfg = TrainConfig(grad_accum_steps=4)
+        state = create_train_state(model, params, cfg)
+        with pytest.raises(ValueError, match="divisible"):
+            train_step(state, model, jnp.asarray(images),
+                       jnp.asarray(tokens), jnp.asarray(weak), cfg)
+
+
 def test_opt_state_moments_tp_sharded():
     """AdamW mu/nu must shard with the TP param layout, not replicate
     (round-1 advisor finding: replicated moments defeat TP memory savings)."""

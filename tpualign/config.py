@@ -242,6 +242,12 @@ class TrainConfig:
     # to huge effective batches without gathers)
     loss_type: str = "clip"
     siglip_bias: float = -10.0  # fixed logit bias for the sigmoid loss
+    # Gradient accumulation microsteps per optimizer step (1 = off). Uses
+    # the cached-feature two-phase schedule, so the contrastive loss keeps
+    # FULL-batch negatives and the accumulated gradient equals the
+    # full-batch gradient exactly — activation memory drops to one
+    # microbatch (batch_size / grad_accum_steps), the H-14 enabler.
+    grad_accum_steps: int = 1
 
 
 @dataclass(frozen=True)
@@ -362,6 +368,7 @@ def load_config(
         patch_mask_ratio=float(_env(env, "PATCH_MASK_RATIO", "0.0")),
         loss_type=_env(env, "LOSS_TYPE", "clip"),
         siglip_bias=float(_env(env, "SIGLIP_BIAS", "-10.0")),
+        grad_accum_steps=int(_env(env, "GRAD_ACCUM_STEPS", "1")),
     )
     return PipelineConfig(
         model=model,

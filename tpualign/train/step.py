@@ -89,7 +89,15 @@ def train_step(
     (arXiv:2212.00794) — the vision tower runs on K patches instead of all,
     cutting step FLOPs ~K/P at small accuracy cost; sample per step with
     :func:`sample_patch_indices`. None = no masking (default).
+
+    When ``config.grad_accum_steps > 1`` the step runs the cached-feature
+    accumulation schedule (:func:`_accum_train_step`) — numerically the
+    same full-batch update at one-microbatch activation memory.
     """
+    if config.grad_accum_steps > 1:
+        return _accum_train_step(
+            state, model, images, token_ids, weak_scores, config, patch_indices
+        )
 
     def loss_fn(params):
         img, txt, scale = model.apply(
@@ -110,6 +118,100 @@ def train_step(
 
     (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
     new_state = state.apply_gradients(grads)
+    metrics["grad_norm"] = optax.global_norm(grads)
+    return new_state, metrics
+
+
+def _accum_train_step(
+    state: TrainState,
+    model: CLIP,
+    images: jnp.ndarray,
+    token_ids: jnp.ndarray,
+    weak_scores: Optional[jnp.ndarray],
+    config: TrainConfig,
+    patch_indices: Optional[jnp.ndarray] = None,
+) -> Tuple[TrainState, dict]:
+    """Exact gradient accumulation with full-batch contrastive negatives.
+
+    Naive accumulation (mean of per-microbatch losses) would shrink each
+    microbatch's negative set A-fold. This uses the cached-feature schedule
+    (the approach open_clip's --accum-freq implements for torch): phase 1
+    scans the microbatches to cache all (B, D) features without gradients;
+    phase 2 re-encodes each microbatch WITH gradients, splices its live
+    rows into the cached full-batch feature matrix, and takes the gradient
+    of the FULL-batch loss. Because dL/dtheta = sum_i (dL/df_i)(df_i/dtheta)
+    and pass i contributes exactly the i-th term, the accumulated gradient
+    equals the full-batch gradient (pinned by test to ~fp32 ulp). The only
+    correction: ``logit_scale`` enters the loss directly in every pass, so
+    its accumulated gradient is divided by A.
+
+    Peak activation memory is one microbatch's, enabling H-14-scale towers
+    at large effective batch; the feature cache is a negligible (B, D).
+    """
+    a = config.grad_accum_steps
+    b = images.shape[0]
+    if b % a:
+        raise ValueError(
+            f"batch size {b} not divisible by grad_accum_steps={a}"
+        )
+    m = b // a
+
+    def split(x):
+        return None if x is None else x.reshape((a, m) + x.shape[1:])
+
+    imgs, toks, pidx = split(images), split(token_ids), split(patch_indices)
+
+    def encode(params, im, tk, pi):
+        return model.apply({"params": params}, im, tk, pi)
+
+    def unpack(xs):
+        return xs if pidx is not None else (*xs, None)
+
+    # Phase 1: cache full-batch features, no gradients held.
+    def cache_one(_, xs):
+        im, tk, pi = unpack(xs)
+        img, txt, _ = encode(state.params, im, tk, pi)
+        return None, (img, txt)
+
+    xs1 = (imgs, toks) + ((pidx,) if pidx is not None else ())
+    _, (img_all, txt_all) = jax.lax.scan(cache_one, None, xs1)
+    img_all = jax.lax.stop_gradient(img_all)  # (A, m, D)
+    txt_all = jax.lax.stop_gradient(txt_all)
+
+    def loss_at(params, i, im, tk, pi):
+        img_i, txt_i, scale = encode(params, im, tk, pi)
+        img_full = img_all.at[i].set(img_i).reshape(b, -1)
+        txt_full = txt_all.at[i].set(txt_i).reshape(b, -1)
+        if config.loss_type == "siglip":
+            return siglip_loss(
+                img_full, txt_full, scale, jnp.asarray(config.siglip_bias),
+                weak_scores=weak_scores,
+                weight_temperature=config.weak_score_temperature,
+            )
+        return clip_contrastive_loss(
+            img_full, txt_full, scale,
+            weak_scores=weak_scores,
+            weight_temperature=config.weak_score_temperature,
+            label_smoothing=config.label_smoothing,
+        )
+
+    grad_fn = jax.value_and_grad(loss_at, has_aux=True)
+
+    def accum_one(gacc, xs):
+        i, rest = xs[0], xs[1:]
+        im, tk, pi = unpack(rest)
+        (_, metrics), g = grad_fn(state.params, i, im, tk, pi)
+        return jax.tree.map(jnp.add, gacc, g), metrics
+
+    xs2 = (jnp.arange(a),) + xs1
+    g0 = jax.tree.map(jnp.zeros_like, state.params)
+    grads, metrics_seq = jax.lax.scan(accum_one, g0, xs2)
+    grads = dict(grads)
+    grads["logit_scale"] = grads["logit_scale"] / a
+
+    new_state = state.apply_gradients(grads)
+    # every pass computes the same full-batch loss; report the last
+    metrics = jax.tree.map(lambda x: x[-1], metrics_seq)
     metrics["grad_norm"] = optax.global_norm(grads)
     return new_state, metrics
 
