@@ -252,6 +252,137 @@ class TestGradAccum:
                        jnp.asarray(tokens), jnp.asarray(weak), cfg)
 
 
+class TestEmaAndMoments:
+    def test_ema_tracks_params(self, tiny_setup):
+        from tests.test_models import TINY
+        from tpualign.train.step import export_params
+
+        model, params = tiny_setup
+        cfg = TrainConfig(learning_rate=1e-3, warmup_steps=0,
+                          total_steps=100, ema_decay=0.9)
+        state = create_train_state(model, params, cfg)
+        rng = np.random.default_rng(21)
+        images, tokens, weak = batch_for(TINY, 8, rng)
+        p0 = jax.device_get(state.params["text"]["text_projection"])
+        new_state, _ = train_step(
+            state, model, jnp.asarray(images), jnp.asarray(tokens),
+            jnp.asarray(weak), cfg,
+        )
+        p1 = jax.device_get(new_state.params["text"]["text_projection"])
+        ema = jax.device_get(new_state.ema_params["text"]["text_projection"])
+        np.testing.assert_allclose(ema, 0.9 * p0 + 0.1 * p1,
+                                   rtol=1e-5, atol=1e-7)
+        # export prefers EMA; without decay it is the live params
+        np.testing.assert_allclose(
+            jax.device_get(
+                export_params(new_state)["text"]["text_projection"]),
+            ema)
+        cfg_off = TrainConfig(learning_rate=1e-3, warmup_steps=0,
+                              total_steps=100)
+        s_off = create_train_state(model, params, cfg_off)
+        assert s_off.ema_params is None
+        assert export_params(s_off) is s_off.params
+
+    def test_ema_checkpoint_roundtrip(self, tiny_setup, tmp_path):
+        from tests.test_models import TINY
+        from tpualign.train.checkpoint import (restore_checkpoint,
+                                               save_checkpoint)
+
+        model, params = tiny_setup
+        cfg = TrainConfig(learning_rate=1e-3, warmup_steps=0,
+                          total_steps=100, ema_decay=0.5)
+        state = create_train_state(model, params, cfg)
+        rng = np.random.default_rng(23)
+        images, tokens, weak = batch_for(TINY, 8, rng)
+        state, _ = train_step(
+            state, model, jnp.asarray(images), jnp.asarray(tokens),
+            jnp.asarray(weak), cfg,
+        )
+        save_checkpoint(tmp_path / "ck", state)
+        fresh = create_train_state(model, params, cfg)
+        restored = restore_checkpoint(tmp_path / "ck", fresh)
+        a = jax.device_get(state.ema_params["text"]["text_projection"])
+        b = jax.device_get(restored.ema_params["text"]["text_projection"])
+        np.testing.assert_array_equal(a, b)
+
+    def test_restore_pre_ema_checkpoint(self, tiny_setup, tmp_path):
+        """A checkpoint written without EMA restores into an EMA-tracking
+        state, restarting the average from the restored params."""
+        from tests.test_models import TINY
+        from tpualign.train.checkpoint import (restore_checkpoint,
+                                               save_checkpoint)
+
+        model, params = tiny_setup
+        old_cfg = TrainConfig(learning_rate=1e-3, warmup_steps=0,
+                              total_steps=100)
+        state = create_train_state(model, params, old_cfg)
+        rng = np.random.default_rng(25)
+        images, tokens, weak = batch_for(TINY, 8, rng)
+        state, _ = train_step(
+            state, model, jnp.asarray(images), jnp.asarray(tokens),
+            jnp.asarray(weak), old_cfg,
+        )
+        save_checkpoint(tmp_path / "ck", state)
+        new_cfg = TrainConfig(learning_rate=1e-3, warmup_steps=0,
+                              total_steps=100, ema_decay=0.9)
+        fresh = create_train_state(model, params, new_cfg)
+        restored = restore_checkpoint(tmp_path / "ck", fresh)
+        np.testing.assert_array_equal(
+            jax.device_get(restored.ema_params["text"]["text_projection"]),
+            jax.device_get(restored.params["text"]["text_projection"]))
+
+    def test_bf16_moments_dtype_and_memory(self, tiny_setup):
+        from tests.test_models import TINY
+
+        model, params = tiny_setup
+        cfg = TrainConfig(learning_rate=1e-3, warmup_steps=0,
+                          total_steps=100, moments_dtype="bfloat16")
+        state = create_train_state(model, params, cfg)
+        mu = state.opt_state[1][0].mu
+        nu = state.opt_state[1][0].nu
+        assert all(x.dtype == jnp.bfloat16 for x in jax.tree.leaves(mu))
+        # second moment keeps fp32 (needs the range)
+        assert all(x.dtype == jnp.float32 for x in jax.tree.leaves(nu))
+        # and the step still trains
+        rng = np.random.default_rng(27)
+        images, tokens, weak = batch_for(TINY, 8, rng)
+        losses = []
+        for _ in range(3):
+            state, metrics = train_step(
+                state, model, jnp.asarray(images), jnp.asarray(tokens),
+                jnp.asarray(weak), cfg,
+            )
+            losses.append(float(metrics["loss"]))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]
+
+    def test_bad_moments_dtype_raises(self, tiny_setup):
+        model, params = tiny_setup
+        cfg = TrainConfig(moments_dtype="float16")
+        with pytest.raises(ValueError, match="moments_dtype"):
+            create_train_state(model, params, cfg)
+
+    def test_sharded_ema_placement(self, tiny_setup):
+        from tests.test_models import TINY
+        from tpualign.parallel.mesh import create_mesh
+
+        model, params = tiny_setup
+        cfg = TrainConfig(learning_rate=1e-3, warmup_steps=0,
+                          total_steps=100, ema_decay=0.9)
+        mesh = create_mesh(4, 2)
+        state = create_train_state(model, params, cfg)
+        step_fn, shard_state = make_sharded_train_step(model, mesh, cfg)
+        state = shard_state(state)
+        rng = np.random.default_rng(29)
+        images, tokens, weak = batch_for(TINY, 8, rng)
+        state, m = step_fn(state, images, tokens, weak)
+        assert np.isfinite(float(m["loss"]))
+        # EMA shards like the params (no replication blow-up)
+        p_spec = state.params["text"]["text_projection"].sharding
+        e_spec = state.ema_params["text"]["text_projection"].sharding
+        assert p_spec == e_spec
+
+
 def test_opt_state_moments_tp_sharded():
     """AdamW mu/nu must shard with the TP param layout, not replicate
     (round-1 advisor finding: replicated moments defeat TP memory savings)."""

@@ -248,6 +248,13 @@ class TrainConfig:
     # full-batch gradient exactly — activation memory drops to one
     # microbatch (batch_size / grad_accum_steps), the H-14 enabler.
     grad_accum_steps: int = 1
+    # Exponential moving average of the params (0 = off). The EMA tree is
+    # what export/eval should use — standard CLIP fine-tuning stabilizer.
+    ema_decay: float = 0.0
+    # dtype of AdamW's first moment (mu): "float32" or "bfloat16". bf16
+    # halves mu's memory (nu stays fp32 — it needs the range); with TP
+    # sharding this is the other half of the H-14 memory story.
+    moments_dtype: str = "float32"
 
 
 @dataclass(frozen=True)
@@ -369,6 +376,8 @@ def load_config(
         loss_type=_env(env, "LOSS_TYPE", "clip"),
         siglip_bias=float(_env(env, "SIGLIP_BIAS", "-10.0")),
         grad_accum_steps=int(_env(env, "GRAD_ACCUM_STEPS", "1")),
+        ema_decay=float(_env(env, "EMA_DECAY", "0.0")),
+        moments_dtype=_env(env, "MOMENTS_DTYPE", "float32"),
     )
     return PipelineConfig(
         model=model,

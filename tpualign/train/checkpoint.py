@@ -47,6 +47,8 @@ def save_checkpoint(directory: str | Path, state, step: Optional[int] = None) ->
         "opt_state": state.opt_state,
         "step": step,
     }
+    if getattr(state, "ema_params", None) is not None:
+        payload["ema_params"] = state.ema_params
     mgr = _manager(directory)
     mgr.save(step, args=ocp.args.StandardSave(payload))
     mgr.wait_until_finished()
@@ -83,13 +85,30 @@ def restore_checkpoint(directory: str | Path, state, step: Optional[int] = None)
         "opt_state": state.opt_state,
         "step": 0,
     }
-    restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
+    want_ema = getattr(state, "ema_params", None) is not None
+    if want_ema:
+        template["ema_params"] = state.ema_params
+    try:
+        restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
+    except Exception:
+        if not want_ema:
+            raise
+        # checkpoint predates EMA tracking: restore without it and restart
+        # the average from the restored params
+        del template["ema_params"]
+        restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
+        restored["ema_params"] = jax.tree.map(
+            lambda x: x, restored["params"]
+        )
     import jax.numpy as jnp
 
     new_state = state.replace(
         params=restored["params"],
         opt_state=restored["opt_state"],
         step=jnp.asarray(restored["step"], jnp.int32),
+        ema_params=restored.get(
+            "ema_params", getattr(state, "ema_params", None)
+        ),
     )
     log.info("restored checkpoint step=%d from %s", step, directory)
     return new_state

@@ -24,7 +24,8 @@ from tpualign.models.clip import CLIP
 from tpualign.train.loss import clip_contrastive_loss, siglip_loss
 
 __all__ = ["TrainState", "create_train_state", "train_step",
-           "make_sharded_train_step", "sample_patch_indices"]
+           "make_sharded_train_step", "sample_patch_indices",
+           "export_params"]
 
 MAX_LOGIT_SCALE = 4.6052  # ln(100)
 
@@ -34,6 +35,8 @@ class TrainState(struct.PyTreeNode):
     params: Any
     opt_state: Any
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    # EMA of params (None = disabled); export/eval should prefer this tree
+    ema_params: Any = None
 
     def apply_gradients(self, grads) -> "TrainState":
         updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
@@ -55,10 +58,14 @@ def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
         warmup_steps=config.warmup_steps,
         decay_steps=max(config.total_steps, config.warmup_steps + 1),
     )
+    if config.moments_dtype not in ("float32", "bfloat16"):
+        raise ValueError(f"moments_dtype must be float32/bfloat16, "
+                         f"got {config.moments_dtype!r}")
+    mu_dtype = jnp.bfloat16 if config.moments_dtype == "bfloat16" else None
     return optax.chain(
         optax.clip_by_global_norm(1.0),
         optax.adamw(schedule, b1=0.9, b2=0.98, eps=1e-6,
-                    weight_decay=config.weight_decay),
+                    weight_decay=config.weight_decay, mu_dtype=mu_dtype),
     )
 
 
@@ -71,7 +78,26 @@ def create_train_state(
         params=params,
         opt_state=tx.init(params),
         tx=tx,
+        ema_params=(jax.tree.map(jnp.asarray, params)
+                    if config.ema_decay > 0.0 else None),
     )
+
+
+def _update_ema(new_state: TrainState, old_state: TrainState,
+                config: TrainConfig) -> TrainState:
+    if old_state.ema_params is None or config.ema_decay <= 0.0:
+        return new_state
+    d = config.ema_decay
+    ema = jax.tree.map(
+        lambda e, p: (e * d + (1.0 - d) * p).astype(e.dtype),
+        old_state.ema_params, new_state.params,
+    )
+    return new_state.replace(ema_params=ema)
+
+
+def export_params(state: TrainState):
+    """The tree to embed/serve with: the EMA when tracked, else params."""
+    return state.ema_params if state.ema_params is not None else state.params
 
 
 def train_step(
@@ -117,7 +143,7 @@ def train_step(
         )
 
     (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-    new_state = state.apply_gradients(grads)
+    new_state = _update_ema(state.apply_gradients(grads), state, config)
     metrics["grad_norm"] = optax.global_norm(grads)
     return new_state, metrics
 
@@ -209,7 +235,7 @@ def _accum_train_step(
     grads = dict(grads)
     grads["logit_scale"] = grads["logit_scale"] / a
 
-    new_state = state.apply_gradients(grads)
+    new_state = _update_ema(state.apply_gradients(grads), state, config)
     # every pass computes the same full-batch loss; report the last
     metrics = jax.tree.map(lambda x: x[-1], metrics_seq)
     metrics["grad_norm"] = optax.global_norm(grads)
@@ -273,10 +299,14 @@ def make_sharded_train_step(
             place_opt, state.opt_state,
             is_leaf=lambda x: isinstance(x, dict),
         )
+        ema = state.ema_params
+        if ema is not None:
+            ema = jax.tree.map(_place, ema, pshard)
         return state.replace(
             step=_place(state.step, replicated),
             params=params,
             opt_state=opt_state,
+            ema_params=ema,
         )
 
     step = partial(train_step, model=model, config=config)

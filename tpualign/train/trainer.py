@@ -124,6 +124,14 @@ class Trainer:
 
             self._step = _single_step
 
+    @property
+    def export_params(self):
+        """Params to embed/serve with after training: the EMA tree when
+        ``TrainConfig.ema_decay`` > 0, else the live params."""
+        from tpualign.train.step import export_params
+
+        return export_params(self.state)
+
     # -- data -----------------------------------------------------------------
 
     def batches(
