@@ -187,3 +187,46 @@ def test_two_process_sharded_train_step(tmp_path):
         assert "train ok" in out
         losses.append(out.split("loss=")[1].split(" ")[0])
     assert losses[0] == losses[1]  # both processes agree on the global loss
+
+
+class TestHybridDeviceOrder:
+    """DCN-safety invariant of the multi-slice mesh layout: no TP group
+    may straddle a slice boundary (its collectives would ride DCN)."""
+
+    def test_two_slices_model_groups_stay_in_slice(self):
+        from tpualign.parallel.multihost import hybrid_device_order
+
+        # 2 slices x 4 devices, interleaved enumeration order
+        slice_ids = [0, 1, 0, 1, 0, 1, 0, 1]
+        grid = hybrid_device_order(slice_ids, model_parallel=2)
+        assert grid.shape == (4, 2)
+        ids = [[slice_ids[i] for i in row] for row in grid]
+        for row in ids:
+            assert len(set(row)) == 1, f"TP group crosses DCN: {ids}"
+        # data axis is slice-major: slice 0 rows first
+        assert [r[0] for r in ids] == [0, 0, 1, 1]
+
+    def test_uneven_slice_raises(self):
+        from tpualign.parallel.multihost import hybrid_device_order
+
+        with pytest.raises(ValueError, match="straddle"):
+            hybrid_device_order([0, 0, 0, 1], model_parallel=2)
+
+    def test_indivisible_total_raises(self):
+        from tpualign.parallel.multihost import hybrid_device_order
+
+        with pytest.raises(ValueError, match="not divisible"):
+            hybrid_device_order([0, 0, 0], model_parallel=2)
+
+    def test_single_slice_contiguous(self):
+        from tpualign.parallel.multihost import hybrid_device_order
+
+        grid = hybrid_device_order([0] * 8, model_parallel=2)
+        assert grid.tolist() == [[0, 1], [2, 3], [4, 5], [6, 7]]
+
+    def test_hybrid_mesh_on_cpu_devices(self):
+        import jax
+        from tpualign.parallel.multihost import hybrid_mesh
+
+        mesh = hybrid_mesh(model_parallel=2)
+        assert mesh.shape == {"data": len(jax.devices()) // 2, "model": 2}

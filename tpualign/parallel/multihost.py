@@ -25,7 +25,7 @@ from tpualign.utils.logging import get_logger
 
 log = get_logger("parallel.multihost")
 
-__all__ = ["initialize_distributed", "hybrid_mesh"]
+__all__ = ["initialize_distributed", "hybrid_mesh", "hybrid_device_order"]
 
 
 def initialize_distributed(
@@ -55,19 +55,53 @@ def initialize_distributed(
     return True
 
 
+def hybrid_device_order(
+    slice_ids: Sequence[int], model_parallel: int
+) -> np.ndarray:
+    """(data, model) index grid over devices with the given slice ids.
+
+    The invariant that makes the layout DCN-safe: every ``model`` row is
+    ``model_parallel`` devices from ONE slice (TP activation collectives
+    ride ICI, never DCN); the ``data`` axis is slice-major, so the only
+    collective that crosses DCN is the once-per-step gradient psum —
+    exactly the axis that tolerates DCN latency (scaling-book recipe).
+
+    Pure function of the slice assignment so the layout rule is testable
+    without pod hardware. Raises when any slice's device count is not
+    divisible by ``model_parallel``.
+    """
+    ids = np.asarray(slice_ids)
+    n = len(ids)
+    if n % model_parallel:
+        raise ValueError(
+            f"{n} devices not divisible by model={model_parallel}"
+        )
+    order = []
+    for s in sorted(set(int(i) for i in ids)):
+        members = np.flatnonzero(ids == s)
+        if len(members) % model_parallel:
+            raise ValueError(
+                f"slice {s} has {len(members)} devices, not divisible by "
+                f"model={model_parallel} — a TP group would straddle DCN"
+            )
+        order.append(members.reshape(-1, model_parallel))
+    return np.concatenate(order, axis=0)
+
+
 def hybrid_mesh(
     model_parallel: int = 1,
     axis_names: Sequence[str] = ("data", "model"),
 ) -> Mesh:
     """(data, model) mesh laid out so ``model`` groups stay physically
-    adjacent (same host/slice => ICI) and ``data`` spans the rest (DCN-safe).
+    adjacent (same slice => ICI) and ``data`` spans slices (DCN-safe).
 
-    Uses jax.devices() ordering, which groups devices by process; taking
-    ``model_parallel``-sized contiguous groups keeps TP collectives local.
+    Multi-slice aware: devices are grouped by their ``slice_index`` (0 when
+    absent, e.g. CPU or single-slice), and :func:`hybrid_device_order`
+    guarantees no TP group crosses a slice boundary. On a single slice this
+    reduces to contiguous ``model_parallel`` groups in jax.devices() order
+    (which groups devices by process, keeping TP intra-host where possible).
     """
     devices = np.asarray(jax.devices())
-    n = len(devices)
-    if n % model_parallel:
-        raise ValueError(f"{n} devices not divisible by model={model_parallel}")
-    grid = devices.reshape(n // model_parallel, model_parallel)
+    ids = [getattr(d, "slice_index", 0) or 0 for d in devices]
+    grid = devices[hybrid_device_order(ids, model_parallel)]
     return Mesh(grid, axis_names=tuple(axis_names))
