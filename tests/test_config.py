@@ -103,3 +103,21 @@ def test_train_config_from_env():
     # TRAIN_BATCH_SIZE falls back to BATCH_SIZE
     cfg2 = load_config(env_file=None, overrides={"BATCH_SIZE": "48"})
     assert cfg2.train.batch_size == 48
+
+
+def test_memory_lever_knobs_from_env():
+    """The H-14 single-chip training levers are env-settable."""
+    from tpualign.config import load_config
+
+    cfg = load_config(env_file=None, overrides={
+        "GRAD_ACCUM_STEPS": "8", "EMA_DECAY": "0.99",
+        "MOMENTS_DTYPE": "bfloat16", "CLIP_REMAT": "1",
+    })
+    assert cfg.train.grad_accum_steps == 8
+    assert cfg.train.ema_decay == 0.99
+    assert cfg.train.moments_dtype == "bfloat16"
+    assert cfg.model.remat is True
+    defaults = load_config(env_file=None)
+    assert defaults.train.grad_accum_steps == 1
+    assert defaults.train.ema_decay == 0.0
+    assert defaults.model.remat is False

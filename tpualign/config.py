@@ -344,6 +344,7 @@ def load_config(
         compute_dtype=_env(env, "COMPUTE_DTYPE", "bfloat16"),
         parity_mode=_env_bool(env, "PARITY_MODE", False),
         quant=_env(env, "CLIP_QUANT", "none"),
+        remat=_env_bool(env, "CLIP_REMAT", False),
     )
     mesh = MeshConfig(
         data=int(_env(env, "MESH_DATA", "1")),
