@@ -258,6 +258,16 @@ def load_checkpoint_params(config: ModelConfig, path: str | None = None) -> Para
             "No checkpoint path configured (set CLIP_CHECKPOINT or "
             "ModelConfig.checkpoint_path)"
         )
+    import os
+
+    if os.path.isdir(path):
+        # a `tpualign train --ckpt-dir` output: orbax directory of steps.
+        # Restores this framework's own param tree (EMA preferred), closing
+        # the fine-tune -> re-embed loop from the CLI.
+        from tpualign.train.checkpoint import load_trained_params
+
+        log.info("Loading fine-tuned orbax checkpoint from %s", path)
+        return load_trained_params(path)
     sd = _read_state_dict(
         path, allow_pickle=getattr(config, "checkpoint_allow_pickle", False)
     )

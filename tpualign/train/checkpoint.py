@@ -19,7 +19,8 @@ from tpualign.utils.logging import get_logger
 
 log = get_logger("train.checkpoint")
 
-__all__ = ["save_checkpoint", "restore_checkpoint", "latest_step"]
+__all__ = ["save_checkpoint", "restore_checkpoint", "latest_step",
+           "load_trained_params"]
 
 
 def _manager(directory: str | Path, max_to_keep: int = 3):
@@ -64,6 +65,27 @@ def latest_step(directory: str | Path) -> Optional[int]:
         return None
     mgr = _manager(d)
     return mgr.latest_step()
+
+
+def load_trained_params(directory: str | Path, step: Optional[int] = None):
+    """Params-only restore for inference/embedding — no TrainState needed.
+
+    Prefers the EMA tree when the checkpoint tracked one (EMA_DECAY > 0);
+    this is what closes the fine-tune -> re-embed loop: the embed engine's
+    loader routes orbax checkpoint directories here (CLIP_CHECKPOINT can
+    point at a ``tpualign train --ckpt-dir``), the counterpart of the
+    reference loading OpenCLIP weights (ref:src/insert_clip_embeddings.py:80-82).
+    """
+    mgr = _manager(directory)
+    step = step if step is not None else mgr.latest_step()
+    if step is None:
+        raise FileNotFoundError(f"no orbax checkpoint steps in {directory}")
+    restored = mgr.restore(step)
+    params = restored.get("ema_params") or restored["params"]
+    log.info("loaded trained params (step=%d, ema=%s) from %s",
+             step, "ema_params" in restored and restored["ema_params"]
+             is not None, directory)
+    return params
 
 
 def restore_checkpoint(directory: str | Path, state, step: Optional[int] = None):
