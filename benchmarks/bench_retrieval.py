@@ -74,6 +74,15 @@ def main() -> None:
           "index_gather")
 
     if mesh is None:
+        index_apx = RetrievalIndex.__new__(RetrievalIndex)
+        index_apx.vocab = {}
+        index_apx._init_from_arrays(
+            d, np.asarray(c), np.asarray(ck, np.int32), None,
+            "fp32", 0.99,
+        )
+        timed(lambda: index_apx.search_device(q, qk, k),
+              "index_approx_rt0.99", {"recall_target": 0.99})
+    if mesh is None:
         index8 = RetrievalIndex.__new__(RetrievalIndex)
         index8.vocab = {}
         index8._init_from_arrays(

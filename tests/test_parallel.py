@@ -423,3 +423,56 @@ def test_search_never_mutates_corpus_vocab():
     assert index.vocab == before
     assert (i[0] == -1).all()       # unknown manual: no candidates
     assert (i[1] >= 0).any()        # known manual still matches
+
+
+class TestRecallTarget:
+    """Approximate retrieval (jax.lax.approx_max_k) — opt-in, measured 2.1x
+    QPS on TPU at recall 0.997 (rt=0.99). On CPU the op lowers to an exact
+    top-k, so these tests pin the plumbing + graceful degradation; the
+    recall itself is measured on hardware (benchmarks/exp_topk.py)."""
+
+    @pytest.mark.parametrize("use_mesh", [False, True])
+    def test_results_match_exact_on_cpu(self, use_mesh, mesh8):
+        rng = np.random.default_rng(17)
+        q, qman, qpage, c, cman, cpage = make_problem(rng, nq=9, n=150)
+        mesh = mesh8 if use_mesh else None
+        exact = RetrievalIndex(c, cman, cpage, mesh=mesh)
+        approx = RetrievalIndex(c, cman, cpage, mesh=mesh,
+                                recall_target=0.95)
+        assert approx.recall_target == 0.95
+        ev, ei = exact.search(q, qman, qpage, k=7)
+        av, ai = approx.search(q, qman, qpage, k=7)
+        # CPU lowering is exact: identical candidate SETS with identical
+        # values (ordering of ties is not guaranteed in approx mode)
+        has = ei >= 0
+        np.testing.assert_allclose(np.sort(av, 1), np.sort(ev, 1), atol=1e-6)
+        for r in range(len(q)):
+            assert set(ai[r][ai[r] >= 0]) == set(ei[r][ei[r] >= 0])
+
+    def test_validation(self):
+        rng = np.random.default_rng(19)
+        c = rng.normal(size=(8, 8)).astype(np.float32)
+        with pytest.raises(ValueError, match="recall_target"):
+            RetrievalIndex(c, ["m"] * 8, [1] * 8, recall_target=1.5)
+        with pytest.raises(ValueError, match="int8"):
+            RetrievalIndex(c, ["m"] * 8, [1] * 8, precision="int8",
+                           recall_target=0.9)
+
+    def test_config_env_knob(self):
+        from tpualign.config import load_config
+
+        cfg = load_config(env_file=None,
+                          overrides={"RETRIEVAL_RECALL_TARGET": "0.99"})
+        assert cfg.retrieval_recall_target == 0.99
+        assert load_config(env_file=None).retrieval_recall_target is None
+
+    def test_serving_passthrough(self):
+        from tpualign.serving.server import RetrievalService
+
+        rng = np.random.default_rng(23)
+        c = rng.normal(size=(6, 8)).astype(np.float32)
+        svc = RetrievalService(
+            c, [f"c{i}" for i in range(6)], ["m"] * 6, [1] * 6,
+            recall_target=0.9,
+        )
+        assert svc.index.recall_target == 0.9

@@ -270,6 +270,11 @@ class PipelineConfig:
     batch_size: int = 256            # embedding batch per step (global)
     log_level: str = "INFO"
     seed: int = 0
+    # Serving-path retrieval: approximate top-k recall target (None = exact).
+    # 0.99 measured 2.1x QPS at recall 0.997 (docs/PERFORMANCE.md); the
+    # reference's HNSW index was approximate too. Evaluation always uses
+    # exact search regardless, so metrics stay deterministic.
+    retrieval_recall_target: Optional[float] = None
 
     def replace(self, **kw) -> "PipelineConfig":
         return dataclasses.replace(self, **kw)
@@ -390,4 +395,8 @@ def load_config(
         batch_size=int(_env(env, "BATCH_SIZE", "256")),
         log_level=_env(env, "LOG_LEVEL", "INFO"),
         seed=int(_env(env, "SEED", "0")),
+        retrieval_recall_target=(
+            float(_env(env, "RETRIEVAL_RECALL_TARGET", ""))
+            if _env(env, "RETRIEVAL_RECALL_TARGET", "") else None
+        ),
     )

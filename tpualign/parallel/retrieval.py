@@ -156,7 +156,30 @@ def _device_masked_topk(q, qk, c, ck, k: int):
     return jax.lax.top_k(sims, k)
 
 
-def _local_topk_kernel(q, qk, c, ck, *, k_local: int, axis: str):
+@partial(jax.jit, static_argnames=("k", "recall_target"))
+def _device_masked_topk_approx(q, qk, c, ck, k: int, recall_target: float):
+    """Approximate single-device path: TPU PartialReduce top-k
+    (jax.lax.approx_max_k, arXiv:2206.14286 — the op behind ScaNN-on-TPU).
+
+    Measured 2.1x the exact QPS at (Q=1024, N=100k, k=10) with recall
+    0.997 at recall_target=0.99 (docs/PERFORMANCE.md). Semantically this
+    matches the REFERENCE more closely than the exact default: pgvector's
+    HNSW index is also an approximate cosine ranking
+    (ref:src/setup_vector_db.py:155-170). The bit-exact ascending-index
+    tie-break is forfeited in this mode (ties may land either way, like
+    HNSW's unspecified tie order). On non-TPU backends approx_max_k
+    lowers to an exact top-k, so results degrade gracefully to exact.
+    """
+    sims = jnp.dot(q, c.T, preferred_element_type=jnp.float32)
+    mask = ((qk[:, None] == ck[None, :]) | (qk[:, None] == WILDCARD_KEY)) & (
+        ck[None, :] >= 0
+    )
+    sims = jnp.where(mask, sims, NEG_INF)
+    return jax.lax.approx_max_k(sims, k, recall_target=recall_target)
+
+
+def _local_topk_kernel(q, qk, c, ck, *, k_local: int, axis: str,
+                       recall_target=None):
     """shard_map body: local masked similarity + local top-k.
 
     q: (Q, D) replicated; qk: (Q,) query keys; c: (Nl, D) local corpus
@@ -164,14 +187,20 @@ def _local_topk_kernel(q, qk, c, ck, *, k_local: int, axis: str):
     Returns (1, Q, k_local) local winners (values, global indices), stacked
     over the data axis by the out_specs — the cross-shard merge happens in
     the caller where XLA inserts the gather over ICI (shards*k candidates
-    per query, tiny next to N).
+    per query, tiny next to N). With ``recall_target`` the LOCAL stage uses
+    the approximate PartialReduce top-k (the cross-shard merge stays exact,
+    so the per-shard recall bound carries to the global result).
     """
     sims = jnp.dot(q, c.T, preferred_element_type=jnp.float32)
     mask = ((qk[:, None] == ck[None, :]) | (qk[:, None] == WILDCARD_KEY)) & (
         ck[None, :] >= 0
     )
     sims = jnp.where(mask, sims, NEG_INF)
-    vals, idx = jax.lax.top_k(sims, k_local)  # (Q, k_local), ties: low idx first
+    if recall_target is not None:
+        vals, idx = jax.lax.approx_max_k(
+            sims, k_local, recall_target=recall_target)
+    else:
+        vals, idx = jax.lax.top_k(sims, k_local)  # ties: low idx first
     n_local = c.shape[0]
     offset = jax.lax.axis_index(axis) * n_local
     gidx = idx + offset
@@ -179,10 +208,11 @@ def _local_topk_kernel(q, qk, c, ck, *, k_local: int, axis: str):
 
 
 @lru_cache(maxsize=32)
-def _sharded_search_fn(mesh: Mesh, k: int, k_local: int):
+def _sharded_search_fn(mesh: Mesh, k: int, k_local: int, recall_target=None):
     """Compiled gather-strategy search over ``mesh``'s data axis (cached so
     repeated ``search()`` calls reuse the same executable)."""
-    kernel = partial(_local_topk_kernel, k_local=k_local, axis="data")
+    kernel = partial(_local_topk_kernel, k_local=k_local, axis="data",
+                     recall_target=recall_target)
     mapped = jax.shard_map(
         kernel,
         mesh=mesh,
@@ -269,18 +299,20 @@ class RetrievalIndex:
         corpus_pages: Sequence[Optional[int]],
         mesh: Optional[Mesh] = None,
         precision: str = "fp32",
+        recall_target: Optional[float] = None,
     ):
         corpus = np.asarray(corpus_embeddings, np.float32)
         self.vocab: Dict[str, int] = {}
         keys, self.vocab = encode_keys(corpus_manuals, corpus_pages, self.vocab)
         self._init_from_arrays(
             corpus.shape[1] if corpus.ndim == 2 else 0, corpus, keys, mesh,
-            precision,
+            precision, recall_target,
         )
 
     def _init_from_arrays(
         self, dim: int, corpus: np.ndarray, keys: np.ndarray,
         mesh: Optional[Mesh], precision: str = "fp32",
+        recall_target: Optional[float] = None,
     ) -> None:
         self.n = len(corpus)
         self.dim = dim
@@ -293,6 +325,16 @@ class RetrievalIndex:
                 "use precision='fp32' with a mesh"
             )
         self.precision = precision
+        if recall_target is not None and not (0.0 < recall_target <= 1.0):
+            raise ValueError(
+                f"recall_target must be in (0, 1], got {recall_target}"
+            )
+        if recall_target is not None and precision == "int8":
+            raise ValueError(
+                "recall_target composes with fp32 retrieval only; int8 is "
+                "already an approximate (capacity) mode — pick one"
+            )
+        self.recall_target = recall_target
         if not hasattr(self, "vocab"):
             self.vocab = {}
         self._corpus_scales = None
@@ -393,6 +435,11 @@ class RetrievalIndex:
                     query_embeddings, query_keys, self._corpus,
                     self._corpus_scales, self._keys, min(k, self.n),
                 )
+            if self.recall_target is not None:
+                return _device_masked_topk_approx(
+                    query_embeddings, query_keys, self._corpus, self._keys,
+                    min(k, self.n), self.recall_target,
+                )
             return _device_masked_topk(
                 query_embeddings, query_keys, self._corpus, self._keys,
                 min(k, self.n),
@@ -408,7 +455,9 @@ class RetrievalIndex:
                 )
             run = ring_search_fn(self.mesh, k)
             return run(query_embeddings, query_keys, self._corpus, self._keys)
-        run = _sharded_search_fn(self.mesh, k, min(k, self._n_local))
+        run = _sharded_search_fn(
+            self.mesh, k, min(k, self._n_local), self.recall_target
+        )
         return run(query_embeddings, query_keys, self._corpus, self._keys)
 
     def _search_encoded(

@@ -57,11 +57,13 @@ class RetrievalService:
         images: Optional[Sequence[dict]] = None,
         image_embeddings: Optional[np.ndarray] = None,
         weak_lookup: Optional[dict] = None,
+        recall_target: Optional[float] = None,
     ):
         self.schema = schema
         self.chunk_ids = list(chunk_ids)
         self.index = RetrievalIndex(
-            chunk_embeddings, chunk_manuals, chunk_pages, mesh=mesh
+            chunk_embeddings, chunk_manuals, chunk_pages, mesh=mesh,
+            recall_target=recall_target,
         )
         self.text_encoder = text_encoder
         # stored-image queries (the reference's canonical query pattern,
@@ -194,6 +196,7 @@ def build_service(config, schema: str, mesh=None, text_tower: bool = True) -> Re
         schema=schema, mesh=mesh, text_encoder=encoder,
         images=image_meta, image_embeddings=img_emb,
         weak_lookup=build_weak_lookup(store.alignments(schema)),
+        recall_target=getattr(config, "retrieval_recall_target", None),
     )
 
 
