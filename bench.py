@@ -93,6 +93,20 @@ def main() -> None:
 
     pairs_per_sec = batch * iters / dt
 
+    # Production engines length-bucket the text tower (causal attention
+    # makes pad-tail truncation exact — tpualign/models/text.py); these
+    # bench tokens have EOT at position 20, so the engine would run them
+    # in the 32-token bucket. Measure that rate too (reported as an extra
+    # field; the headline stays the conservative full-77-context number).
+    tokens32 = tokens[:, :32]
+    out = embed_pairs(params, images, tokens32)
+    sync(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = embed_pairs(params, images, tokens32)
+    sync(out)
+    pairs_bucketed = batch * iters / (time.perf_counter() - t0)
+
     from tpualign.utils.flops import clip_pair_flops, device_peak_flops
 
     record = {
@@ -101,6 +115,7 @@ def main() -> None:
         "unit": "pairs/s",
         "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 3),
     }
+    record["pairs_per_sec_text_bucket32"] = round(pairs_bucketed, 1)
     peak = device_peak_flops(jax.devices()[0].device_kind)
     if peak:
         achieved = pairs_per_sec * clip_pair_flops(v)

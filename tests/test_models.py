@@ -132,3 +132,37 @@ def test_build_clip_variants():
     assert ModelConfig(model_name="ViT-B/32").variant.name == "ViT-B-32"
     assert ModelConfig(pretrained="openai").use_quick_gelu
     assert not ModelConfig(pretrained="laion2b_s34b_b79k").use_quick_gelu
+
+
+class TestVariableLengthText:
+    """Causal attention makes pad-tail truncation EXACT: encode_text on
+    tokens[:, :T'] must equal the full-context pass whenever every EOT sits
+    inside T'. This is the invariant the embed engine's length buckets
+    rely on."""
+
+    def _tokens(self, lengths, ctx=16, vocab=1000):
+        toks = np.zeros((len(lengths), ctx), np.int32)
+        rng = np.random.default_rng(5)
+        for i, ln in enumerate(lengths):
+            toks[i, 0] = vocab - 2                      # SOT
+            toks[i, 1:ln - 1] = rng.integers(1, vocab - 2, size=ln - 2)
+            toks[i, ln - 1] = vocab - 1                 # EOT (largest id)
+        return toks
+
+    def test_truncated_equals_full(self):
+        model = tiny_model()
+        params = init_clip_params(model, seed=0)
+        toks = self._tokens([4, 6, 8, 3])
+        full = model.apply({"params": params}, jnp.asarray(toks),
+                           method=model.encode_text)
+        trunc = model.apply({"params": params}, jnp.asarray(toks[:, :8]),
+                            method=model.encode_text)
+        np.testing.assert_allclose(
+            np.asarray(trunc), np.asarray(full), atol=1e-5)
+
+    def test_over_context_raises(self):
+        model = tiny_model()
+        params = init_clip_params(model, seed=0)
+        toks = jnp.zeros((2, 17), jnp.int32)
+        with pytest.raises(ValueError, match="context_length"):
+            model.apply({"params": params}, toks, method=model.encode_text)

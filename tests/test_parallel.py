@@ -476,3 +476,54 @@ class TestRecallTarget:
             recall_target=0.9,
         )
         assert svc.index.recall_target == 0.9
+
+
+def test_text_bucketing_matches_full_context():
+    """Length-bucketed text encoding is EXACT (causal attention) and
+    reassembles rows in the original order."""
+    import jax as _jax
+
+    from tests.test_models import TINY
+    from tpualign.models.clip import CLIP, init_clip_params
+    from tpualign.parallel.embed import EmbedEngine
+    from tpualign.tokenizer import ClipTokenizer
+
+    model = CLIP(variant=TINY, use_quick_gelu=True, compute_dtype=jnp.float32)
+    params = init_clip_params(model, seed=0)
+    tok = ClipTokenizer(context_length=TINY.context_length)
+
+    def build(buckets):
+        eng = EmbedEngine.__new__(EmbedEngine)
+        eng.config = None
+        eng.model = model
+        eng.variant = TINY
+        eng.mesh = None
+        eng.tokenizer = tok
+        eng.params = params
+        eng._dp = 1
+        eng.batch_size = 4
+        eng.text_buckets = buckets
+        eng._encode_text = _jax.jit(
+            lambda p, t: model.apply({"params": p}, t, normalize=True,
+                                     method=model.encode_text))
+        return eng
+
+    texts = ["bout", "remove the filter now", "a",
+             "tighten every bolt on the rear panel assembly carefully",
+             "check oil", "x y z w"] * 3
+    full = build(None).encode_text_batch(texts)
+    bucketed = build((4, 8, TINY.context_length)).encode_text_batch(texts)
+    assert bucketed.shape == full.shape
+    np.testing.assert_allclose(bucketed, full, atol=1e-5)
+
+
+def test_text_buckets_default_includes_context():
+    from tpualign.config import ModelConfig
+    from tpualign.parallel.embed import EmbedEngine
+
+    eng = EmbedEngine(ModelConfig(model_name="ViT-B-32"), batch_size=2)
+    assert eng.text_buckets[-1] == 77
+    assert eng.text_buckets == tuple(sorted(set(eng.text_buckets)))
+    eng_off = EmbedEngine(ModelConfig(model_name="ViT-B-32"), batch_size=2,
+                          text_buckets=None)
+    assert eng_off.text_buckets is None

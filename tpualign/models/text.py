@@ -42,7 +42,20 @@ class TextTransformer(nn.Module):
 
     @nn.compact
     def __call__(self, token_ids: jnp.ndarray) -> jnp.ndarray:
-        """token_ids: (B, context_length) int32, zero-padded after EOT."""
+        """token_ids: (B, T) int32, zero-padded after EOT, T <= context_length.
+
+        T may be SHORTER than the full 77-token context: with causal
+        attention, positions after EOT never influence the EOT feature, so
+        truncating the pad tail produces mathematically identical
+        embeddings at ~T/77 of the compute (pinned by test). The embed
+        engine exploits this with length-bucketed batches.
+        """
+        t = token_ids.shape[1]
+        if t > self.context_length:
+            raise ValueError(
+                f"sequence length {t} exceeds context_length="
+                f"{self.context_length}"
+            )
         token_embedding = self.param(
             "token_embedding",
             nn.initializers.normal(stddev=0.02),
@@ -57,9 +70,9 @@ class TextTransformer(nn.Module):
         )
 
         x = token_embedding[token_ids].astype(self.compute_dtype)
-        x = x + positional_embedding.astype(x.dtype)[None]
+        x = x + positional_embedding.astype(x.dtype)[None, :t]
 
-        mask = causal_mask(self.context_length)
+        mask = causal_mask(t)
         x = Transformer(
             num_layers=self.num_layers,
             num_heads=self.num_heads,

@@ -62,8 +62,21 @@ class EmbedEngine:
         tokenizer: Optional[ClipTokenizer] = None,
         seed: int = 0,
         decode_workers: int = 8,
+        text_buckets: Optional[Sequence[int]] = (16, 32, 77),
     ):
         self.decode_workers = decode_workers
+        # Length buckets for the text tower: causal attention makes
+        # truncating the pad tail EXACT (see TextTransformer.__call__), so
+        # short chunks run at ~T/77 of the full-context compute. None or ()
+        # disables (always full context). The full context is always an
+        # implicit last bucket.
+        if text_buckets:
+            ctx = model_config.variant.context_length
+            self.text_buckets = tuple(sorted(
+                {min(int(b), ctx) for b in text_buckets} | {ctx}
+            ))
+        else:
+            self.text_buckets = None
         self.config = model_config
         self.model: CLIP = build_clip(model_config)
         self.variant = model_config.variant
@@ -147,11 +160,34 @@ class EmbedEngine:
     # -- public API --------------------------------------------------------------
 
     def encode_text_batch(self, texts: Sequence[str]) -> np.ndarray:
-        """Tokenize + encode texts -> (N, D) unit-norm float32."""
+        """Tokenize + encode texts -> (N, D) unit-norm float32.
+
+        With ``text_buckets`` set, rows are grouped by token length into
+        the smallest bucket that holds them (EOT inclusive) and each group
+        runs at that static sequence length — numerically identical to the
+        full-context pass (causal attention; pinned by test), jit-cached
+        per bucket shape."""
         if not len(texts):
             return np.zeros((0, self.variant.embed_dim), np.float32)
-        tokens = self.tokenizer(list(texts))
-        return self._run_batched(self._encode_text, tokens)
+        tokens = np.asarray(self.tokenizer(list(texts)))
+        if not self.text_buckets or len(self.text_buckets) == 1:
+            return self._run_batched(self._encode_text, tokens)
+
+        # token rows are zero-padded after EOT, and EOT has the largest id,
+        # so length = argmax + 1 (the same rule the model's feature-gather
+        # uses)
+        lengths = np.argmax(tokens, axis=1) + 1
+        buckets = np.asarray(self.text_buckets)
+        # smallest bucket >= length
+        which = np.searchsorted(buckets, lengths)
+        out = np.empty((len(tokens), self.variant.embed_dim), np.float32)
+        for bi in np.unique(which):
+            rows = np.flatnonzero(which == bi)
+            t = int(buckets[bi])
+            out[rows] = self._run_batched(
+                self._encode_text, tokens[rows, :t]
+            )
+        return out
 
     def encode_image_batch(self, images_nhwc: np.ndarray) -> np.ndarray:
         """Preprocessed (N, S, S, 3) float32 -> (N, D) unit-norm float32."""
