@@ -662,3 +662,51 @@ def test_siglip_training_decreases_loss(tiny_setup):
         losses.append(float(metrics["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], losses
+
+
+def test_truncated_tokens_give_identical_update(tiny_setup):
+    """Training with pad-tail-truncated tokens is EXACT: only the EOT
+    feature is consumed, so gradients through pad positions are zero and
+    the parameter update matches the full-context step."""
+    from tests.test_models import TINY
+
+    model, params = tiny_setup
+    cfg = TrainConfig(learning_rate=1e-3, warmup_steps=0, total_steps=100)
+    rng = np.random.default_rng(41)
+    images, tokens, weak = batch_for(TINY, 8, rng)
+    # EOT sits at position 2 -> truncation to 8 keeps every row's EOT
+
+    s_full = create_train_state(model, params, cfg)
+    s_full, m_full = train_step(
+        s_full, model, jnp.asarray(images), jnp.asarray(tokens),
+        jnp.asarray(weak), cfg)
+    s_cut = create_train_state(model, params, cfg)
+    s_cut, m_cut = train_step(
+        s_cut, model, jnp.asarray(images), jnp.asarray(tokens[:, :8]),
+        jnp.asarray(weak), cfg)
+
+    np.testing.assert_allclose(float(m_cut["loss"]), float(m_full["loss"]),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(s_full.params),
+                    jax.tree.leaves(s_cut.params)):
+        np.testing.assert_allclose(jax.device_get(a), jax.device_get(b),
+                                   atol=1e-6)
+
+
+def test_truncate_to_bucket_helper():
+    from tpualign.parallel.embed import truncate_to_bucket
+
+    toks = np.zeros((3, 77), np.int32)
+    toks[:, 0] = 49406
+    toks[0, 5] = 49407   # len 6
+    toks[1, 12] = 49407  # len 13
+    toks[2, 3] = 49407   # len 4
+    out = truncate_to_bucket(toks, (16, 32, 77))
+    assert out.shape == (3, 16)
+    toks[1, 12] = 0
+    toks[1, 40] = 49407  # len 41 -> full context
+    assert truncate_to_bucket(toks, (16, 32, 77)).shape == (3, 77)
+    toks[1, 40] = 0
+    toks[1, 30] = 49407  # len 31 -> 32 bucket
+    assert truncate_to_bucket(toks, (16, 32, 77)).shape == (3, 32)
+    assert truncate_to_bucket(np.zeros((0, 77), np.int32), (16,)).shape == (0, 77)

@@ -40,7 +40,26 @@ from tpualign.utils.logging import get_logger
 
 log = get_logger("parallel.embed")
 
-__all__ = ["EmbedEngine", "placeholder_embedding"]
+__all__ = ["EmbedEngine", "placeholder_embedding", "truncate_to_bucket"]
+
+
+def truncate_to_bucket(tokens: np.ndarray, buckets: Sequence[int]) -> np.ndarray:
+    """Truncate a zero-padded token batch to the smallest bucket holding
+    every row's EOT (EOT has the largest id, so length = argmax + 1).
+
+    Exact under causal attention (see TextTransformer.__call__) for both
+    inference and training — gradients through pad positions are zero
+    because only the EOT feature is consumed. Static bucket sizes bound
+    jit recompiles to len(buckets).
+    """
+    tokens = np.asarray(tokens)
+    if tokens.shape[0] == 0:
+        return tokens
+    max_len = int(tokens.argmax(axis=1).max()) + 1
+    for b in sorted(int(b) for b in buckets):
+        if b >= max_len:
+            return tokens[:, :b]
+    return tokens
 
 
 def placeholder_embedding(item_id: str, dim: int) -> np.ndarray:

@@ -160,6 +160,14 @@ class Trainer:
                     texts.append(text)
                     weights[i] = w
                 tokens = self.tokenizer(texts)
+                # exact pad-tail truncation (causal attention; zero grads
+                # through pad positions) — recompiles bounded by the bucket
+                # count, text-tower step FLOPs drop ~T/77 for short chunks
+                from tpualign.parallel.embed import truncate_to_bucket
+
+                tokens = truncate_to_bucket(
+                    tokens, (16, 32, self.variant.context_length)
+                )
                 yield imgs, tokens, weights
             epoch += 1
 
