@@ -58,6 +58,11 @@ def main() -> None:
             "retrieval": [py, "benchmarks/bench_retrieval.py", "100000", "1024", "10"],
             "towers": [py, "benchmarks/bench_towers.py"],
             "corpus_eval": [py, "benchmarks/bench_eval_corpus.py", "1000", "4", "5"],
+            "topk_exact_vs_approx": [py, "benchmarks/exp_topk.py"],
+            "train_h14_single_chip": [
+                py, "benchmarks/bench_train_large.py", "ViT-H-14", "32",
+                "16", "3", "1",
+            ],
         }
 
     report = {}
