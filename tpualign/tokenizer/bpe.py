@@ -85,8 +85,11 @@ def _basic_clean(text: str) -> str:
     return text.strip()
 
 
+_WS_RE = re.compile(r"\s+")
+
+
 def _whitespace_clean(text: str) -> str:
-    return re.sub(r"\s+", " ", text).strip()
+    return _WS_RE.sub(" ", text).strip()
 
 
 def _find_default_merges() -> Optional[str]:
@@ -169,6 +172,7 @@ class ClipTokenizer:
         # the byte->unicode mapping, and the per-word cache. Falls back to
         # the pure-Python bpe() transparently.
         self._id_cache: Dict[str, List[int]] = {}
+        self._raw_cache: Dict[str, List[int]] = {}
         self._bpe_core = None
         if merges:
             try:
@@ -244,12 +248,25 @@ class ClipTokenizer:
     # -- public encode/decode ----------------------------------------------
 
     def encode(self, text: str) -> List[int]:
-        """Text -> BPE ids (without specials, unpadded)."""
+        """Text -> BPE ids (without specials, unpadded).
+
+        The per-word cache keys on the RAW regex token so repeated words
+        (the common case in a manual corpus) skip byte-encoding entirely —
+        the host tokenizer must keep up with the device's short-bucket
+        text rates (docs/PERFORMANCE.md host feed)."""
         ids: List[int] = []
+        raw_cache = self._raw_cache
+        byte_encoder = self.byte_encoder
         text = _whitespace_clean(_basic_clean(text)).lower()
-        for token in re.findall(self.pat, text):
-            btoken = "".join(self.byte_encoder[b] for b in token.encode("utf-8"))
-            ids.extend(self._encode_token_ids(btoken))
+        for token in self.pat.findall(text):
+            got = raw_cache.get(token)
+            if got is None:
+                btoken = "".join(
+                    byte_encoder[b] for b in token.encode("utf-8")
+                )
+                got = self._encode_token_ids(btoken)
+                raw_cache[token] = got
+            ids.extend(got)
         return ids
 
     def decode(self, ids: Iterable[int]) -> str:
@@ -271,7 +288,7 @@ class ClipTokenizer:
             if len(ids) > self.context_length:
                 ids = ids[: self.context_length]
                 ids[-1] = self.eot_id
-            result[i, : len(ids)] = np.asarray(ids, dtype=np.int32)
+            result[i, : len(ids)] = ids
         return result
 
 
