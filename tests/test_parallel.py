@@ -527,3 +527,73 @@ def test_text_buckets_default_includes_context():
     eng_off = EmbedEngine(ModelConfig(model_name="ViT-B-32"), batch_size=2,
                           text_buckets=None)
     assert eng_off.text_buckets is None
+
+
+def test_device_preprocess_mode(tmp_path):
+    """Engine preprocess='device' wiring: host decodes only, preprocessing
+    runs fused on device. For an input already at the model grid size the
+    device bilinear resize is an identity, so the whole path must match
+    host mode exactly; failure/placeholder semantics are preserved."""
+    import jax as _jax
+    from PIL import Image
+
+    from tests.test_models import TINY
+    from tpualign.models.clip import CLIP, init_clip_params
+    from tpualign.parallel.embed import EmbedEngine
+
+    model = CLIP(variant=TINY, use_quick_gelu=True, compute_dtype=jnp.float32)
+    params = init_clip_params(model, seed=0)
+    size = TINY.image_size  # 32
+
+    def build(mode):
+        eng = EmbedEngine.__new__(EmbedEngine)
+        eng.config = None
+        eng.model = model
+        eng.variant = TINY
+        eng.mesh = None
+        eng.tokenizer = None
+        eng.params = params
+        eng._dp = 1
+        eng.batch_size = 4
+        eng.decode_workers = 2
+        eng.preprocess = mode
+        eng.preprocess_bucket = size  # inputs are exactly grid-sized
+        enc = _jax.jit(lambda p, x: model.apply(
+            {"params": p}, x, normalize=True, method=model.encode_image))
+        eng._encode_image = enc
+
+        from tpualign.ops.preprocess import preprocess_device
+
+        eng._encode_image_u8 = _jax.jit(lambda p, u8, hw: model.apply(
+            {"params": p}, preprocess_device(u8, hw, size), normalize=True,
+            method=model.encode_image))
+        return eng
+
+    rng = np.random.default_rng(3)
+    records = []
+    for i in range(5):
+        arr = rng.integers(0, 255, size=(size, size, 3), dtype=np.uint8)
+        name = f"img{i}.png"
+        Image.fromarray(arr).save(tmp_path / name)
+        records.append({"image_id": f"im{i}", "filename": name})
+    records.append({"image_id": "missing", "filename": None})  # placeholder
+
+    e_host = build("host").embed_image_records(records, tmp_path)
+    e_dev = build("device").embed_image_records(records, tmp_path)
+    assert e_host.shape == e_dev.shape == (6, TINY.embed_dim)
+    np.testing.assert_allclose(e_dev[:5], e_host[:5], atol=2e-5)
+    # the placeholder row is mode-independent
+    np.testing.assert_array_equal(e_dev[5], e_host[5])
+
+
+def test_image_preprocess_config_knob():
+    from tpualign.config import load_config
+    from tpualign.parallel.embed import EmbedEngine
+    from tpualign.config import ModelConfig
+
+    cfg = load_config(env_file=None, overrides={"IMAGE_PREPROCESS": "device"})
+    assert cfg.image_preprocess == "device"
+    assert load_config(env_file=None).image_preprocess == "host"
+    with pytest.raises(ValueError, match="preprocess"):
+        EmbedEngine(ModelConfig(model_name="ViT-B-32"), batch_size=2,
+                    preprocess="gpu")

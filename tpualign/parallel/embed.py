@@ -82,8 +82,22 @@ class EmbedEngine:
         seed: int = 0,
         decode_workers: int = 8,
         text_buckets: Optional[Sequence[int]] = (16, 32, 77),
+        preprocess: str = "host",
+        preprocess_bucket: int = 256,
     ):
         self.decode_workers = decode_workers
+        # Image feed mode. "host": PIL bicubic preprocess per image — the
+        # torchvision-parity path. "device": the host only DECODES (2.45x
+        # the per-core rate, docs/PERFORMANCE.md host feed) and pads into
+        # uint8 buckets; resize/crop/normalize run fused on device
+        # (ops/preprocess.preprocess_device) and the host->device transfer
+        # is uint8 (4x smaller). Bilinear resize, so embeddings differ
+        # slightly from the bicubic parity path — throughput serving knob,
+        # not a parity knob.
+        if preprocess not in ("host", "device"):
+            raise ValueError(f"preprocess must be host|device, got {preprocess!r}")
+        self.preprocess = preprocess
+        self.preprocess_bucket = int(preprocess_bucket)
         # Length buckets for the text tower: causal attention makes
         # truncating the pad tail EXACT (see TextTransformer.__call__), so
         # short chunks run at ~T/77 of the full-context compute. None or ()
@@ -144,6 +158,15 @@ class EmbedEngine:
             return model.apply({"params": p}, t, normalize=True,
                                method=model.encode_text)
 
+        size = self.variant.image_size
+
+        def _encode_image_u8(p, u8, hw):
+            from tpualign.ops.preprocess import preprocess_device
+
+            x = preprocess_device(u8, hw, size)
+            return model.apply({"params": p}, x, normalize=True,
+                               method=model.encode_image)
+
         if mesh is not None:
             self._encode_image = jax.jit(
                 _encode_image, in_shardings=(None, self._img_shard),
@@ -153,9 +176,16 @@ class EmbedEngine:
                 _encode_text, in_shardings=(None, self._txt_shard),
                 out_shardings=NamedSharding(mesh, P()),
             )
+            self._encode_image_u8 = jax.jit(
+                _encode_image_u8,
+                in_shardings=(None, self._img_shard,
+                              NamedSharding(mesh, P("data", None))),
+                out_shardings=NamedSharding(mesh, P()),
+            )
         else:
             self._encode_image = jax.jit(_encode_image)
             self._encode_text = jax.jit(_encode_text)
+            self._encode_image_u8 = jax.jit(_encode_image_u8)
 
     # -- batching helpers ------------------------------------------------------
 
@@ -245,12 +275,21 @@ class EmbedEngine:
         bs = self.batch_size
         batches: "queue.Queue" = queue.Queue(maxsize=prefetch)
 
+        device_mode = self.preprocess == "device"
+        bucket = self.preprocess_bucket
+
         def decode_one(i: int):
             from PIL import Image
 
             rec = records[i]
             try:
                 with Image.open(images_dir / rec["filename"]) as im:
+                    if device_mode:
+                        from tpualign.ops.preprocess import pad_to_bucket
+
+                        decoded = np.asarray(im.convert("RGB"), np.uint8)
+                        padded, hw = pad_to_bucket(decoded, bucket)
+                        return i, padded, np.asarray(hw, np.int32)
                     return i, preprocess_host(im, size)
             except Exception as e:  # corrupt file -> placeholder
                 log.warning("decode failed for %s: %s", rec.get("filename"), e)
@@ -284,12 +323,25 @@ class EmbedEngine:
             item = batches.get()
             if item is None:
                 break
-            idxs = [i for i, _ in item]
-            arrs = np.stack([a for _, a in item])
+            idxs = [it[0] for it in item]
+            arrs = np.stack([it[1] for it in item])
             if len(arrs) < bs:
-                pad = np.zeros((bs - len(arrs),) + arrs.shape[1:], np.float32)
+                pad = np.zeros((bs - len(arrs),) + arrs.shape[1:], arrs.dtype)
                 arrs = np.concatenate([arrs, pad], axis=0)
-            embs = np.asarray(self._encode_image(self.params, arrs))[: len(idxs)]
+            if device_mode:
+                hws = np.stack([it[2] for it in item])
+                if len(hws) < bs:
+                    # pad rows claim a 1x1 valid region (never divides by 0)
+                    hws = np.concatenate(
+                        [hws, np.ones((bs - len(hws), 2), np.int32)], axis=0
+                    )
+                embs = np.asarray(
+                    self._encode_image_u8(self.params, arrs, hws)
+                )[: len(idxs)]
+            else:
+                embs = np.asarray(
+                    self._encode_image(self.params, arrs)
+                )[: len(idxs)]
             out[idxs] = embs
         t.join()
         return out

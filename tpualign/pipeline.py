@@ -90,6 +90,7 @@ class Pipeline:
                 mesh=self.mesh,
                 batch_size=self.config.batch_size,
                 seed=self.config.seed,
+                preprocess=self.config.image_preprocess,
             )
         return self._engine
 
