@@ -279,6 +279,9 @@ class PipelineConfig:
     # (host decodes only — 2.45x per-core feed rate — resize/crop/normalize
     # fused on TPU, uint8 transfers; bilinear, so a throughput knob).
     image_preprocess: str = "host"
+    # uint8 bucket edge for the device feed; size to the corpus (larger
+    # images are pre-shrunk on host, smaller ones pad)
+    image_preprocess_bucket: int = 256
 
     def replace(self, **kw) -> "PipelineConfig":
         return dataclasses.replace(self, **kw)
@@ -404,4 +407,7 @@ def load_config(
             if _env(env, "RETRIEVAL_RECALL_TARGET", "") else None
         ),
         image_preprocess=_env(env, "IMAGE_PREPROCESS", "host"),
+        image_preprocess_bucket=int(
+            _env(env, "IMAGE_PREPROCESS_BUCKET", "256")
+        ),
     )

@@ -91,6 +91,7 @@ class Pipeline:
                 batch_size=self.config.batch_size,
                 seed=self.config.seed,
                 preprocess=self.config.image_preprocess,
+                preprocess_bucket=self.config.image_preprocess_bucket,
             )
         return self._engine
 
