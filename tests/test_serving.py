@@ -274,3 +274,56 @@ def test_http_search_image(service):
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+
+def test_request_metrics_unit():
+    from tpualign.serving.server import RequestMetrics
+
+    m = RequestMetrics(window=8)
+    snap = m.snapshot()
+    assert snap["queries_total"] == 0 and snap["latency_ms"]["p50"] is None
+    for i in range(10):
+        m.record("/search", 4, 0.001 * (i + 1))
+    m.record_error()
+    snap = m.snapshot()
+    assert snap["requests"]["/search"] == 10
+    assert snap["queries_total"] == 40
+    assert snap["errors"] == 1
+    # bounded window: only the last 8 latencies retained
+    assert snap["latency_ms"]["window"] == 8
+    assert snap["latency_ms"]["p99"] >= snap["latency_ms"]["p50"]
+
+
+def test_http_stats_endpoint(service):
+    svc, emb, ids, manuals, pages = service
+    httpd = serve(svc, host="127.0.0.1", port=0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        body = json.dumps({
+            "embeddings": np.asarray(emb[:2]).tolist(),
+            "manuals": manuals[:2], "pages": pages[:2], "k": 3,
+        }).encode()
+        req = urllib.request.Request(
+            f"{base}/search", data=body,
+            headers={"Content-Type": "application/json"})
+        json.loads(urllib.request.urlopen(req, timeout=60).read())
+        # a malformed request increments the error counter
+        bad = urllib.request.Request(
+            f"{base}/search", data=b'{"nope": 1}',
+            headers={"Content-Type": "application/json"})
+        try:
+            urllib.request.urlopen(bad, timeout=30)
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        with urllib.request.urlopen(f"{base}/stats", timeout=30) as r:
+            st = json.loads(r.read())
+        assert st["status"] == "ok"
+        assert st["metrics"]["requests"]["/search"] == 1
+        assert st["metrics"]["queries_total"] == 2
+        assert st["metrics"]["errors"] == 1
+        assert st["metrics"]["latency_ms"]["p50"] is not None
+    finally:
+        httpd.shutdown()

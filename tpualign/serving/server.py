@@ -28,6 +28,9 @@ Endpoints:
 from __future__ import annotations
 
 import json
+import threading
+import time
+from collections import deque
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Callable, List, Optional, Sequence
 
@@ -40,6 +43,46 @@ from tpualign.utils.logging import get_logger
 log = get_logger("serving")
 
 __all__ = ["RetrievalService", "serve", "build_service"]
+
+
+class RequestMetrics:
+    """Thread-safe request counters + bounded latency window (the daemon
+    runs under ThreadingHTTPServer). Exposed at ``GET /stats``."""
+
+    def __init__(self, window: int = 2048):
+        self._lock = threading.Lock()
+        self._lat = deque(maxlen=window)
+        self.requests: dict = {}
+        self.queries_total = 0
+        self.errors = 0
+
+    def record(self, endpoint: str, n_queries: int, seconds: float) -> None:
+        with self._lock:
+            self.requests[endpoint] = self.requests.get(endpoint, 0) + 1
+            self.queries_total += n_queries
+            self._lat.append(seconds)
+
+    def record_error(self) -> None:
+        with self._lock:
+            self.errors += 1
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            lats = sorted(self._lat)
+            n = len(lats)
+
+            def pct(p: float):
+                if not n:
+                    return None
+                return round(lats[min(n - 1, int(p * n))] * 1e3, 3)
+
+            return {
+                "requests": dict(self.requests),
+                "queries_total": self.queries_total,
+                "errors": self.errors,
+                "latency_ms": {"p50": pct(0.5), "p95": pct(0.95),
+                               "p99": pct(0.99), "window": n},
+            }
 
 
 class RetrievalService:
@@ -61,6 +104,7 @@ class RetrievalService:
     ):
         self.schema = schema
         self.chunk_ids = list(chunk_ids)
+        self.metrics = RequestMetrics()
         self.index = RetrievalIndex(
             chunk_embeddings, chunk_manuals, chunk_pages, mesh=mesh,
             recall_target=recall_target,
@@ -216,10 +260,15 @@ def _make_handler(service: RetrievalService):
         def do_GET(self):
             if self.path == "/healthz":
                 self._reply(200, service.stats())
+            elif self.path == "/stats":
+                payload = service.stats()
+                payload["metrics"] = service.metrics.snapshot()
+                self._reply(200, payload)
             else:
                 self._reply(404, {"error": f"unknown path {self.path}"})
 
         def do_POST(self):
+            t0 = time.perf_counter()
             try:
                 length = int(self.headers.get("Content-Length", "0"))
                 req = json.loads(self.rfile.read(length) or b"{}")
@@ -250,11 +299,16 @@ def _make_handler(service: RetrievalService):
                 else:
                     self._reply(404, {"error": f"unknown path {self.path}"})
                     return
+                service.metrics.record(
+                    self.path, len(results), time.perf_counter() - t0
+                )
                 self._reply(200, {"results": results})
             except (KeyError, ValueError, TypeError, RuntimeError,
                     json.JSONDecodeError) as e:
+                service.metrics.record_error()
                 self._reply(400, {"error": str(e)})
             except Exception as e:  # pragma: no cover - defensive
+                service.metrics.record_error()
                 log.exception("request failed")
                 self._reply(500, {"error": str(e)})
 
