@@ -327,3 +327,58 @@ def test_http_stats_endpoint(service):
         assert st["metrics"]["latency_ms"]["p50"] is not None
     finally:
         httpd.shutdown()
+
+
+def test_http_reload_endpoint(service):
+    """POST /reload swaps in a freshly built service (new corpus visible),
+    metrics survive, and without a rebuild callable it 500s gracefully."""
+    svc, emb, ids, manuals, pages = service
+
+    rebuilt = {"n": 0}
+
+    def rebuild():
+        rebuilt["n"] += 1
+        bigger = np.concatenate([np.asarray(emb), np.asarray(emb)[:1]])
+        return RetrievalService(
+            bigger, list(ids) + ["extra_chunk"], list(manuals) + [manuals[0]],
+            list(pages) + [pages[0]],
+        )
+
+    httpd = serve(svc, host="127.0.0.1", port=0, rebuild=rebuild)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        before = json.loads(
+            urllib.request.urlopen(f"{base}/healthz", timeout=30).read())
+        req = urllib.request.Request(f"{base}/reload", data=b"")
+        out = json.loads(urllib.request.urlopen(req, timeout=60).read())
+        assert out["reloaded"] is True
+        assert out["corpus_size"] == before["corpus_size"] + 1
+        assert rebuilt["n"] == 1
+        after = json.loads(
+            urllib.request.urlopen(f"{base}/healthz", timeout=30).read())
+        assert after["corpus_size"] == before["corpus_size"] + 1
+        # metrics object carried over (still reachable via /stats)
+        st = json.loads(
+            urllib.request.urlopen(f"{base}/stats", timeout=30).read())
+        assert "metrics" in st
+    finally:
+        httpd.shutdown()
+
+    httpd2 = serve(svc, host="127.0.0.1", port=0)  # no rebuild callable
+    port2 = httpd2.server_address[1]
+    t2 = threading.Thread(target=httpd2.serve_forever, daemon=True)
+    t2.start()
+    try:
+        req = urllib.request.Request(f"http://127.0.0.1:{port2}/reload",
+                                     data=b"")
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            assert False, "expected 500"
+        except urllib.error.HTTPError as e:
+            assert e.code == 500
+            assert json.loads(e.read())["reloaded"] is False
+    finally:
+        httpd2.shutdown()

@@ -274,7 +274,13 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             config, args.schema, mesh=mesh,
             text_tower=not args.no_text_tower,
         )
-        httpd = make_server(service, host=args.host, port=args.port)
+        httpd = make_server(
+            service, host=args.host, port=args.port,
+            rebuild=lambda: build_service(
+                config, args.schema, mesh=mesh,
+                text_tower=not args.no_text_tower,
+            ),
+        )
         print(f"tpualign serve: {service.stats()} on "
               f"http://{args.host}:{httpd.server_address[1]}")
         try:

@@ -244,7 +244,31 @@ def build_service(config, schema: str, mesh=None, text_tower: bool = True) -> Re
     )
 
 
-def _make_handler(service: RetrievalService):
+class _ServiceBox:
+    """Atomic holder for the live service so ``POST /reload`` can swap in a
+    freshly built one (new store snapshot / fine-tuned checkpoint) while
+    in-flight requests finish against the old snapshot."""
+
+    def __init__(self, service: RetrievalService,
+                 rebuild: Optional[Callable[[], RetrievalService]] = None):
+        self.service = service
+        self.rebuild = rebuild
+        self._lock = threading.Lock()
+
+    def reload(self) -> dict:
+        if self.rebuild is None:
+            raise RuntimeError(
+                "reload not configured (serve() was built without a "
+                "rebuild callable)"
+            )
+        with self._lock:  # one rebuild at a time; queries keep flowing
+            fresh = self.rebuild()
+            fresh.metrics = self.service.metrics  # counters survive reloads
+            self.service = fresh
+        return self.service.stats()
+
+
+def _make_handler(box: "_ServiceBox"):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # route to our logger, not stderr
             log.debug("http: " + fmt, *args)
@@ -258,6 +282,7 @@ def _make_handler(service: RetrievalService):
             self.wfile.write(body)
 
         def do_GET(self):
+            service = box.service
             if self.path == "/healthz":
                 self._reply(200, service.stats())
             elif self.path == "/stats":
@@ -268,7 +293,17 @@ def _make_handler(service: RetrievalService):
                 self._reply(404, {"error": f"unknown path {self.path}"})
 
         def do_POST(self):
+            service = box.service
             t0 = time.perf_counter()
+            if self.path == "/reload":
+                try:
+                    stats = box.reload()
+                    self._reply(200, {"reloaded": True, **stats})
+                except Exception as e:
+                    box.service.metrics.record_error()
+                    log.exception("reload failed; serving old snapshot")
+                    self._reply(500, {"reloaded": False, "error": str(e)})
+                return
             try:
                 length = int(self.headers.get("Content-Length", "0"))
                 req = json.loads(self.rfile.read(length) or b"{}")
@@ -316,8 +351,14 @@ def _make_handler(service: RetrievalService):
 
 
 def serve(
-    service: RetrievalService, host: str = "127.0.0.1", port: int = 8321
+    service: RetrievalService, host: str = "127.0.0.1", port: int = 8321,
+    rebuild: Optional[Callable[[], RetrievalService]] = None,
 ) -> ThreadingHTTPServer:
     """Create (but do not start) the HTTP server; call ``serve_forever`` on
-    the result, or use it with a thread in tests."""
-    return ThreadingHTTPServer((host, port), _make_handler(service))
+    the result, or use it with a thread in tests.
+
+    ``rebuild``: zero-arg callable returning a fresh RetrievalService —
+    enables ``POST /reload`` (pick up a re-ingested store or a newly
+    fine-tuned checkpoint without restarting; metrics survive the swap).
+    """
+    return ThreadingHTTPServer((host, port), _make_handler(_ServiceBox(service, rebuild)))
