@@ -121,3 +121,13 @@ def test_memory_lever_knobs_from_env():
     assert defaults.train.grad_accum_steps == 1
     assert defaults.train.ema_decay == 0.0
     assert defaults.model.remat is False
+
+
+def test_text_buckets_from_env():
+    from tpualign.config import load_config
+
+    assert load_config(env_file=None).text_buckets == (16, 32, 77)
+    cfg = load_config(env_file=None, overrides={"TEXT_BUCKETS": "24,77"})
+    assert cfg.text_buckets == (24, 77)
+    off = load_config(env_file=None, overrides={"TEXT_BUCKETS": "off"})
+    assert off.text_buckets is None

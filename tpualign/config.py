@@ -282,6 +282,10 @@ class PipelineConfig:
     # uint8 bucket edge for the device feed; size to the corpus (larger
     # images are pre-shrunk on host, smaller ones pad)
     image_preprocess_bucket: int = 256
+    # text length buckets for the embed engine (None = always full
+    # context). Exact under causal attention; the model context length is
+    # always an implicit last bucket.
+    text_buckets: Optional[Sequence[int]] = (16, 32, 77)
 
     def replace(self, **kw) -> "PipelineConfig":
         return dataclasses.replace(self, **kw)
@@ -325,6 +329,14 @@ def _env(env: Mapping[str, str], key: str, default: str) -> str:
 def _env_bool(env: Mapping[str, str], key: str, default: bool) -> bool:
     raw = _env(env, key, str(default))
     return str(raw).strip().lower() in ("true", "1", "yes", "on")
+
+
+def _parse_buckets(raw: str) -> Optional[tuple]:
+    """\"16,32,77\" -> (16, 32, 77); \"off\"/\"none\"/\"\" -> None."""
+    raw = str(raw).strip().lower()
+    if raw in ("", "off", "none", "false", "0"):
+        return None
+    return tuple(int(b.strip()) for b in raw.split(",") if b.strip())
 
 
 def load_config(
@@ -410,4 +422,5 @@ def load_config(
         image_preprocess_bucket=int(
             _env(env, "IMAGE_PREPROCESS_BUCKET", "256")
         ),
+        text_buckets=_parse_buckets(_env(env, "TEXT_BUCKETS", "16,32,77")),
     )

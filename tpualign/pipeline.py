@@ -92,6 +92,7 @@ class Pipeline:
                 seed=self.config.seed,
                 preprocess=self.config.image_preprocess,
                 preprocess_bucket=self.config.image_preprocess_bucket,
+                text_buckets=self.config.text_buckets,
             )
         return self._engine
 

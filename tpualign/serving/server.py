@@ -222,7 +222,10 @@ def build_service(config, schema: str, mesh=None, text_tower: bool = True) -> Re
     if text_tower:
         from tpualign.parallel.embed import EmbedEngine
 
-        engine = EmbedEngine(config.model, mesh=mesh, batch_size=64)
+        engine = EmbedEngine(
+            config.model, mesh=mesh, batch_size=64,
+            text_buckets=getattr(config, "text_buckets", (16, 32, 77)),
+        )
         encoder = engine.encode_text_batch
 
     images = store.images(schema)
