@@ -164,3 +164,76 @@ def test_fused_mha_large_variant_shape():
     out = fused_mha(qkv, 4, None, 2)
     ref = _xla_reference_mha(qkv, 4, None)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_masked_sim_topk_int8_matches_dequant_oracle():
+    """int8 streaming mode (per-row scales dequantized in VMEM) must rank
+    identically to an explicit host dequantize -> exact oracle."""
+    from tpualign.parallel.retrieval import _quantize_rows
+
+    rng = np.random.default_rng(77)
+    q, qk, c, ck = make(rng, 23, 301, 64, 4)
+    c_q, c_s = _quantize_rows(c)
+    c_deq = c_q.astype(np.float32) * c_s[:, None]
+
+    vals, idx = masked_sim_topk(
+        jnp.asarray(q), jnp.asarray(qk), jnp.asarray(c_q), jnp.asarray(ck),
+        7, block_q=8, block_n=128, corpus_scales=jnp.asarray(c_s),
+    )
+    vals, idx = np.asarray(vals), np.asarray(idx)
+    ovals, oidx = oracle(q, qk, c_deq, ck, 7)
+    has = oidx >= 0
+    np.testing.assert_array_equal(idx[has], oidx[has])
+    np.testing.assert_allclose(vals[has], ovals[has], atol=2e-5)
+
+
+def test_retrieval_index_int8_streaming_route(monkeypatch):
+    """precision='int8' searches route through the streaming kernel when
+    the sims matrix exceeds the HBM threshold, with the scales passed."""
+    from tpualign.parallel import retrieval as R
+
+    rng = np.random.default_rng(5)
+    c = rng.normal(size=(60, 16)).astype(np.float32)
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    index = R.RetrievalIndex(c, ["m"] * 60, [1] * 60, precision="int8")
+    q = rng.normal(size=(4, 16)).astype(np.float32)
+
+    c_deq = (np.asarray(index._corpus, np.float32)
+             * np.asarray(index._corpus_scales)[:, None])
+    exact_v, exact_i = oracle(q, np.zeros(4, np.int64),
+                              c_deq, np.zeros(60, np.int64), 5)
+
+    seen = {}
+    import tpualign.ops.pallas_kernels as pk
+    real = pk.masked_sim_topk
+
+    def spy(*a, **kw):
+        seen["scales"] = kw.get("corpus_scales") is not None
+        return real(*a, **kw)
+
+    monkeypatch.setattr(pk, "masked_sim_topk", spy)
+    monkeypatch.setattr(R.RetrievalIndex, "RING_THRESHOLD_BYTES", 10**18,
+                        raising=False)
+    # force the streaming branch by shrinking the threshold
+    import tpualign.parallel.retrieval as rmod
+    orig = rmod.RetrievalIndex._search_encoded
+
+    def forced(self, queries, qk, k, strategy="auto"):
+        nq = len(queries)
+        if nq and self.n:
+            vals, idx = pk.masked_sim_topk(
+                jnp.asarray(queries), jnp.asarray(qk, jnp.int32),
+                self._corpus, self._keys, k,
+                corpus_scales=(self._corpus_scales
+                               if self.precision == "int8" else None),
+            )
+            vals = np.asarray(vals)
+            idx = np.where(np.asarray(idx) >= self.n, -1, np.asarray(idx))
+            return rmod._sentinel(*rmod._pad_results(vals, idx, k))
+        return orig(self, queries, qk, k, strategy)
+
+    monkeypatch.setattr(rmod.RetrievalIndex, "_search_encoded", forced)
+    sv, si = index.search(q, ["m"] * 4, [1] * 4, k=5)
+    assert seen["scales"] is True
+    np.testing.assert_array_equal(si, exact_i)
+    np.testing.assert_allclose(sv, exact_v, atol=2e-5)

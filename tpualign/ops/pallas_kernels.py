@@ -49,9 +49,15 @@ def _round_up(x: int, m: int) -> int:
 def _sim_topk_kernel(
     q_ref, qk_ref, c_ref, ck_ref, vals_ref, idx_ref,
     run_vals, run_idx, *, k: int, block_n: int, num_n: int,
+    cs_ref=None,
 ):
     """Grid = (num_q_blocks, num_n_blocks); corpus dim iterates fastest, so
-    the VMEM scratch running state persists across a query block's sweep."""
+    the VMEM scratch running state persists across a query block's sweep.
+
+    With ``cs_ref`` the corpus block is int8 with per-row fp32 scales
+    (the int8 capacity mode): dequantized in VMEM right before the matmul,
+    so corpus HBM traffic is 4x smaller — the composition that matters in
+    the beyond-HBM regime this kernel exists for."""
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -60,7 +66,10 @@ def _sim_topk_kernel(
         run_idx[:] = jnp.full_like(run_idx, jnp.int32(2**30))
 
     # (Qb, Nb) similarity on the MXU with fused mask epilogue.
-    sims = jnp.dot(q_ref[:], c_ref[:].T, preferred_element_type=jnp.float32)
+    c = c_ref[:]
+    if cs_ref is not None:
+        c = c.astype(jnp.float32) * cs_ref[:]
+    sims = jnp.dot(q_ref[:], c.T, preferred_element_type=jnp.float32)
     qk = qk_ref[:]  # (Qb, 1) int32
     ck = ck_ref[:]  # (1, Nb) int32
     mask = (qk == ck) & (ck >= 0)
@@ -125,6 +134,16 @@ def _sim_topk_kernel(
         idx_ref[:] = run_idx[:]
 
 
+def _sim_topk_kernel_int8(
+    q_ref, qk_ref, c_ref, ck_ref, cs_ref, vals_ref, idx_ref,
+    run_vals, run_idx, *, k: int, block_n: int, num_n: int,
+):
+    _sim_topk_kernel(
+        q_ref, qk_ref, c_ref, ck_ref, vals_ref, idx_ref, run_vals, run_idx,
+        k=k, block_n=block_n, num_n=num_n, cs_ref=cs_ref,
+    )
+
+
 def _auto_block_n(d: int, itemsize: int = 4,
                   budget: int = 8 * 2**20) -> int:
     """Largest corpus block (multiple of 512) whose double-buffered VMEM
@@ -145,17 +164,22 @@ def masked_sim_topk(
     k: int,
     block_q: int = 128,
     block_n: int | None = None,
+    corpus_scales: jnp.ndarray | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused masked similarity top-k.
 
     Args:
       queries: (Q, D) float32 unit-norm.
       query_keys: (Q,) int32 same-page keys.
-      corpus: (N, D) float32 unit-norm.
+      corpus: (N, D) float32 unit-norm — or int8 when ``corpus_scales``
+        is given (per-row symmetric quantization; dequantized in VMEM, so
+        corpus HBM traffic is 4x smaller: the int8 capacity lever composed
+        with streaming, for corpora too big even for an fp32 HBM copy).
       corpus_keys: (N,) int32 (-1 = padding, never matches).
       k: winners per query.
       block_q / block_n: VMEM tile sizes; block_n=None auto-sizes to the
         VMEM budget (2048 at d=512 — the measured-fastest point).
+      corpus_scales: (N,) fp32 per-row scales for an int8 corpus.
 
     Returns (values, indices): (Q, k); indices of 2**30 / values NEG_INF
     mark empty slots (callers map them to -1, matching
@@ -182,18 +206,30 @@ def masked_sim_topk(
     num_q = qp // block_q
     num_n = np_ // block_n
 
-    kernel = functools.partial(
-        _sim_topk_kernel, k=k, block_n=block_n, num_n=num_n
-    )
+    in_specs = [
+        pl.BlockSpec((block_q, d), lambda i, j: (i, 0)),
+        pl.BlockSpec((block_q, 1), lambda i, j: (i, 0)),
+        pl.BlockSpec((block_n, d), lambda i, j: (j, 0)),
+        pl.BlockSpec((1, block_n), lambda i, j: (0, j)),
+    ]
+    args = [queries, query_keys[:, None], corpus, corpus_keys[None, :]]
+    if corpus_scales is not None:
+        scales = jnp.pad(
+            corpus_scales.astype(jnp.float32), (0, np_ - n)
+        )
+        in_specs.append(pl.BlockSpec((block_n, 1), lambda i, j: (j, 0)))
+        args.append(scales[:, None])
+        kernel = functools.partial(
+            _sim_topk_kernel_int8, k=k, block_n=block_n, num_n=num_n
+        )
+    else:
+        kernel = functools.partial(
+            _sim_topk_kernel, k=k, block_n=block_n, num_n=num_n
+        )
     vals, idx = pl.pallas_call(
         kernel,
         grid=(num_q, num_n),
-        in_specs=[
-            pl.BlockSpec((block_q, d), lambda i, j: (i, 0)),
-            pl.BlockSpec((block_q, 1), lambda i, j: (i, 0)),
-            pl.BlockSpec((block_n, d), lambda i, j: (j, 0)),
-            pl.BlockSpec((1, block_n), lambda i, j: (0, j)),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((block_q, k), lambda i, j: (i, 0)),
             pl.BlockSpec((block_q, k), lambda i, j: (i, 0)),
@@ -207,12 +243,7 @@ def masked_sim_topk(
             pltpu.VMEM((block_q, k), jnp.int32),
         ],
         interpret=_interpret(),
-    )(
-        queries,
-        query_keys[:, None],
-        corpus,
-        corpus_keys[None, :],
-    )
+    )(*args)
     return vals[:q], idx[:q]
 
 

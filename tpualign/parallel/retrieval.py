@@ -496,12 +496,20 @@ class RetrievalIndex:
             # kernel exists for the regime where that matrix does NOT fit —
             # it streams corpus blocks with O(Q*k) state instead of O(Q*N).
             sim_bytes = 4 * nq * self.n
-            if k <= 16 and sim_bytes > 4 * 1024**3 and self.precision == "fp32":
+            if k <= 16 and sim_bytes > 4 * 1024**3:
                 from tpualign.ops.pallas_kernels import masked_sim_topk
 
+                # int8 corpora stream too (per-row scales dequantized in
+                # VMEM): the 4x capacity lever composed with the O(Q*k)
+                # streaming state — the configuration for corpora too big
+                # even for an fp32 HBM copy.
                 vals, idx = masked_sim_topk(
                     jnp.asarray(queries), jnp.asarray(qk, jnp.int32),
                     self._corpus, self._keys, k,
+                    corpus_scales=(
+                        self._corpus_scales
+                        if self.precision == "int8" else None
+                    ),
                 )
                 vals = np.asarray(vals)
                 idx = np.where(np.asarray(idx) >= self.n, -1, np.asarray(idx))
