@@ -597,3 +597,20 @@ def test_image_preprocess_config_knob():
     with pytest.raises(ValueError, match="preprocess"):
         EmbedEngine(ModelConfig(model_name="ViT-B-32"), batch_size=2,
                     preprocess="gpu")
+
+
+def test_streaming_route_matches_dense(monkeypatch):
+    """When the TPU routing gate prefers the streaming kernel for the
+    single-device exact path, results must match the XLA dense path
+    exactly (values, indices, tie-breaks, sentinels)."""
+    from tpualign.parallel import retrieval as R
+
+    rng = np.random.default_rng(31)
+    q, qman, qpage, c, cman, cpage = make_problem(rng, nq=7, n=120)
+    index = RetrievalIndex(c, cman, cpage, mesh=None)
+    dv, di = index.search(q, qman, qpage, k=5)
+
+    monkeypatch.setattr(R, "_prefer_streaming_kernel", lambda k: True)
+    sv, si = index.search(q, qman, qpage, k=5)
+    np.testing.assert_array_equal(si, di)
+    np.testing.assert_allclose(sv, dv, atol=2e-5)
