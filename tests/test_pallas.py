@@ -80,6 +80,30 @@ def test_masked_sim_topk_tie_break():
     np.testing.assert_array_equal(np.asarray(idx)[0], [0, 1, 2, 3])
 
 
+def test_masked_sim_topk_wildcard():
+    """WILDCARD (-3) query keys must match every real corpus row in the
+    streaming kernel — the serving /search_text default (global_search) and
+    CLI query path route here on TPU (ADVICE r2 high)."""
+    from tpualign.ops.similarity import WILDCARD_KEY
+
+    rng = np.random.default_rng(13)
+    q, _, c, ck = make(rng, 9, 200, 32, 4)
+    qk = np.full(9, WILDCARD_KEY, np.int32)
+    vals, idx = masked_sim_topk(
+        jnp.asarray(q), jnp.asarray(qk), jnp.asarray(c), jnp.asarray(ck),
+        6, block_q=8, block_n=128,
+    )
+    vals, idx = np.asarray(vals), np.asarray(idx)
+    sims = q @ c.T
+    for r in range(9):
+        order = np.lexsort((np.arange(200), -sims[r]))[:6]
+        np.testing.assert_array_equal(idx[r], order)
+        np.testing.assert_allclose(vals[r], sims[r][order], atol=2e-5)
+    # corpus padding (key -1) still never matches a wildcard: N=200 pads to
+    # the 128-block, and no winner may come from the padding region
+    assert (idx < 200).all()
+
+
 def test_normalize_u8():
     rng = np.random.default_rng(1)
     imgs = rng.integers(0, 255, (3, 16, 8, 3)).astype(np.uint8)

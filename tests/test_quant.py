@@ -144,3 +144,21 @@ def test_train_step_refuses_quantized_model():
     mesh = create_mesh(1, 1, devices=jax.devices("cpu")[:1])
     with pytest.raises(ValueError, match="zero gradient"):
         make_sharded_train_step(model, mesh, TrainConfig(batch_size=2))
+
+
+def test_single_device_training_refuses_quantized_model():
+    """The guard must also cover the mesh=None fine-tune path (the CLI
+    default when MESH_DATA*MESH_MODEL == 1): create_train_state refuses, so
+    CLIP_QUANT=int8 can never silently train through round()'s zero
+    gradient (ADVICE r2 medium)."""
+    from tpualign.config import TrainConfig
+    from tpualign.models.clip import init_clip_params
+    from tpualign.train.step import create_train_state
+
+    model = CLIP(variant=TINY, use_quick_gelu=True,
+                 compute_dtype=jnp.float32, quant="int8")
+    clean = CLIP(variant=TINY, use_quick_gelu=True,
+                 compute_dtype=jnp.float32)
+    params = init_clip_params(clean, seed=0)
+    with pytest.raises(ValueError, match="zero gradient"):
+        create_train_state(model, params, TrainConfig(batch_size=2))

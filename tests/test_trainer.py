@@ -261,3 +261,35 @@ def test_training_improves_heldout_retrieval(tmp_path):
     # Top-1 = 1/4 and MRR = H(4)/4 regardless of the model
     assert cart_top1_0 == cart_top1_1 == pytest.approx(0.25)
     assert cart_mrr_0 == cart_mrr_1 == pytest.approx((1 + 1/2 + 1/3 + 1/4) / 4)
+
+
+def test_trainer_batches_honor_config_text_buckets(small_store):
+    """Trainer.batches threads PipelineConfig.text_buckets instead of a
+    hardcoded (16, 32, 77): custom buckets truncate, TEXT_BUCKETS=off keeps
+    the full context (ADVICE r2 low)."""
+    from tests.test_models import TINY
+    from tpualign.tokenizer import ClipTokenizer
+
+    store, images_dir = small_store
+    triples = build_pair_dataset(store, "clip_combined", images_dir)
+    # short texts so the bucket choice is observable (SOT + 1 tok + EOT)
+    triples = [(p, "a", w) for p, _, w in triples]
+
+    def make_trainer(buckets_env):
+        cfg = load_config(env_file=None, overrides={
+            "STORE_DIR": str(store.root),
+            "OUTPUT_DIR": str(images_dir.parent),
+            "TEXT_BUCKETS": buckets_env,
+        })
+        t = Trainer.__new__(Trainer)
+        t.config = cfg
+        t.variant = TINY
+        t.tokenizer = ClipTokenizer(context_length=TINY.context_length)
+        return t
+
+    # "a" tokenizes to 3 tokens -> the 8 bucket
+    _, toks, _ = next(make_trainer("8,12").batches(triples, 4))
+    assert toks.shape[1] == 8
+    # off -> full model context, no truncation
+    _, toks, _ = next(make_trainer("off").batches(triples, 4))
+    assert toks.shape[1] == TINY.context_length

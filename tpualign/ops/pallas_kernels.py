@@ -28,9 +28,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tpualign.ops.preprocess import CLIP_MEAN, CLIP_STD
-from tpualign.ops.similarity import NEG_INF
+from tpualign.ops.similarity import NEG_INF, WILDCARD_KEY
 
-__all__ = ["masked_sim_topk", "normalize_u8"]
+__all__ = ["masked_sim_topk", "normalize_u8", "SENTINEL_IDX"]
+
+# Empty top-k slots carry this index (values carry NEG_INF). Callers either
+# map it to -1 (host sentinel convention) or must avoid offsetting it when
+# localizing shard indices (tpualign.parallel.retrieval's sharded streaming).
+SENTINEL_IDX = 2**30
 
 
 def _interpret() -> bool:
@@ -63,7 +68,7 @@ def _sim_topk_kernel(
     @pl.when(j == 0)
     def _reset():
         run_vals[:] = jnp.full_like(run_vals, NEG_INF)
-        run_idx[:] = jnp.full_like(run_idx, jnp.int32(2**30))
+        run_idx[:] = jnp.full_like(run_idx, jnp.int32(SENTINEL_IDX))
 
     # (Qb, Nb) similarity on the MXU with fused mask epilogue.
     c = c_ref[:]
@@ -72,7 +77,9 @@ def _sim_topk_kernel(
     sims = jnp.dot(q_ref[:], c.T, preferred_element_type=jnp.float32)
     qk = qk_ref[:]  # (Qb, 1) int32
     ck = ck_ref[:]  # (1, Nb) int32
-    mask = (qk == ck) & (ck >= 0)
+    # WILDCARD queries match every real corpus row — same mask semantics as
+    # every dense path (global_search; serving /search_text defaults to it).
+    mask = ((qk == ck) | (qk == WILDCARD_KEY)) & (ck >= 0)
     sims = jnp.where(mask, sims, NEG_INF)
 
     qb = sims.shape[0]
@@ -122,7 +129,7 @@ def _sim_topk_kernel(
         init = (
             cand_vals,
             jnp.full((qb, k), NEG_INF, jnp.float32),
-            jnp.full((qb, k), jnp.int32(2**30)),
+            jnp.full((qb, k), jnp.int32(SENTINEL_IDX)),
         )
         _, new_v, new_i = jax.lax.fori_loop(0, k, extract, init)
         run_vals[:] = new_v
@@ -181,7 +188,7 @@ def masked_sim_topk(
         VMEM budget (2048 at d=512 — the measured-fastest point).
       corpus_scales: (N,) fp32 per-row scales for an int8 corpus.
 
-    Returns (values, indices): (Q, k); indices of 2**30 / values NEG_INF
+    Returns (values, indices): (Q, k); indices of SENTINEL_IDX / values NEG_INF
     mark empty slots (callers map them to -1, matching
     tpualign.parallel.retrieval's sentinel convention).
     """

@@ -19,6 +19,12 @@ __all__ = ["l2_normalize", "cosine_similarity_matrix", "masked_topk"]
 
 NEG_INF = -1e30  # large-finite: avoids NaN from (-inf) - (-inf) in top-k compares
 
+# Query-side wildcard key: matches every real (>= 0) corpus key — the
+# unrestricted/global search mode. Single source of truth for every masked
+# path (XLA dense, ring, Pallas streaming); tpualign.parallel.retrieval
+# re-exports it and documents the full key encoding.
+WILDCARD_KEY = -3
+
 
 def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
     """Unit-normalize along ``axis`` (ref L2 normalize:

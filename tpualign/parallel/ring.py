@@ -69,8 +69,10 @@ def _ring_kernel(q, qk, c, ck, *, k: int, axis: str):
         return _merge_topk(run_v, run_i, vals, gidx, k)
 
     qb = q.shape[0]
+    from tpualign.ops.pallas_kernels import SENTINEL_IDX
+
     run_v = jnp.full((qb, k), NEG_INF, jnp.float32)
-    run_i = jnp.full((qb, k), jnp.int32(2**30))
+    run_i = jnp.full((qb, k), jnp.int32(SENTINEL_IDX))
 
     # D steps: score, then rotate (query block + keys + running state) to the
     # next device. Unrolled python loop — n_dev is static.

@@ -88,6 +88,30 @@ def load_trained_params(directory: str | Path, step: Optional[int] = None):
     return params
 
 
+def _checkpoint_has_key(mgr, step: int, key: str) -> Optional[bool]:
+    """Whether the saved step contains top-level ``key``; None = unknown
+    (metadata unavailable — e.g. an externally produced layout)."""
+    try:
+        meta = mgr.item_metadata(step)
+        if meta is not None:
+            return key in set(meta.keys())
+    except Exception:
+        pass
+    try:
+        import orbax.checkpoint as ocp
+
+        # a fresh manager has no handler registered yet and returns None
+        # above; read the StandardSave item layout directly
+        p = Path(mgr.directory) / str(step) / "default"
+        if p.exists():
+            meta = ocp.StandardCheckpointHandler().metadata(p)
+            if meta is not None:
+                return key in set(meta.keys())
+    except Exception:
+        pass
+    return None
+
+
 def restore_checkpoint(directory: str | Path, state, step: Optional[int] = None):
     """Restore into the structure of ``state`` (a TrainState); returns the
     updated state or None when no checkpoint exists.
@@ -107,18 +131,25 @@ def restore_checkpoint(directory: str | Path, state, step: Optional[int] = None)
         "opt_state": state.opt_state,
         "step": 0,
     }
+    # Include the EMA tree in the template only when the checkpoint actually
+    # saved one (checked via metadata, NOT by catching broad restore errors —
+    # that could silently reset a real EMA on any unrelated restore failure).
+    # Checkpoints predating EMA tracking restart the average from the
+    # restored params.
     want_ema = getattr(state, "ema_params", None) is not None
-    if want_ema:
+    has_ema = _checkpoint_has_key(mgr, step, "ema_params")
+    if want_ema and has_ema in (True, None):
         template["ema_params"] = state.ema_params
     try:
         restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
-    except Exception:
-        if not want_ema:
+    except ValueError as e:
+        # only when metadata was unavailable AND the mismatch is exactly the
+        # missing-ema case does the legacy fallback apply
+        if not (want_ema and has_ema is None and "ema_params" in str(e)):
             raise
-        # checkpoint predates EMA tracking: restore without it and restart
-        # the average from the restored params
         del template["ema_params"]
         restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
+    if want_ema and "ema_params" not in restored:
         restored["ema_params"] = jax.tree.map(
             lambda x: x, restored["params"]
         )

@@ -69,9 +69,21 @@ def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
     )
 
 
+def _reject_quantized_model(model: CLIP) -> None:
+    if getattr(model, "quant", "none") != "none":
+        raise ValueError(
+            "Training a quantized model is not supported: the int8 path's "
+            "round() has zero gradient. Build the trainer's model with "
+            "quant='none' (CLIP_QUANT is a serving-only knob)."
+        )
+
+
 def create_train_state(
     model: CLIP, params, config: TrainConfig
 ) -> TrainState:
+    # guard at state creation so BOTH the sharded and the single-device
+    # trainer paths refuse silently-dead int8 training
+    _reject_quantized_model(model)
     tx = make_optimizer(config)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
@@ -252,12 +264,7 @@ def make_sharded_train_step(
     """
     from tpualign.parallel.sharding import clip_param_specs
 
-    if getattr(model, "quant", "none") != "none":
-        raise ValueError(
-            "Training a quantized model is not supported: the int8 path's "
-            "round() has zero gradient. Build the trainer's model with "
-            "quant='none' (CLIP_QUANT is a serving-only knob)."
-        )
+    _reject_quantized_model(model)
 
     def param_sharding(params):
         specs = clip_param_specs(params)

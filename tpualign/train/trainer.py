@@ -162,12 +162,19 @@ class Trainer:
                 tokens = self.tokenizer(texts)
                 # exact pad-tail truncation (causal attention; zero grads
                 # through pad positions) — recompiles bounded by the bucket
-                # count, text-tower step FLOPs drop ~T/77 for short chunks
-                from tpualign.parallel.embed import truncate_to_bucket
+                # count, text-tower step FLOPs drop ~T/77 for short chunks.
+                # Buckets come from config (TEXT_BUCKETS; None = always full
+                # context), same knob the embed engine honors.
+                buckets = self.config.text_buckets
+                if buckets:
+                    from tpualign.parallel.embed import truncate_to_bucket
 
-                tokens = truncate_to_bucket(
-                    tokens, (16, 32, self.variant.context_length)
-                )
+                    ctx = self.variant.context_length
+                    tokens = truncate_to_bucket(
+                        tokens,
+                        tuple(sorted({min(int(b), ctx) for b in buckets}
+                                     | {ctx})),
+                    )
                 yield imgs, tokens, weights
             epoch += 1
 
