@@ -401,12 +401,107 @@ def test_int8_retrieval_recall():
     assert (i == -1).all()
 
 
-def test_int8_requires_single_device(mesh8):
+def test_invalid_precision_and_strategy():
     c = np.eye(8, dtype=np.float32)
-    with pytest.raises(ValueError, match="single-device"):
-        RetrievalIndex(c, ["m"] * 8, [1] * 8, mesh=mesh8, precision="int8")
     with pytest.raises(ValueError, match="precision"):
         RetrievalIndex(c, ["m"] * 8, [1] * 8, precision="fp8")
+    index = RetrievalIndex(c, ["m"] * 8, [1] * 8)
+    with pytest.raises(ValueError, match="strategy"):
+        index.search(c[:2], ["m"] * 2, [1, 1], k=2, strategy="warp")
+
+
+def test_mesh_streaming_matches_oracle(mesh8):
+    """The sharded streaming strategy (fused Pallas sweep per shard +
+    exact cross-shard merge) is oracle-pinned on the 8-device CPU mesh
+    (interpret mode), including wildcard queries and tie-breaks."""
+    rng = np.random.default_rng(23)
+    q, qman, qpage, c, cman, cpage = make_problem(rng, nq=9, n=203)
+    index = RetrievalIndex(c, cman, cpage, mesh=mesh8)
+    gv, gi = index.search(q, qman, qpage, k=10, strategy="gather")
+    sv, si = index.search(q, qman, qpage, k=10, strategy="streaming")
+    np.testing.assert_array_equal(si, gi)
+    has = gi >= 0
+    np.testing.assert_allclose(sv[has], gv[has], atol=1e-5)
+
+    # wildcard (global) search through the mesh streaming path
+    gv, gi = index.search(q, k=10, strategy="gather", global_search=True)
+    sv, si = index.search(q, k=10, strategy="streaming", global_search=True)
+    assert (gi >= 0).all()
+    np.testing.assert_array_equal(si, gi)
+    np.testing.assert_allclose(sv, gv, atol=1e-5)
+
+
+def test_mesh_int8_streaming_and_gather(mesh8):
+    """int8 composes with the mesh (VERDICT r2 #1): the sharded int8
+    corpus ranks exactly like a host dequantize -> exact oracle, for BOTH
+    the streaming (VMEM dequant) and gather (int8 MXU dot) strategies."""
+    rng = np.random.default_rng(29)
+    q, qman, qpage, c, cman, cpage = make_problem(rng, nq=7, n=203)
+    index = RetrievalIndex(c, cman, cpage, mesh=mesh8, precision="int8")
+
+    # host-side dequantized oracle over the padded, sharded corpus
+    c_q = np.asarray(index._corpus)
+    c_s = np.asarray(index._corpus_scales)
+    c_deq = c_q.astype(np.float32) * c_s[:, None]
+    vocab = dict(index.vocab)
+    ckeys = np.asarray(index._keys)
+    qkeys, _ = encode_keys(qman, qpage, vocab)
+    ovals, oidx = numpy_oracle(q, qkeys, c_deq[: len(c)], ckeys[: len(c)], 10)
+    has = oidx >= 0
+
+    # streaming keeps queries fp32 (only the corpus is quantized), so it
+    # must match the dequant oracle EXACTLY, tie-breaks included
+    vals, idx = index.search(q, qman, qpage, k=10, strategy="streaming")
+    np.testing.assert_array_equal(idx[has], oidx[has])
+    np.testing.assert_allclose(vals[has], ovals[has], atol=2e-5)
+    assert (idx[~has] == -1).all()
+
+    # gather additionally quantizes the query block for the int8 MXU dot
+    # (same scheme as the single-device serving path): high recall vs the
+    # dequant oracle, near-ties may swap
+    gvals, gidx = index.search(q, qman, qpage, k=10, strategy="gather")
+    for r in range(len(q)):
+        want = set(oidx[r][oidx[r] >= 0])
+        got = set(gidx[r][gidx[r] >= 0])
+        if want:
+            assert len(want & got) / len(want) >= 0.9, (r, want, got)
+
+    # ring has no int8 path — must refuse loudly, not silently dequantize
+    with pytest.raises(ValueError, match="int8"):
+        index.search_device(
+            jnp.asarray(q[:8]), jnp.asarray(qkeys[:8]), 10, "ring"
+        )
+
+
+def test_recall_target_warns_on_exact_strategies(mesh8):
+    """recall_target silently becoming exact was VERDICT r2 weak #4: the
+    router must WARN when an approximate-mode search lands on an exact
+    strategy (ring/streaming). (Direct handler capture: the tpualign root
+    logger sets propagate=False, so caplog's root handler never sees it.)"""
+    import logging
+
+    rng = np.random.default_rng(3)
+    q, qman, qpage, c, cman, cpage = make_problem(rng, nq=8, n=64)
+    index = RetrievalIndex(c, cman, cpage, mesh=mesh8, recall_target=0.95)
+
+    records = []
+    handler = logging.Handler()
+    handler.emit = records.append
+    logger = logging.getLogger("tpualign.parallel.retrieval")
+    logger.addHandler(handler)
+    try:
+        index.search(q, qman, qpage, k=5, strategy="ring")
+        assert any("exact" in r.getMessage() for r in records), records
+        # warned once per strategy, not per call
+        n = len(records)
+        index.search(q, qman, qpage, k=5, strategy="ring")
+        assert len(records) == n
+        # gather (where the approx local stage applies) does not warn
+        records.clear()
+        index.search(q, qman, qpage, k=5, strategy="gather")
+        assert not any("exact" in r.getMessage() for r in records)
+    finally:
+        logger.removeHandler(handler)
 
 
 def test_search_never_mutates_corpus_vocab():
@@ -614,3 +709,14 @@ def test_streaming_route_matches_dense(monkeypatch):
     sv, si = index.search(q, qman, qpage, k=5)
     np.testing.assert_array_equal(si, di)
     np.testing.assert_allclose(sv, dv, atol=2e-5)
+
+    # global (wildcard) searches must match too — the serving /search_text
+    # default routes through this kernel on TPU (ADVICE r2 high: the kernel
+    # mask was missing the WILDCARD clause and returned all-empty results)
+    monkeypatch.setattr(R, "_prefer_streaming_kernel", lambda k: False)
+    gv, gi = index.search(q, k=5, global_search=True)
+    monkeypatch.setattr(R, "_prefer_streaming_kernel", lambda k: True)
+    wv, wi = index.search(q, k=5, global_search=True)
+    assert (gi >= 0).all()  # unrestricted search always finds candidates
+    np.testing.assert_array_equal(wi, gi)
+    np.testing.assert_allclose(wv, gv, atol=2e-5)
