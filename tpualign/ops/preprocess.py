@@ -13,9 +13,14 @@ Two paths here:
   to torchvision) used for drift validation and small corpora.
 - :func:`preprocess_device` — the throughput path: the host only decodes
   JPEG/PNG bytes and pads crops into fixed-size uint8 buckets; resize,
-  crop, scale and normalize all run on TPU under jit (static shapes,
-  ``jax.image.resize`` with antialiasing + fused normalize), so HBM traffic
-  is one uint8 array in and the model-ready tensor never round-trips.
+  crop, scale and normalize all run on TPU under jit with static shapes.
+  The resize reproduces PIL/torchvision BICUBIC-with-antialias semantics
+  (parity-grade, see :func:`_resample_weights`) as two MXU matmuls per
+  image — weight matrices are built on the fly from each image's true
+  (h, w), so one compiled executable serves every crop size in a bucket.
+  HBM traffic is one uint8 array in and the model-ready tensor never
+  round-trips. A ``method="bilinear"`` fallback keeps the cheaper gather
+  path available.
 """
 
 from __future__ import annotations
@@ -86,9 +91,11 @@ def pad_to_bucket(
 ) -> Tuple[np.ndarray, Tuple[int, int]]:
     """Pad a decoded (h, w, 3) uint8 image into a (bucket, bucket, 3) buffer.
 
-    Images larger than the bucket are pre-shrunk on host (PIL bilinear) so
-    the jit shapes stay static. Returns the padded buffer and the true
-    (h, w) occupying its top-left corner.
+    Images larger than the bucket are pre-shrunk on host (PIL bicubic, the
+    same antialiased family as the parity resize — still one extra
+    resampling vs the host path's single resize, flagged in
+    docs/PARITY.md) so the jit shapes stay static. Returns the padded
+    buffer and the true (h, w) occupying its top-left corner.
     """
     h, w = decoded.shape[:2]
     if h > bucket or w > bucket:
@@ -97,12 +104,98 @@ def pad_to_bucket(
         scale = bucket / max(h, w)
         nh, nw = max(1, int(h * scale)), max(1, int(w * scale))
         decoded = np.asarray(
-            Image.fromarray(decoded).resize((nw, nh), Image.BILINEAR)
+            Image.fromarray(decoded).resize((nw, nh), Image.BICUBIC)
         )
         h, w = nh, nw
     out = np.zeros((bucket, bucket, 3), np.uint8)
     out[:h, :w] = decoded
     return out, (h, w)
+
+
+def _output_geometry(true_hw: jnp.ndarray, image_size: int):
+    """Replicates the host path's resize-short-side + center-crop geometry
+    with traced (h, w): new dims via round-half-even (Python round()'s
+    rule, which jnp.round shares), crop offsets via floor division."""
+    h = true_hw[0].astype(jnp.float32)
+    w = true_hw[1].astype(jnp.float32)
+    s = jnp.float32(image_size)
+    new_h = jnp.where(w < h, jnp.maximum(jnp.round(h * s / w), 1.0), s)
+    new_w = jnp.where(w < h, s, jnp.maximum(jnp.round(w * s / h), 1.0))
+    top = jnp.floor((new_h - s) / 2.0)
+    left = jnp.floor((new_w - s) / 2.0)
+    return h, w, new_h, new_w, top, left
+
+
+def _bicubic_kernel(x: jnp.ndarray) -> jnp.ndarray:
+    """PIL/torchvision bicubic filter (a = -0.5), support 2."""
+    a = -0.5
+    ax = jnp.abs(x)
+    w1 = ((a + 2.0) * ax - (a + 3.0)) * ax * ax + 1.0
+    w2 = (((ax - 5.0) * ax + 8.0) * ax - 4.0) * a
+    return jnp.where(ax < 1.0, w1, jnp.where(ax < 2.0, w2, 0.0))
+
+
+def _resample_weights(
+    in_size: jnp.ndarray, scale: jnp.ndarray, offset: jnp.ndarray,
+    bucket: int, image_size: int,
+) -> jnp.ndarray:
+    """(image_size, bucket) separable resampling weight matrix reproducing
+    PIL's antialiased bicubic (ImagingResampleHorizontal semantics, the
+    engine under torchvision Resize(..., BICUBIC, antialias=True) that the
+    reference's OpenCLIP `preprocess` applies per image,
+    ref:src/insert_clip_embeddings.py:107-108):
+
+    - output pixel ``i`` (after the center-crop, so source row
+      ``i + offset`` of the resized image) has center ``(i + offset + 0.5)
+      * scale`` in source space;
+    - on downscale the filter dilates by ``ss = max(scale, 1)`` (the
+      antialias), taps at every source pixel ``s + 0.5``;
+    - taps outside the valid region [0, in_size) are dropped and the row
+      renormalized — exactly PIL's xmin/xmax clipping + coefficient
+      normalization.
+
+    Dense (image_size, bucket) instead of a banded gather: the follow-up
+    apply is then a plain matmul on the MXU, and one compiled executable
+    covers every (h, w) in the bucket with no dynamic shapes.
+    """
+    ss = jnp.maximum(scale, 1.0)
+    i = jnp.arange(image_size, dtype=jnp.float32)[:, None]
+    s = jnp.arange(bucket, dtype=jnp.float32)[None, :]
+    center = (i + offset + 0.5) * scale
+    w = _bicubic_kernel((s + 0.5 - center) / ss)
+    w = jnp.where(s < in_size, w, 0.0)
+    return w / jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1e-12)
+
+
+def _quantize_u8_grid(x: jnp.ndarray) -> jnp.ndarray:
+    """Clamp + round to the uint8 grid in [0,1] space, PIL's clip8 with
+    round-half-up (``ss + (1 << (PRECISION_BITS-1)) >> PRECISION_BITS``)."""
+    return jnp.clip(jnp.floor(x * 255.0 + 0.5), 0.0, 255.0) * (1.0 / 255.0)
+
+
+def _resize_short_side_crop_bicubic(
+    image: jnp.ndarray, true_hw: jnp.ndarray, bucket: int, image_size: int
+) -> jnp.ndarray:
+    """Parity-grade device resize: PIL bicubic + antialias + center-crop as
+    two weight-matrix matmuls — MXU work, not gathers.
+
+    Matches PIL's uint8 pipeline (the torchvision transform the reference
+    applies, ref:src/insert_clip_embeddings.py:107-108) to ~1 uint8 step:
+    horizontal pass first, each pass's result clamped and rounded to the
+    uint8 grid exactly where PIL's fixed-point ``clip8`` does. The crop is
+    fused into the weight matrices (identical per-pixel taps, never
+    materializing the (new_h, new_w) intermediate)."""
+    h, w, new_h, new_w, top, left = _output_geometry(true_hw, image_size)
+    wy = _resample_weights(h, h / new_h, top, bucket, image_size)
+    wx = _resample_weights(w, w / new_w, left, bucket, image_size)
+    # HIGHEST: keep true fp32 through the MXU (the TPU default rounds fp32
+    # matmuls to bf16 operands, which would cost ~1 uint8 step per pass);
+    # the resize is a negligible fraction of tower FLOPs
+    hp = jax.lax.Precision.HIGHEST
+    cols = jnp.einsum("jt,stc->sjc", wx, image, precision=hp)  # (bucket, S, 3)
+    cols = _quantize_u8_grid(cols)
+    out = jnp.einsum("os,sjc->ojc", wy, cols, precision=hp)    # (S, S, 3)
+    return _quantize_u8_grid(out)
 
 
 def _resize_short_side_crop(
@@ -114,8 +207,8 @@ def _resize_short_side_crop(
 
     Implemented with a static-shape gather: output pixel (i, j) maps to a
     dynamically computed source coordinate — XLA-friendly (no dynamic
-    shapes), bilinear sampling. Bilinear (not bicubic) keeps the gather
-    footprint small; the parity path uses the host bicubic instead.
+    shapes), bilinear sampling (NO antialias — a throughput knob, not the
+    parity path; see :func:`_resize_short_side_crop_bicubic`).
     """
     h = true_hw[0].astype(jnp.float32)
     w = true_hw[1].astype(jnp.float32)
@@ -150,20 +243,30 @@ def preprocess_device(
     true_hw: jnp.ndarray,
     image_size: int = 224,
     dtype=jnp.float32,
+    method: str = "bicubic",
 ) -> jnp.ndarray:
     """Batched on-device preprocess.
 
     Args:
       images_u8: (B, bucket, bucket, 3) uint8, valid region top-left.
       true_hw: (B, 2) int32 true (h, w) per image.
+      method: "bicubic" (default; PIL/torchvision antialias parity — the
+        device feed is parity-grade) or "bilinear" (cheaper gather, no
+        antialias — throughput knob).
 
     Returns (B, image_size, image_size, 3) normalized ``dtype`` tensor.
     """
+    if method not in ("bicubic", "bilinear"):
+        raise ValueError(f"method must be bicubic or bilinear, got {method!r}")
     bucket = images_u8.shape[1]
     imgs = images_u8.astype(jnp.float32) / 255.0
+    resize = (
+        _resize_short_side_crop_bicubic
+        if method == "bicubic" else _resize_short_side_crop
+    )
 
     def one(img, hw):
-        return _resize_short_side_crop(img, hw, bucket, image_size)
+        return resize(img, hw, bucket, image_size)
 
     out = jax.vmap(one)(imgs, true_hw)
     return normalize_images(out, dtype)

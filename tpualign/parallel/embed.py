@@ -91,9 +91,10 @@ class EmbedEngine:
         # the per-core rate, docs/PERFORMANCE.md host feed) and pads into
         # uint8 buckets; resize/crop/normalize run fused on device
         # (ops/preprocess.preprocess_device) and the host->device transfer
-        # is uint8 (4x smaller). Bilinear resize, so embeddings differ
-        # slightly from the bicubic parity path — throughput serving knob,
-        # not a parity knob.
+        # is uint8 (4x smaller). The device resize reproduces PIL's
+        # bicubic+antialias uint8 pipeline to <=2 uint8 steps worst-case
+        # (mean ~1e-6) — BOTH feeds are parity-grade; "device" is the
+        # throughput choice.
         if preprocess not in ("host", "device"):
             raise ValueError(f"preprocess must be host|device, got {preprocess!r}")
         self.preprocess = preprocess
