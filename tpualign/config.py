@@ -277,7 +277,10 @@ class PipelineConfig:
     retrieval_recall_target: Optional[float] = None
     # Image feed: "host" (PIL bicubic, torchvision parity) or "device"
     # (host decodes only — 2.45x per-core feed rate — resize/crop/normalize
-    # fused on TPU, uint8 transfers; bilinear, so a throughput knob).
+    # fused on TPU as matmul bicubic+antialias matching PIL's uint8
+    # pipeline to <=2 uint8 steps; parity-grade as of r3). "host" stays the
+    # default for bit-exact reproducibility of existing stores; flip to
+    # "device" for throughput.
     image_preprocess: str = "host"
     # uint8 bucket edge for the device feed; size to the corpus (larger
     # images are pre-shrunk on host, smaller ones pad)
@@ -286,6 +289,10 @@ class PipelineConfig:
     # context). Exact under causal attention; the model context length is
     # always an implicit last bucket.
     text_buckets: Optional[Sequence[int]] = (16, 32, 77)
+    # serving request-coalescing window in ms (SERVE_COALESCE_MS; None/off
+    # disables): concurrent /search* requests inside the window merge into
+    # one device dispatch (serving/server.py BatchCoalescer)
+    serve_coalesce_ms: Optional[float] = 2.0
 
     def replace(self, **kw) -> "PipelineConfig":
         return dataclasses.replace(self, **kw)
@@ -423,4 +430,9 @@ def load_config(
             _env(env, "IMAGE_PREPROCESS_BUCKET", "256")
         ),
         text_buckets=_parse_buckets(_env(env, "TEXT_BUCKETS", "16,32,77")),
+        serve_coalesce_ms=(
+            float(_env(env, "SERVE_COALESCE_MS", "2.0"))
+            if _env(env, "SERVE_COALESCE_MS", "2.0").lower()
+            not in ("off", "none", "") else None
+        ),
     )
