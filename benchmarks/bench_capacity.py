@@ -1,0 +1,93 @@
+"""Single-chip capacity benchmark: int8 streaming retrieval at corpus
+sizes far beyond what an fp32 dense search could hold.
+
+The fp32 dense path needs the (N, D) corpus AND a (Q, N) similarity
+matrix in HBM; the fused Pallas streaming kernel holds only the int8
+corpus (N bytes at D=512... N*D bytes) plus O(Q*k) running state, so a
+16 GB v5e fits ~20M+ 512-d vectors where fp32 dense tops out around 4-6M
+(ref pgvector capacity was bounded by server RAM + HNSW index size,
+ref:src/setup_vector_db.py:155-190).
+
+Data is generated ON DEVICE (the relay uploads at ~64 KB/s — a 4 GB
+corpus can never cross it) in int8 directly; values are irrelevant for
+throughput. Prints one JSON line per corpus size.
+
+Usage: python benchmarks/bench_capacity.py [Q] [k] [sizes_millions...]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpualign.ops.pallas_kernels import masked_sim_topk
+
+    q_n = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    sizes = [float(s) for s in sys.argv[3:]] or [1.0, 2.0, 4.0, 8.0]
+    d = 512
+    on_tpu = jax.default_backend() == "tpu"
+    if not on_tpu:
+        sizes = [0.05]  # CPU smoke
+
+    @jax.jit
+    def make_corpus(key, n):
+        c = jax.random.randint(key, (n, d), -127, 128, jnp.int32).astype(jnp.int8)
+        scales = jnp.full((n,), 1.0 / 127.0, jnp.float32)
+        keys = jnp.zeros((n,), jnp.int32)  # one group; queries use key 0
+        return c, scales, keys
+
+    @jax.jit
+    def make_queries(key):
+        q = jax.random.normal(key, (q_n, d), jnp.float32)
+        q = q / jnp.linalg.norm(q, axis=1, keepdims=True)
+        return q, jnp.zeros((q_n,), jnp.int32)
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("kk",))
+    def search(q, qk, c, ck, cs, kk):
+        return masked_sim_topk(q, qk, c, ck, kk, corpus_scales=cs)
+
+    qs, qk = make_queries(jax.random.PRNGKey(0))
+    for m in sizes:
+        n = int(m * 1e6)
+        try:
+            c, cs, ck = make_corpus(jax.random.PRNGKey(1), n)
+            vals, idx = search(qs, qk, c, ck, cs, k)
+            s = float(jnp.sum(vals)) + int(idx[0, 0])  # sync + sanity
+            iters = 3 if n > 4_000_000 else 6
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                vals, idx = search(qs, qk, c, ck, cs, k)
+            _ = float(jnp.sum(vals))  # scalar sync
+            dt = time.perf_counter() - t0
+            qps = q_n * iters / dt
+            print(json.dumps({
+                "metric": "int8_streaming_qps",
+                "corpus_millions": m,
+                "corpus_gb": round(n * d / 2**30, 2),
+                "q": q_n, "k": k,
+                "value": round(qps, 1),
+                "unit": "queries/s",
+                "checksum_finite": bool(np.isfinite(s)),
+            }), flush=True)
+            del c, cs, ck
+        except Exception as e:  # OOM boundary is part of the result
+            print(json.dumps({
+                "metric": "int8_streaming_qps",
+                "corpus_millions": m,
+                "error": str(e)[:200],
+            }), flush=True)
+            break
+
+
+if __name__ == "__main__":
+    main()
