@@ -107,6 +107,48 @@ def main() -> None:
     sync(out)
     pairs_bucketed = batch * iters / (time.perf_counter() - t0)
 
+    # --- end-to-end production path (VERDICT r2 #5) -----------------------
+    # Drive the PRODUCTION EmbedEngine executables: the device-preprocess
+    # image feed (uint8 bucket -> fused bicubic+antialias resize/crop/
+    # normalize -> vision tower) and the bucketed text path — the exact
+    # jitted functions embed_image_records dispatches. Inputs are
+    # device-generated uint8 buckets standing in for the post-decode host
+    # feed: through this relay, bulk host->device uploads run at ~64 KB/s
+    # (docs/PERFORMANCE.md "Host feed"), so timing real uploads would
+    # measure the tunnel, not the architecture. On a host-attached chip
+    # the uint8 transfer (256KB/image) overlaps compute via the prefetch
+    # queue.
+    from tpualign.parallel.embed import EmbedEngine
+
+    engine = EmbedEngine(
+        config, batch_size=batch, params=params,
+        preprocess="device", preprocess_bucket=256,
+    )
+
+    @jax.jit
+    def make_u8_batch(key):
+        u8 = jax.random.randint(
+            key, (batch, 256, 256, 3), 0, 256, jnp.int32
+        ).astype(jnp.uint8)
+        hw = jax.random.randint(key, (batch, 2), 64, 257, jnp.int32)
+        return u8, hw
+
+    u8, hw = make_u8_batch(jax.random.PRNGKey(1))
+    tokens32 = tokens[:, :32]
+
+    def e2e_step():
+        ie = engine._encode_image_u8(engine.params, u8, hw)
+        te = engine._encode_text(engine.params, tokens32)
+        return ie, te
+
+    out = e2e_step()
+    sync(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = e2e_step()
+    sync(out)
+    pairs_e2e = batch * iters / (time.perf_counter() - t0)
+
     from tpualign.utils.flops import clip_pair_flops, device_peak_flops
 
     record = {
@@ -116,6 +158,9 @@ def main() -> None:
         "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 3),
     }
     record["pairs_per_sec_text_bucket32"] = round(pairs_bucketed, 1)
+    # engine path: device preprocess (bicubic parity resize from 256-buckets)
+    # + 32-token text bucket — the production embed executables
+    record["pairs_per_sec_end_to_end"] = round(pairs_e2e, 1)
     peak = device_peak_flops(jax.devices()[0].device_kind)
     if peak:
         achieved = pairs_per_sec * clip_pair_flops(v)
