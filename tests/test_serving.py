@@ -491,3 +491,46 @@ def test_service_coalesced_matches_uncoalesced(service):
     st = svc.stats()
     assert st["coalescer"]["dispatches"] >= 2
     assert "avg_batch" in st["coalescer"]
+
+
+def test_text_encode_coalescer_batches():
+    """Concurrent /search_text requests pay ONE encode dispatch for the
+    whole window, and every caller gets exactly its own rows back."""
+    from tpualign.serving.server import TextEncodeCoalescer
+
+    calls = []
+
+    def encode(texts):
+        calls.append(list(texts))
+        # row i encodes to [hash(text), 0] so slicing is verifiable
+        return np.asarray(
+            [[float(len(t)), float(ord(t[0]))] for t in texts], np.float32
+        )
+
+    co = TextEncodeCoalescer(encode, window_ms=100.0)
+    results = {}
+
+    def one(i):
+        out = co.encode([f"{chr(65 + i)}" * (i + 1)])
+        results[i] = out
+
+    threads = [threading.Thread(target=one, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert co.dispatches <= 2, co.dispatches
+    assert sum(len(c) for c in calls) == 8
+    for i, out in results.items():
+        np.testing.assert_array_equal(out, [[i + 1, 65 + i]])
+
+
+def test_search_text_routes_through_encode_coalescer(service):
+    svc, *_ = service
+    assert svc._encode_coalescer is not None
+    before = svc._encode_coalescer.dispatches
+    res = svc.search_text(["de pomp", "de filter"], k=3)
+    assert len(res) == 2
+    assert svc._encode_coalescer.dispatches == before + 1
+    st = svc.stats()
+    assert "encode_coalescer" in st

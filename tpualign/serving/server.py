@@ -85,28 +85,29 @@ class RequestMetrics:
             }
 
 
-class BatchCoalescer:
-    """Merges concurrent searches into one device dispatch.
+class _LeaderFollowerBatcher:
+    """Generic leader/follower batching core.
 
-    Under ThreadingHTTPServer every request used to cost its own dispatch
-    through a relay with a ~1.5 ms floor (VERDICT r2 weak #3). Leader/
-    follower batching fixes that: the first request in becomes the leader,
-    collects followers for a short ``window_ms``, then dispatches ONE
-    search for the whole batch. Dispatches are additionally serialized, so
-    while a batch is on device the next batch keeps filling — N concurrent
-    single-query requests cost ~2 dispatches, not N. Requests may carry
-    different ``k``: the batch searches max(k) once and each caller trims
-    its rows (top-k of a top-kmax ranking is exact).
+    Under ThreadingHTTPServer every request used to cost its own device
+    dispatch through a relay with a ~1.5 ms floor (VERDICT r2 weak #3).
+    The first request in becomes the leader, collects followers for a
+    short ``window_ms``, then dispatches ONE batched call. Dispatches are
+    additionally serialized, so while a batch is on device the next batch
+    keeps filling — N concurrent single-item requests cost ~2 dispatches,
+    not N.
 
     Backpressure: an open batch never exceeds ``max_batch`` rows (excess
-    requests roll into the next batch) and at most ``max_queue`` rows may
-    be waiting across batches — beyond that, callers get RuntimeError
-    instead of unbounded memory growth.
+    requests roll into the next batch, whose leader queues on the dispatch
+    lock) and at most ``max_queue`` rows may be waiting across batches —
+    beyond that, callers get RuntimeError instead of unbounded memory.
+
+    Subclasses implement ``_dispatch(items) -> results`` (items = the
+    per-call payloads in arrival order); callers slice their rows from the
+    row-aligned results.
     """
 
-    def __init__(self, search_fn, window_ms: float = 2.0,
+    def __init__(self, window_ms: float = 2.0,
                  max_batch: int = 256, max_queue: int = 4096):
-        self._search_fn = search_fn
         self.window_s = max(0.0, float(window_ms)) / 1e3
         self.max_batch = int(max_batch)
         self.max_queue = int(max_queue)
@@ -118,34 +119,33 @@ class BatchCoalescer:
         self.batched_queries = 0
 
     class _Batch:
-        __slots__ = ("embs", "keys", "ks", "done", "results", "error")
+        __slots__ = ("items", "rows", "done", "results", "error")
 
         def __init__(self):
-            self.embs, self.keys, self.ks = [], [], []
+            self.items = []
+            self.rows = 0
             self.done = threading.Event()
             self.results = None
             self.error = None
 
-        def rows(self):
-            return sum(len(e) for e in self.embs)
+    def _dispatch(self, items):  # pragma: no cover - abstract
+        raise NotImplementedError
 
-    def search(self, embeddings: np.ndarray, keys: np.ndarray, k: int):
-        """(n, D) queries + encoded keys -> (vals, idx) host arrays (n, k)."""
-        n = len(embeddings)
+    def _run(self, item, n: int):
+        """Join/lead a batch; returns (row-aligned results, my row start)."""
         with self._lock:
             if self._queued_rows + n > self.max_queue:
                 raise RuntimeError(
-                    f"retrieval queue full ({self._queued_rows} rows "
+                    f"request queue full ({self._queued_rows} rows "
                     f"waiting); retry later"
                 )
             batch = self._open
-            leader = batch is None or batch.rows() + n > self.max_batch
+            leader = batch is None or batch.rows + n > self.max_batch
             if leader:
                 batch = self._open = self._Batch()
-            start = batch.rows()
-            batch.embs.append(np.asarray(embeddings, np.float32))
-            batch.keys.append(np.asarray(keys, np.int32))
-            batch.ks.append(int(k))
+            start = batch.rows
+            batch.items.append(item)
+            batch.rows += n
             self._queued_rows += n
 
         if leader:
@@ -154,18 +154,12 @@ class BatchCoalescer:
             with self._lock:
                 if self._open is batch:
                     self._open = None
-                rows = batch.rows()
-                self._queued_rows -= rows
+                self._queued_rows -= batch.rows
             with self._dispatch_lock:
                 try:
-                    vals, idx = self._search_fn(
-                        np.concatenate(batch.embs),
-                        np.concatenate(batch.keys),
-                        max(batch.ks),
-                    )
-                    batch.results = (vals, idx)
+                    batch.results = self._dispatch(batch.items)
                     self.dispatches += 1
-                    self.batched_queries += rows
+                    self.batched_queries += batch.rows
                 except Exception as e:  # surfaced to every waiter
                     batch.error = e
                 batch.done.set()
@@ -174,8 +168,7 @@ class BatchCoalescer:
                 raise RuntimeError("coalesced dispatch timed out")
         if batch.error is not None:
             raise batch.error
-        vals, idx = batch.results
-        return vals[start:start + n, :k], idx[start:start + n, :k]
+        return batch.results, start
 
     def stats(self) -> dict:
         d = max(1, self.dispatches)
@@ -185,6 +178,50 @@ class BatchCoalescer:
             "avg_batch": round(self.batched_queries / d, 2),
             "window_ms": self.window_s * 1e3,
         }
+
+
+class BatchCoalescer(_LeaderFollowerBatcher):
+    """Coalesces retrieval searches. Requests may carry different ``k``:
+    the batch searches max(k) once and each caller trims its rows (top-k
+    of a top-kmax ranking is exact)."""
+
+    def __init__(self, search_fn, window_ms: float = 2.0,
+                 max_batch: int = 256, max_queue: int = 4096):
+        super().__init__(window_ms, max_batch, max_queue)
+        self._search_fn = search_fn
+
+    def _dispatch(self, items):
+        embs, keys, ks = zip(*items)
+        return self._search_fn(
+            np.concatenate(embs), np.concatenate(keys), max(ks)
+        )
+
+    def search(self, embeddings: np.ndarray, keys: np.ndarray, k: int):
+        """(n, D) queries + encoded keys -> (vals, idx) host arrays (n, k)."""
+        n = len(embeddings)
+        item = (np.asarray(embeddings, np.float32),
+                np.asarray(keys, np.int32), int(k))
+        (vals, idx), start = self._run(item, n)
+        return vals[start:start + n, :k], idx[start:start + n, :k]
+
+
+class TextEncodeCoalescer(_LeaderFollowerBatcher):
+    """Coalesces text-tower encodes: concurrent /search_text requests pay
+    one bucketed encode dispatch instead of one each (the encode was the
+    second per-request dispatch after the search itself)."""
+
+    def __init__(self, encode_fn, window_ms: float = 2.0,
+                 max_batch: int = 256, max_queue: int = 4096):
+        super().__init__(window_ms, max_batch, max_queue)
+        self._encode_fn = encode_fn
+
+    def _dispatch(self, items):
+        flat: List[str] = [t for ts in items for t in ts]
+        return np.asarray(self._encode_fn(flat), np.float32)
+
+    def encode(self, texts: List[str]) -> np.ndarray:
+        out, start = self._run(list(texts), len(texts))
+        return out[start:start + len(texts)]
 
 
 class RetrievalService:
@@ -212,13 +249,18 @@ class RetrievalService:
             chunk_embeddings, chunk_manuals, chunk_pages, mesh=mesh,
             recall_target=recall_target,
         )
-        # request coalescing: concurrent searches merge into one device
-        # dispatch (None disables — library callers that never run
-        # concurrent requests skip the batching window entirely)
+        # request coalescing: concurrent searches (and text encodes) merge
+        # into one device dispatch each (None disables — library callers
+        # that never run concurrent requests skip the batching window)
         self.coalescer = (
             BatchCoalescer(self.index.search_encoded,
                            window_ms=coalesce_window_ms)
             if coalesce_window_ms is not None else None
+        )
+        self._encode_coalescer = (
+            TextEncodeCoalescer(text_encoder, window_ms=coalesce_window_ms)
+            if (coalesce_window_ms is not None and text_encoder is not None)
+            else None
         )
         self.text_encoder = text_encoder
         # stored-image queries (the reference's canonical query pattern,
@@ -317,7 +359,10 @@ class RetrievalService:
     ) -> List[List[dict]]:
         if self.text_encoder is None:
             raise RuntimeError("no text encoder loaded (serve --no-text-tower?)")
-        q = np.asarray(self.text_encoder(list(texts)), np.float32)
+        if self._encode_coalescer is not None:
+            q = self._encode_coalescer.encode(list(texts))
+        else:
+            q = np.asarray(self.text_encoder(list(texts)), np.float32)
         manuals = None if global_search else [manual] * len(texts)
         pages = None if global_search else [page] * len(texts)
         return self.search_embeddings(q, manuals, pages, k, global_search)
@@ -335,6 +380,8 @@ class RetrievalService:
         }
         if self.coalescer is not None:
             out["coalescer"] = self.coalescer.stats()
+        if self._encode_coalescer is not None:
+            out["encode_coalescer"] = self._encode_coalescer.stats()
         return out
 
 
