@@ -37,9 +37,13 @@ def main() -> None:
     if not on_tpu:
         sizes = [0.05]  # CPU smoke
 
-    @jax.jit
+    from functools import partial as _partial
+
+    @_partial(jax.jit, static_argnames=("n",))
     def make_corpus(key, n):
-        c = jax.random.randint(key, (n, d), -127, 128, jnp.int32).astype(jnp.int8)
+        # generate int8 DIRECTLY — an int32 intermediate would be 4x the
+        # corpus (24 GB at 12M x 512) and OOM before the corpus exists
+        c = jax.random.randint(key, (n, d), -127, 128, jnp.int8)
         scales = jnp.full((n,), 1.0 / 127.0, jnp.float32)
         keys = jnp.zeros((n,), jnp.int32)  # one group; queries use key 0
         return c, scales, keys
@@ -50,9 +54,7 @@ def main() -> None:
         q = q / jnp.linalg.norm(q, axis=1, keepdims=True)
         return q, jnp.zeros((q_n,), jnp.int32)
 
-    from functools import partial
-
-    @partial(jax.jit, static_argnames=("kk",))
+    @_partial(jax.jit, static_argnames=("kk",))
     def search(q, qk, c, ck, cs, kk):
         return masked_sim_topk(q, qk, c, ck, kk, corpus_scales=cs)
 
