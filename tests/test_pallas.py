@@ -261,3 +261,39 @@ def test_retrieval_index_int8_streaming_route(monkeypatch):
     assert seen["scales"] is True
     np.testing.assert_array_equal(si, exact_i)
     np.testing.assert_allclose(sv, exact_v, atol=2e-5)
+
+
+def test_masked_sim_topk_segmented_matches_oracle(monkeypatch):
+    """Corpora beyond SEGMENT_ROWS sweep as multiple kernel calls merged
+    by the exact two-key sort — identical results (tie-breaks included)
+    to the single-call path."""
+    import tpualign.ops.pallas_kernels as pk
+
+    rng = np.random.default_rng(41)
+    q, qk, c, ck = make(rng, 11, 700, 32, 3)
+    single_v, single_i = masked_sim_topk(
+        jnp.asarray(q), jnp.asarray(qk), jnp.asarray(c), jnp.asarray(ck),
+        8, block_q=8, block_n=128,
+    )
+    monkeypatch.setattr(pk, "SEGMENT_ROWS", 256)  # force 3 segments
+    seg_v, seg_i = pk.masked_sim_topk(
+        jnp.asarray(q), jnp.asarray(qk), jnp.asarray(c), jnp.asarray(ck),
+        8, block_q=8, block_n=128,
+    )
+    np.testing.assert_array_equal(np.asarray(seg_i), np.asarray(single_i))
+    np.testing.assert_allclose(np.asarray(seg_v), np.asarray(single_v),
+                               atol=2e-5)
+    # int8 segments too
+    from tpualign.parallel.retrieval import _quantize_rows
+
+    c_q, c_s = _quantize_rows(c)
+    v1, i1 = pk.masked_sim_topk(
+        jnp.asarray(q), jnp.asarray(qk), jnp.asarray(c_q), jnp.asarray(ck),
+        8, block_q=8, block_n=128, corpus_scales=jnp.asarray(c_s),
+    )
+    monkeypatch.setattr(pk, "SEGMENT_ROWS", 10**9)
+    v2, i2 = pk.masked_sim_topk(
+        jnp.asarray(q), jnp.asarray(qk), jnp.asarray(c_q), jnp.asarray(ck),
+        8, block_q=8, block_n=128, corpus_scales=jnp.asarray(c_s),
+    )
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))

@@ -191,7 +191,54 @@ def masked_sim_topk(
     Returns (values, indices): (Q, k); indices of SENTINEL_IDX / values NEG_INF
     mark empty slots (callers map them to -1, matching
     tpualign.parallel.retrieval's sentinel convention).
+
+    Corpora beyond ``SEGMENT_ROWS`` are swept as several kernel calls
+    inside the same trace (identical shapes -> one compiled kernel) and
+    merged with the exact two-key sort — the remote Mosaic compiler
+    rejects single grids past ~4-6M rows (HTTP 500 at 12M x 512 measured),
+    while segmented sweeps run to the HBM capacity limit.
     """
+    n = corpus.shape[0]
+    if n > SEGMENT_ROWS:
+        return _segmented_sim_topk(
+            queries, query_keys, corpus, corpus_keys, k,
+            block_q, block_n, corpus_scales,
+        )
+    return _sim_topk_one_segment(
+        queries, query_keys, corpus, corpus_keys, k,
+        block_q, block_n, corpus_scales,
+    )
+
+
+# Empirical single-call grid bound: 8M rows (grid ~3.9k corpus steps at
+# block_n=2048) compiles on v5e; 12M does not. 4M keeps healthy margin.
+SEGMENT_ROWS = 4_000_000
+
+
+def _segmented_sim_topk(queries, query_keys, corpus, corpus_keys, k,
+                        block_q, block_n, corpus_scales):
+    n = corpus.shape[0]
+    seg_vals, seg_idx = [], []
+    for s0 in range(0, n, SEGMENT_ROWS):
+        s1 = min(s0 + SEGMENT_ROWS, n)
+        v, i = _sim_topk_one_segment(
+            queries, query_keys,
+            corpus[s0:s1], corpus_keys[s0:s1], k, block_q, block_n,
+            None if corpus_scales is None else corpus_scales[s0:s1],
+        )
+        # globalize winners; sentinels stay put (offset could overflow)
+        seg_vals.append(v)
+        seg_idx.append(jnp.where(i >= SENTINEL_IDX, i, i + s0))
+    cv = jnp.concatenate(seg_vals, axis=1)
+    ci = jnp.concatenate(seg_idx, axis=1)
+    neg, si = jax.lax.sort((-cv, ci), num_keys=2)
+    return -neg[:, :k], si[:, :k]
+
+
+def _sim_topk_one_segment(
+    queries, query_keys, corpus, corpus_keys, k,
+    block_q, block_n, corpus_scales,
+):
     q, d = queries.shape
     n = corpus.shape[0]
     if block_n is None:
