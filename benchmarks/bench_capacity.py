@@ -40,13 +40,28 @@ def main() -> None:
     from functools import partial as _partial
 
     @_partial(jax.jit, static_argnames=("n",))
-    def make_corpus(key, n):
+    def _make_seg(key, n):
         # generate int8 DIRECTLY — an int32 intermediate would be 4x the
         # corpus (24 GB at 12M x 512) and OOM before the corpus exists
-        c = jax.random.randint(key, (n, d), -127, 128, jnp.int8)
-        scales = jnp.full((n,), 1.0 / 127.0, jnp.float32)
-        keys = jnp.zeros((n,), jnp.int32)  # one group; queries use key 0
-        return c, scales, keys
+        return jax.random.randint(key, (n, d), -127, 128, jnp.int8)
+
+    SEG = 4_000_000
+
+    def make_corpus(key, n):
+        # segment the GENERATION too (a single randint program beyond
+        # ~16M x 512 fails the remote compile) and KEEP the segments —
+        # concatenating would transiently double HBM use. The search
+        # sweeps segments like RetrievalIndex's segmented kernel does.
+        parts = []
+        for s0 in range(0, n, SEG):
+            key, sub = jax.random.split(key)
+            parts.append(_make_seg(sub, min(SEG, n - s0)))
+        seg_meta = [
+            (jnp.full((len(p),), 1.0 / 127.0, jnp.float32),
+             jnp.zeros((len(p),), jnp.int32))
+            for p in parts
+        ]
+        return parts, seg_meta
 
     @jax.jit
     def make_queries(key):
@@ -55,20 +70,37 @@ def main() -> None:
         return q, jnp.zeros((q_n,), jnp.int32)
 
     @_partial(jax.jit, static_argnames=("kk",))
-    def search(q, qk, c, ck, cs, kk):
+    def search_seg(q, qk, c, ck, cs, kk):
         return masked_sim_topk(q, qk, c, ck, kk, corpus_scales=cs)
+
+    def search(q, qk, parts, meta, kk):
+        """Sweep every resident segment, merge winners by the two-key
+        sort (the same scheme masked_sim_topk uses internally)."""
+        vs, is_ = [], []
+        off = 0
+        for p, (cs, ck) in zip(parts, meta):
+            v, i = search_seg(q, qk, p, ck, cs, kk)
+            vs.append(v)
+            is_.append(i + off)
+            off += len(p)
+        if len(vs) == 1:
+            return vs[0], is_[0]
+        cv = jnp.concatenate(vs, axis=1)
+        ci = jnp.concatenate(is_, axis=1)
+        neg, si = jax.lax.sort((-cv, ci), num_keys=2)
+        return -neg[:, :kk], si[:, :kk]
 
     qs, qk = make_queries(jax.random.PRNGKey(0))
     for m in sizes:
         n = int(m * 1e6)
         try:
-            c, cs, ck = make_corpus(jax.random.PRNGKey(1), n)
-            vals, idx = search(qs, qk, c, ck, cs, k)
+            parts, meta = make_corpus(jax.random.PRNGKey(1), n)
+            vals, idx = search(qs, qk, parts, meta, k)
             s = float(jnp.sum(vals)) + int(idx[0, 0])  # sync + sanity
             iters = 3 if n > 4_000_000 else 6
             t0 = time.perf_counter()
             for _ in range(iters):
-                vals, idx = search(qs, qk, c, ck, cs, k)
+                vals, idx = search(qs, qk, parts, meta, k)
             _ = float(jnp.sum(vals))  # scalar sync
             dt = time.perf_counter() - t0
             qps = q_n * iters / dt
@@ -81,7 +113,7 @@ def main() -> None:
                 "unit": "queries/s",
                 "checksum_finite": bool(np.isfinite(s)),
             }), flush=True)
-            del c, cs, ck
+            del parts, meta
         except Exception as e:  # OOM boundary is part of the result
             print(json.dumps({
                 "metric": "int8_streaming_qps",

@@ -192,9 +192,24 @@ class BatchCoalescer(_LeaderFollowerBatcher):
 
     def _dispatch(self, items):
         embs, keys, ks = zip(*items)
-        return self._search_fn(
-            np.concatenate(embs), np.concatenate(keys), max(ks)
-        )
+        q = np.concatenate(embs)
+        qk = np.concatenate(keys)
+        # pad the batch to a power-of-two row count so the jitted search
+        # executable is reused across batches — variable coalesced batch
+        # sizes would otherwise compile a fresh executable per distinct
+        # size (1-3 min each through the remote compiler). Padding rows
+        # carry key -2 (the query-padding key: matches nothing).
+        n = len(q)
+        n_pad = 8
+        while n_pad < n:
+            n_pad *= 2
+        if n_pad > n:
+            q = np.concatenate(
+                [q, np.zeros((n_pad - n, q.shape[1]), np.float32)]
+            )
+            qk = np.concatenate([qk, np.full(n_pad - n, -2, np.int32)])
+        vals, idx = self._search_fn(q, qk, max(ks))
+        return vals[:n], idx[:n]
 
     def search(self, embeddings: np.ndarray, keys: np.ndarray, k: int):
         """(n, D) queries + encoded keys -> (vals, idx) host arrays (n, k)."""
