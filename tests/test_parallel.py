@@ -753,3 +753,28 @@ def test_million_vector_int8_mesh_index(mesh8):
     gvals, gidx = index.search(q, k=3, strategy="gather", global_search=True)
     assert (gidx[:, 0] == np.asarray(probe)).all()
     assert (gidx < n).all() and (gidx >= 0).all()
+
+
+def test_auto_router_picks_streaming_on_tpu(mesh8, monkeypatch):
+    """Beyond the per-device memory budget, the auto strategy routes to
+    the fused streaming sweep on TPU for k<=16; ring otherwise (CPU, or
+    k too large); int8 avoids ring (no int8 ring path)."""
+    import tpualign.parallel.retrieval as R
+
+    rng = np.random.default_rng(7)
+    c = rng.normal(size=(64, 8)).astype(np.float32)
+    index = RetrievalIndex(c, ["m"] * 64, [1] * 64, mesh=mesh8)
+    huge_q = index.RING_THRESHOLD_BYTES // (4 * index._n_local) + 1
+
+    monkeypatch.setattr(R.jax, "default_backend", lambda: "tpu")
+    assert index._pick_strategy(huge_q, "auto", k=10) == "streaming"
+    assert index._pick_strategy(huge_q, "auto", k=100) == "ring"
+    monkeypatch.setattr(R.jax, "default_backend", lambda: "cpu")
+    assert index._pick_strategy(huge_q, "auto", k=10) == "ring"
+    assert index._pick_strategy(8, "auto", k=10) == "gather"
+
+    index8 = RetrievalIndex(c, ["m"] * 64, [1] * 64, mesh=mesh8,
+                            precision="int8")
+    assert index8._pick_strategy(huge_q, "auto", k=100) == "gather"
+    monkeypatch.setattr(R.jax, "default_backend", lambda: "tpu")
+    assert index8._pick_strategy(huge_q, "auto", k=10) == "streaming"

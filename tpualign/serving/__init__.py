@@ -1,5 +1,17 @@
 """Serving: persistent device-resident retrieval daemon (HTTP/JSON)."""
 
-from tpualign.serving.server import RetrievalService, build_service, serve
+from tpualign.serving.server import (
+    BatchCoalescer,
+    RetrievalService,
+    TextEncodeCoalescer,
+    build_service,
+    serve,
+)
 
-__all__ = ["RetrievalService", "build_service", "serve"]
+__all__ = [
+    "BatchCoalescer",
+    "RetrievalService",
+    "TextEncodeCoalescer",
+    "build_service",
+    "serve",
+]
