@@ -64,7 +64,7 @@ def main() -> None:
     queries = rng.normal(size=(clients * reqs, d)).astype(np.float32)
     queries /= np.linalg.norm(queries, axis=1, keepdims=True)
 
-    for window_ms in (None, 2.0):
+    for window_ms, pipeline in ((None, 0), (2.0, 4), (2.0, 8)):
         svc = RetrievalService(
             np.zeros((1, d), np.float32), ["c0"], ["m"], [1],
             coalesce_window_ms=window_ms,
@@ -73,7 +73,8 @@ def main() -> None:
         svc.chunk_ids = [f"c{i}" for i in range(n)]
         if window_ms is not None:
             svc.coalescer = BatchCoalescer(
-                svc.index.search_encoded, window_ms=window_ms
+                svc.index.search_encoded, window_ms=window_ms,
+                pipeline=pipeline,
             )
         else:
             svc.coalescer = None
@@ -91,7 +92,17 @@ def main() -> None:
             f"{base}/search", data=body,
             headers={"Content-Type": "application/json"},
         )
-        urllib.request.urlopen(req, timeout=120).read()
+        urllib.request.urlopen(req, timeout=900).read()  # first hit compiles remotely (1-3+ min)
+        if svc.coalescer is not None:
+            # pre-compile every power-of-two batch executable the load can
+            # produce — otherwise the first batch of each size pays a
+            # multi-minute remote compile inside the measured window
+            sz = 8
+            while sz <= min(svc.coalescer.max_batch, clients * 2):
+                svc.coalescer.search(
+                    queries[:sz], np.full(sz, -3, np.int32), 10
+                )
+                sz *= 2
 
         lats: list = []
         lock = threading.Lock()
@@ -109,7 +120,7 @@ def main() -> None:
                 )
                 t0 = time.perf_counter()
                 try:
-                    with urllib.request.urlopen(rq, timeout=120) as resp:
+                    with urllib.request.urlopen(rq, timeout=300) as resp:
                         out = json.loads(resp.read())
                     assert out["results"][0], "empty result"
                 except Exception as e:  # pragma: no cover
@@ -136,9 +147,10 @@ def main() -> None:
 
         print(json.dumps({
             "metric": "serving_concurrent_search",
-            "mode": "coalesced" if window_ms is not None else "per_request",
+            "mode": (f"coalesced_p{pipeline}" if window_ms is not None
+                     else "per_request"),
             "corpus": n, "clients": clients, "requests": len(lats),
-            "errors": len(errors),
+            "errors": len(errors), "error_sample": errors[:1],
             "rps": round(len(lats) / wall, 1),
             "p50_ms": pct(0.5), "p95_ms": pct(0.95),
             "dispatches": (svc.coalescer.dispatches

@@ -428,6 +428,61 @@ def test_coalescer_batches_concurrent_requests():
         np.testing.assert_array_equal(idx[0], np.arange(want_k) + i)
 
 
+def test_coalescer_fills_next_batch_during_inflight_dispatch():
+    """Requests arriving while a dispatch is on device coalesce into ONE
+    next batch. A batch must stay open until its leader holds the dispatch
+    lock — closing it at window expiry creates a convoy of tiny batches
+    serialized behind the in-flight dispatch (measured on the relay chip:
+    avg batch 1.7 and 5x worse RPS than per-request under 32-client load)."""
+    import time as _time
+
+    from tpualign.serving.server import BatchCoalescer
+
+    release = threading.Event()
+    first_entered = threading.Event()
+    calls = []
+
+    def search_fn(embs, keys, k):
+        calls.append(len(embs))
+        if len(calls) == 1:
+            first_entered.set()
+            release.wait(10.0)  # hold the dispatch lock: batch "on device"
+        vals = np.zeros((len(embs), k), np.float32)
+        idx = np.tile(np.arange(k, dtype=np.int64), (len(embs), 1))
+        return vals, idx
+
+    # pipeline=1: a single dispatch slot makes the fill-while-in-flight
+    # behavior deterministic to assert
+    co = BatchCoalescer(search_fn, window_ms=0.0, max_batch=64, pipeline=1)
+
+    def one():
+        co.search(np.zeros((1, 4), np.float32), np.zeros(1, np.int32), 2)
+
+    t0 = threading.Thread(target=one)
+    t0.start()
+    assert first_entered.wait(10.0)
+    # 8 arrivals staggered far beyond the (zero) window, all while the
+    # first dispatch is still in flight
+    rest = [threading.Thread(target=one) for _ in range(8)]
+    for t in rest:
+        t.start()
+        _time.sleep(0.005)
+    deadline = _time.time() + 10.0
+    while _time.time() < deadline:  # all 8 registered in one open batch
+        with co._lock:
+            if co._open is not None and co._open.rows == 8:
+                break
+        _time.sleep(0.002)
+    release.set()
+    t0.join()
+    for t in rest:
+        t.join()
+    # dispatch pads to >=8 rows, so both device calls see 8 rows — the
+    # coalescing claim is the dispatch/request accounting
+    assert co.dispatches == 2, (co.dispatches, calls)
+    assert co.batched_queries == 9
+
+
 def test_coalescer_max_batch_and_queue():
     from tpualign.serving.server import BatchCoalescer
 

@@ -91,14 +91,14 @@ class _LeaderFollowerBatcher:
     Under ThreadingHTTPServer every request used to cost its own device
     dispatch through a relay with a ~1.5 ms floor (VERDICT r2 weak #3).
     The first request in becomes the leader, collects followers for a
-    short ``window_ms``, then dispatches ONE batched call. Dispatches are
-    additionally serialized, so while a batch is on device the next batch
-    keeps filling — N concurrent single-item requests cost ~2 dispatches,
-    not N.
+    short ``window_ms``, then dispatches ONE batched call. At most
+    ``pipeline`` dispatches run concurrently; while they are on device the
+    next batch keeps filling — N concurrent single-item requests cost a
+    handful of dispatches, not N, and the device round-trips overlap.
 
     Backpressure: an open batch never exceeds ``max_batch`` rows (excess
-    requests roll into the next batch, whose leader queues on the dispatch
-    lock) and at most ``max_queue`` rows may be waiting across batches —
+    requests roll into the next batch, whose leader queues on a dispatch
+    slot) and at most ``max_queue`` rows may be waiting across batches —
     beyond that, callers get RuntimeError instead of unbounded memory.
 
     Subclasses implement ``_dispatch(items) -> results`` (items = the
@@ -107,12 +107,18 @@ class _LeaderFollowerBatcher:
     """
 
     def __init__(self, window_ms: float = 2.0,
-                 max_batch: int = 256, max_queue: int = 4096):
+                 max_batch: int = 256, max_queue: int = 4096,
+                 pipeline: int = 2):
         self.window_s = max(0.0, float(window_ms)) / 1e3
         self.max_batch = int(max_batch)
         self.max_queue = int(max_queue)
         self._lock = threading.Lock()
-        self._dispatch_lock = threading.Lock()
+        # up to ``pipeline`` batches may be on device at once: with exactly
+        # one, every batch pays the full relay round-trip back-to-back and
+        # a 32-client load measures BELOW per-request dispatch (which gets
+        # free pipelining from its 32 in-flight requests). Bounded depth
+        # keeps the dispatch count low while overlapping the round-trips.
+        self._dispatch_sem = threading.BoundedSemaphore(max(1, int(pipeline)))
         self._open = None
         self._queued_rows = 0
         self.dispatches = 0
@@ -151,18 +157,29 @@ class _LeaderFollowerBatcher:
         if leader:
             if self.window_s:
                 time.sleep(self.window_s)
-            with self._lock:
-                if self._open is batch:
-                    self._open = None
-                self._queued_rows -= batch.rows
-            with self._dispatch_lock:
+            # The batch stays OPEN (still registered as self._open) until the
+            # leader actually holds a dispatch slot: while earlier batches
+            # are on device, every new arrival keeps joining this one.
+            # Closing at window expiry instead creates a convoy of tiny
+            # batches serialized behind the in-flight dispatch (measured:
+            # avg batch 1.7 and 5x worse RPS than per-request under
+            # 32-client load on the relay-attached chip).
+            self._dispatch_sem.acquire()
+            try:
+                with self._lock:
+                    if self._open is batch:
+                        self._open = None
+                    self._queued_rows -= batch.rows
                 try:
                     batch.results = self._dispatch(batch.items)
-                    self.dispatches += 1
-                    self.batched_queries += batch.rows
+                    with self._lock:
+                        self.dispatches += 1
+                        self.batched_queries += batch.rows
                 except Exception as e:  # surfaced to every waiter
                     batch.error = e
                 batch.done.set()
+            finally:
+                self._dispatch_sem.release()
         else:
             if not batch.done.wait(timeout=60.0):
                 raise RuntimeError("coalesced dispatch timed out")
@@ -186,8 +203,9 @@ class BatchCoalescer(_LeaderFollowerBatcher):
     of a top-kmax ranking is exact)."""
 
     def __init__(self, search_fn, window_ms: float = 2.0,
-                 max_batch: int = 256, max_queue: int = 4096):
-        super().__init__(window_ms, max_batch, max_queue)
+                 max_batch: int = 256, max_queue: int = 4096,
+                 pipeline: int = 4):
+        super().__init__(window_ms, max_batch, max_queue, pipeline)
         self._search_fn = search_fn
 
     def _dispatch(self, items):
@@ -226,8 +244,9 @@ class TextEncodeCoalescer(_LeaderFollowerBatcher):
     second per-request dispatch after the search itself)."""
 
     def __init__(self, encode_fn, window_ms: float = 2.0,
-                 max_batch: int = 256, max_queue: int = 4096):
-        super().__init__(window_ms, max_batch, max_queue)
+                 max_batch: int = 256, max_queue: int = 4096,
+                 pipeline: int = 4):
+        super().__init__(window_ms, max_batch, max_queue, pipeline)
         self._encode_fn = encode_fn
 
     def _dispatch(self, items):
@@ -543,6 +562,16 @@ def _make_handler(box: "_ServiceBox"):
     return Handler
 
 
+class _Server(ThreadingHTTPServer):
+    # stdlib default request_queue_size=5 drops SYNs the moment a few dozen
+    # clients connect at once (urllib opens a fresh TCP connection per
+    # request); the dropped SYN retransmits after the ~1 s initial RTO and
+    # shows up as a hard p95 wall at ~1.1 s plus occasional ECONNRESET.
+    # Measured under 32-client load before/after: see docs/SERVING.md.
+    request_queue_size = 128
+    daemon_threads = True
+
+
 def serve(
     service: RetrievalService, host: str = "127.0.0.1", port: int = 8321,
     rebuild: Optional[Callable[[], RetrievalService]] = None,
@@ -554,4 +583,4 @@ def serve(
     enables ``POST /reload`` (pick up a re-ingested store or a newly
     fine-tuned checkpoint without restarting; metrics survive the swap).
     """
-    return ThreadingHTTPServer((host, port), _make_handler(_ServiceBox(service, rebuild)))
+    return _Server((host, port), _make_handler(_ServiceBox(service, rebuild)))
