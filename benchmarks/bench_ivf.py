@@ -1,0 +1,117 @@
+"""IVF probed search vs exact retrieval on the real chip.
+
+Builds an IVFIndex over a DEVICE-GENERATED clustered corpus (the relay
+cannot upload hundreds of MB), measures build time, probed-search QPS at
+several probe counts, recall@10 vs the exact ranking, and the exact
+baseline QPS through RetrievalIndex for the same (N, Q, k).
+
+Usage: python benchmarks/bench_ivf.py [n_corpus] [n_lists] [d] [n_queries]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpualign.parallel.ivf import IVFIndex
+    from tpualign.parallel.retrieval import RetrievalIndex
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    n_lists = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
+    d = int(sys.argv[3]) if len(sys.argv) > 3 else 512
+    g = 4096  # latent directions: clusterable, like real page embeddings
+    nq = int(sys.argv[4]) if len(sys.argv) > 4 else 1024
+    k = 10
+
+    @jax.jit
+    def make_data(key):
+        # noise scales with 1/sqrt(d) so the latent direction keeps a
+        # fixed share of each vector's norm — per-coordinate sigma=0.25 in
+        # 512-d would swamp the unit direction entirely (noise norm ~5.7)
+        # and no index could beat random scanning on such isotropic data
+        kc, ka, kn, kq = jax.random.split(key, 4)
+        centers = jax.random.normal(kc, (g, d), jnp.float32)
+        centers /= jnp.linalg.norm(centers, axis=1, keepdims=True)
+        a = jax.random.randint(ka, (n,), 0, g)
+        sig = 0.35 / (d ** 0.5)
+        x = centers[a] + sig * jax.random.normal(kn, (n, d), jnp.float32)
+        x /= jnp.linalg.norm(x, axis=1, keepdims=True)
+        qi = jax.random.randint(kq, (nq,), 0, n)
+        q = x[qi] + sig * jax.random.normal(kq, (nq, d), jnp.float32)
+        q /= jnp.linalg.norm(q, axis=1, keepdims=True)
+        return x, q
+
+    corpus, queries = make_data(jax.random.PRNGKey(0))
+    float(jnp.sum(queries[0]))  # sync data generation
+
+    t0 = time.perf_counter()
+    index = IVFIndex(corpus, n_lists=n_lists, iters=10,
+                     query_block=min(nq, 256))
+    # sync: fetch one packed scalar
+    float(jnp.sum(index.centroids[0]))
+    build_s = time.perf_counter() - t0
+
+    qk = jnp.full((nq,), -3, jnp.int32)  # wildcard (global search)
+
+    # exact baseline through the production index (fused streaming kernel)
+    exact = RetrievalIndex.__new__(RetrievalIndex)
+    exact.n = n
+    exact.dim = d
+    exact.mesh = None
+    exact.precision = "fp32"
+    exact.recall_target = None
+    exact.vocab = {}
+    exact._corpus_scales = None
+    exact._approx_warned = set()
+    exact._n_local = n
+    exact._corpus = corpus
+    exact._keys = jnp.zeros((n,), jnp.int32)
+
+    def timed(fn, reps=10):
+        out = fn()  # warm/compile
+        float(jnp.sum(out[0][:, 0]))  # drain the queue before timing
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn()
+        # sync via scalar fetch (relay ignores block_until_ready)
+        float(jnp.sum(out[0][:, 0]))
+        return (time.perf_counter() - t0) / reps
+
+    ev, ei = exact.search_device(queries, qk, k)
+    oidx = np.asarray(ei)
+    t_exact = timed(lambda: exact.search_device(queries, qk, k))
+    print(json.dumps({
+        "metric": "ivf_baseline_exact", "n": n, "d": d, "q": nq, "k": k,
+        "qps": round(nq / t_exact, 1),
+    }), flush=True)
+
+    for probes in (1, 8, 32, 64):
+        if probes > n_lists:
+            continue
+        pv, pi = index.search_device(queries, qk, k, n_probes=probes)
+        pidx = np.asarray(pi)
+        recall = float(np.mean([
+            len(np.intersect1d(pidx[r], oidx[r])) / k for r in range(nq)
+        ]))
+        t = timed(lambda: index.search_device(queries, qk, k,
+                                              n_probes=probes))
+        print(json.dumps({
+            "metric": "ivf_probed_search", "n": n, "d": d, "q": nq, "k": k,
+            "n_lists": n_lists, "n_probes": probes,
+            "capacity": index.capacity, "spill": index.spill,
+            "build_s": round(build_s, 1),
+            "recall_at_10": round(recall, 4),
+            "qps": round(nq / t, 1),
+            "speedup_vs_exact": round(t_exact / t, 2),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

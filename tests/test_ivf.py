@@ -1,0 +1,146 @@
+"""IVF (cluster-probed) index: oracle exactness at full probes, recall on
+clusterable data, (manual, page) key masking, spill correctness, and the
+build's determinism. The reference's IVFFlat (ref:src/setup_vector_db.py:
+171-190) had none of these guarantees measured."""
+
+import numpy as np
+import pytest
+
+from tpualign.ops.similarity import NEG_INF
+from tpualign.parallel.ivf import IVFIndex
+from tpualign.parallel.retrieval import encode_keys
+
+from test_parallel import numpy_oracle
+
+
+def unit(x):
+    return x / np.linalg.norm(x, axis=-1, keepdims=True)
+
+
+def make_clustered(rng, n=2048, d=32, g=16, noise=0.15):
+    """g well-separated directions + per-point noise: k-means can find the
+    structure, so small probe counts must retain high recall."""
+    centers = unit(rng.normal(size=(g, d)).astype(np.float32))
+    a = rng.integers(g, size=n)
+    x = unit(centers[a] + noise * rng.normal(size=(n, d)).astype(np.float32))
+    return x.astype(np.float32), a
+
+
+def test_full_probe_matches_dense_oracle():
+    """n_probes == n_lists scans every cluster + the spill tail: results
+    must be bit-identical to the dense exact ranking incl. tie-breaks."""
+    rng = np.random.default_rng(0)
+    n, d = 300, 16
+    c = unit(rng.normal(size=(n, d)).astype(np.float32))
+    cman = [f"m{i % 3}" for i in range(n)]
+    cpage = [1 + i % 4 for i in range(n)]
+    index = IVFIndex(c, cman, cpage, n_lists=8, iters=4)
+    q = c[:23]
+    qman, qpage = cman[:23], cpage[:23]
+    vals, idx = index.search(q, qman, qpage, k=10, n_probes=index.n_lists)
+    vocab = {}
+    ck, vocab = encode_keys(cman, cpage, vocab)
+    qk, _ = encode_keys(qman, qpage, vocab)
+    ovals, oidx = numpy_oracle(q, qk, c, ck, 10)
+    np.testing.assert_array_equal(idx, oidx)
+    np.testing.assert_allclose(vals, ovals, rtol=0, atol=1e-5)
+
+
+def test_full_probe_exact_with_forced_spill():
+    """A tiny capacity_factor forces rows into the spill tail; full-probe
+    search must STILL be exact (spill is scanned by construction)."""
+    rng = np.random.default_rng(1)
+    c, _ = make_clustered(rng, n=512, d=16, g=4)  # skewed cluster sizes
+    index = IVFIndex(c, n_lists=16, iters=4, capacity_factor=0.5)
+    assert index.spill >= 8  # the skew genuinely spilled rows
+    q = unit(rng.normal(size=(31, 16)).astype(np.float32))
+    vals, idx = index.search(q, k=5, n_probes=index.n_lists)
+    qk = np.full(len(q), -3, np.int32)
+    ck = np.zeros(len(c), np.int32)
+    ovals, oidx = numpy_oracle(q, np.zeros(len(q), np.int32), c, ck, 5)
+    np.testing.assert_array_equal(idx, oidx)
+    np.testing.assert_allclose(vals, ovals, rtol=0, atol=1e-5)
+
+
+def test_probed_recall_on_clustered_corpus():
+    rng = np.random.default_rng(2)
+    c, _ = make_clustered(rng, n=4096, d=32, g=16)
+    index = IVFIndex(c, n_lists=16, n_probes=4, iters=8)
+    q = unit(c[rng.integers(len(c), size=256)]
+             + 0.05 * rng.normal(size=(256, 32)).astype(np.float32))
+    vals, idx = index.search(q, k=10)
+    ovals, oidx = numpy_oracle(
+        q, np.zeros(len(q), np.int32), c, np.zeros(len(c), np.int32), 10
+    )
+    hits = np.mean([
+        len(np.intersect1d(idx[r], oidx[r])) / 10 for r in range(len(q))
+    ])
+    assert hits >= 0.9, f"recall@10 {hits:.3f} < 0.9 on clusterable data"
+
+
+def test_key_masking_respected():
+    """Candidates must share (manual, page) exactly as the dense paths do
+    — probing must never leak rows from other pages."""
+    rng = np.random.default_rng(3)
+    n, d = 400, 16
+    c = unit(rng.normal(size=(n, d)).astype(np.float32))
+    cman = [f"m{i % 2}" for i in range(n)]
+    cpage = [1 + i % 5 for i in range(n)]
+    index = IVFIndex(c, cman, cpage, n_lists=8, iters=4)
+    q = c[:50]
+    vals, idx = index.search(q, cman[:50], cpage[:50], k=8,
+                             n_probes=index.n_lists)
+    for r in range(50):
+        for j in idx[r]:
+            if j < 0:
+                continue
+            assert cman[j] == cman[r] and cpage[j] == cpage[r]
+    # self-query ranks itself first within its page group
+    np.testing.assert_array_equal(idx[:, 0], np.arange(50))
+
+
+def test_no_candidate_rows_are_sentinel():
+    rng = np.random.default_rng(4)
+    c = unit(rng.normal(size=(64, 8)).astype(np.float32))
+    index = IVFIndex(c, ["m0"] * 64, [1] * 64, n_lists=8, iters=2)
+    vals, idx = index.search(c[:3], ["missing"] * 3, [9] * 3, k=4,
+                             n_probes=index.n_lists)
+    assert (idx == -1).all()
+    assert (vals <= NEG_INF / 2).all()
+
+
+def test_build_deterministic_and_batching_invariant():
+    rng = np.random.default_rng(5)
+    c, _ = make_clustered(rng, n=1024, d=16, g=8)
+    a = IVFIndex(c, n_lists=8, iters=4)
+    b = IVFIndex(c, n_lists=8, iters=4)
+    q = unit(rng.normal(size=(70, 16)).astype(np.float32))
+    va, ia = a.search(q, k=5)
+    vb, ib = b.search(q, k=5)
+    np.testing.assert_array_equal(ia, ib)
+    # chunked dispatch (query_block) must not change results
+    small = IVFIndex(c, n_lists=8, iters=4, query_block=16)
+    vs, is_ = small.search(q, k=5)
+    np.testing.assert_array_equal(ia, is_)
+    np.testing.assert_allclose(va, vs, rtol=0, atol=1e-6)
+
+
+def test_probe_sweep_monotone_recall():
+    """More probes can only improve recall (candidate supersets)."""
+    rng = np.random.default_rng(6)
+    c, _ = make_clustered(rng, n=2048, d=32, g=32, noise=0.3)
+    index = IVFIndex(c, n_lists=32, iters=6)
+    q = unit(rng.normal(size=(128, 32)).astype(np.float32))
+    _, oidx = numpy_oracle(
+        q, np.zeros(len(q), np.int32), c, np.zeros(len(c), np.int32), 10
+    )
+
+    def recall(p):
+        _, idx = index.search(q, k=10, n_probes=p)
+        return np.mean([
+            len(np.intersect1d(idx[r], oidx[r])) / 10 for r in range(len(q))
+        ])
+
+    r1, r4, rall = recall(1), recall(4), recall(32)
+    assert r1 <= r4 + 1e-9 <= rall + 2e-9
+    assert rall == 1.0

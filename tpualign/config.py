@@ -275,6 +275,15 @@ class PipelineConfig:
     # reference's HNSW index was approximate too. Evaluation always uses
     # exact search regardless, so metrics stay deterministic.
     retrieval_recall_target: Optional[float] = None
+    # Serving-path index structure: "exact" (default, brute-force MXU
+    # matmul — beats probing whenever batches are large) or "ivf" (the
+    # pgvector-IVFFlat equivalent, union-probed k-means index — wins in
+    # the small-batch/large-corpus serving regime; parallel/ivf.py).
+    # Evaluation always uses exact search regardless.
+    retrieval_index: str = "exact"
+    # IVF geometry (None = sqrt(N) lists, lists//8 probes)
+    ivf_lists: Optional[int] = None
+    ivf_probes: Optional[int] = None
     # Image feed: "host" (PIL bicubic, torchvision parity) or "device"
     # (host decodes only — 2.45x per-core feed rate — resize/crop/normalize
     # fused on TPU as matmul bicubic+antialias matching PIL's uint8
@@ -424,6 +433,15 @@ def load_config(
         retrieval_recall_target=(
             float(_env(env, "RETRIEVAL_RECALL_TARGET", ""))
             if _env(env, "RETRIEVAL_RECALL_TARGET", "") else None
+        ),
+        retrieval_index=_env(env, "RETRIEVAL_INDEX", "exact"),
+        ivf_lists=(
+            int(_env(env, "IVF_LISTS", ""))
+            if _env(env, "IVF_LISTS", "") else None
+        ),
+        ivf_probes=(
+            int(_env(env, "IVF_PROBES", ""))
+            if _env(env, "IVF_PROBES", "") else None
         ),
         image_preprocess=_env(env, "IMAGE_PREPROCESS", "host"),
         image_preprocess_bucket=int(

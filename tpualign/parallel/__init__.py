@@ -11,7 +11,9 @@ TPU-native:
 - :mod:`tpualign.parallel.embed` — data-parallel batched embedding engine;
 - :mod:`tpualign.parallel.retrieval` — corpus-sharded similarity matmul +
   distributed top-k with same-page candidate masking (the pgvector HNSW
-  replacement; exact, not approximate).
+  replacement; exact, not approximate);
+- :mod:`tpualign.parallel.ivf` — cluster-probed approximate index (the
+  pgvector IVFFlat equivalent, k-means trained on device).
 """
 
 from tpualign.parallel.mesh import create_mesh, default_mesh  # noqa: F401
@@ -21,3 +23,4 @@ from tpualign.parallel.retrieval import (  # noqa: F401
     RetrievalIndex,
     sharded_topk_search,
 )
+from tpualign.parallel.ivf import IVFIndex  # noqa: F401

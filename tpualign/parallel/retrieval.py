@@ -44,7 +44,8 @@ from tpualign.utils.logging import get_logger
 
 log = get_logger("parallel.retrieval")
 
-__all__ = ["RetrievalIndex", "sharded_topk_search", "encode_keys"]
+__all__ = ["RetrievalIndex", "build_index", "sharded_topk_search",
+           "encode_keys"]
 
 # (manual, page) packing: key = manual_code * PAGE_MOD + page_code.
 # Real pages must sit in [0, NONE_PAGE); page=None encodes as NONE_PAGE so
@@ -699,3 +700,49 @@ class RetrievalIndex:
         idx = np.where(idx >= self.n, -1, idx)
         vals, idx = _pad_results(vals, idx, k)
         return _sentinel(vals, idx)
+
+
+def build_index(
+    corpus_embeddings: np.ndarray,
+    corpus_manuals: Sequence[str],
+    corpus_pages: Sequence[Optional[int]],
+    mesh: Optional[Mesh] = None,
+    precision: str = "fp32",
+    recall_target: Optional[float] = None,
+    index_type: str = "exact",
+    ivf_lists: Optional[int] = None,
+    ivf_probes: Optional[int] = None,
+):
+    """Index factory honoring the ``RETRIEVAL_INDEX`` config knob.
+
+    "exact" (default) -> :class:`RetrievalIndex` — brute-force MXU search,
+    the right call whenever query batches are large (the corpus read
+    amortizes over the batch; measured faster than probing at Q>=256 even
+    at N=2M). "ivf" -> :class:`~tpualign.parallel.ivf.IVFIndex` — the
+    pgvector-IVFFlat equivalent (ref:src/setup_vector_db.py:171-190) for
+    the small-batch/large-corpus serving regime. IVF is single-device by
+    design; with a >1-device mesh the factory logs a warning and falls
+    back to the exact sharded index (beyond-HBM corpora take the
+    streaming mesh path instead).
+    """
+    if index_type == "ivf":
+        if mesh is not None and mesh.shape.get("data", 1) > 1:
+            log.warning(
+                "RETRIEVAL_INDEX=ivf is single-device; falling back to the "
+                "exact sharded index on the %s mesh", dict(mesh.shape)
+            )
+        else:
+            from tpualign.parallel.ivf import IVFIndex
+
+            return IVFIndex(
+                corpus_embeddings, corpus_manuals, corpus_pages,
+                n_lists=ivf_lists, n_probes=ivf_probes,
+            )
+    elif index_type != "exact":
+        raise ValueError(
+            f"retrieval_index must be 'exact' or 'ivf', got {index_type!r}"
+        )
+    return RetrievalIndex(
+        corpus_embeddings, corpus_manuals, corpus_pages, mesh=mesh,
+        precision=precision, recall_target=recall_target,
+    )

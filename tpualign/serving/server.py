@@ -275,13 +275,19 @@ class RetrievalService:
         weak_lookup: Optional[dict] = None,
         recall_target: Optional[float] = None,
         coalesce_window_ms: Optional[float] = 2.0,
+        index_type: str = "exact",
+        ivf_lists: Optional[int] = None,
+        ivf_probes: Optional[int] = None,
     ):
         self.schema = schema
         self.chunk_ids = list(chunk_ids)
         self.metrics = RequestMetrics()
-        self.index = RetrievalIndex(
+        from tpualign.parallel.retrieval import build_index
+
+        self.index = build_index(
             chunk_embeddings, chunk_manuals, chunk_pages, mesh=mesh,
-            recall_target=recall_target,
+            recall_target=recall_target, index_type=index_type,
+            ivf_lists=ivf_lists, ivf_probes=ivf_probes,
         )
         # request coalescing: concurrent searches (and text encodes) merge
         # into one device dispatch each (None disables — library callers
@@ -453,6 +459,9 @@ def build_service(config, schema: str, mesh=None, text_tower: bool = True) -> Re
         weak_lookup=build_weak_lookup(store.alignments(schema)),
         recall_target=getattr(config, "retrieval_recall_target", None),
         coalesce_window_ms=getattr(config, "serve_coalesce_ms", 2.0),
+        index_type=getattr(config, "retrieval_index", "exact"),
+        ivf_lists=getattr(config, "ivf_lists", None),
+        ivf_probes=getattr(config, "ivf_probes", None),
     )
 
 
