@@ -50,12 +50,13 @@ def test_full_probe_exact_with_forced_spill():
     """A tiny capacity_factor forces rows into the spill tail; full-probe
     search must STILL be exact (spill is scanned by construction)."""
     rng = np.random.default_rng(1)
-    c, _ = make_clustered(rng, n=512, d=16, g=4)  # skewed cluster sizes
-    index = IVFIndex(c, n_lists=16, iters=4, capacity_factor=0.5)
+    # 4 true groups over 16 lists -> heavily skewed cluster sizes; the
+    # tiny factor pins capacity at the 128 floor so the big lists spill
+    c, _ = make_clustered(rng, n=2048, d=16, g=4)
+    index = IVFIndex(c, n_lists=16, iters=4, capacity_factor=0.05)
     assert index.spill >= 8  # the skew genuinely spilled rows
     q = unit(rng.normal(size=(31, 16)).astype(np.float32))
     vals, idx = index.search(q, k=5, n_probes=index.n_lists)
-    qk = np.full(len(q), -3, np.int32)
     ck = np.zeros(len(c), np.int32)
     ovals, oidx = numpy_oracle(q, np.zeros(len(q), np.int32), c, ck, 5)
     np.testing.assert_array_equal(idx, oidx)
@@ -123,6 +124,92 @@ def test_build_deterministic_and_batching_invariant():
     vs, is_ = small.search(q, k=5)
     np.testing.assert_array_equal(ia, is_)
     np.testing.assert_allclose(va, vs, rtol=0, atol=1e-6)
+
+
+def test_kernel_path_matches_xla_union_path():
+    """The scalar-prefetch Pallas kernel (interpret mode on CPU) must
+    return the same candidates as the XLA union path at the same probes
+    — including spill rows and (manual, page) key masking."""
+    rng = np.random.default_rng(7)
+    c, _ = make_clustered(rng, n=2048, d=32, g=8)
+    cman = [f"m{i % 2}" for i in range(2048)]
+    cpage = [1 + i % 3 for i in range(2048)]
+    # force spill so the kernel's spill blocks are exercised
+    kern = IVFIndex(c, cman, cpage, n_lists=16, iters=4,
+                    capacity_factor=0.05, use_kernel=True)
+    xla = IVFIndex(c, cman, cpage, n_lists=16, iters=4,
+                   capacity_factor=0.05, use_kernel=False)
+    assert kern.spill >= 8
+    q = unit(rng.normal(size=(50, 32)).astype(np.float32))
+    for kwargs in (
+        {"global_search": True},
+        {"query_manuals": cman[:50], "query_pages": cpage[:50]},
+    ):
+        vk, ik = kern.search(q, k=7, n_probes=4, **kwargs)
+        vx, ix = xla.search(q, k=7, n_probes=4, **kwargs)
+        np.testing.assert_array_equal(ik, ix)
+        np.testing.assert_allclose(vk, vx, rtol=0, atol=1e-5)
+
+
+def test_kernel_path_full_union_matches_oracle():
+    """Full probing (n_probes == n_lists) routes to the bit-exact XLA
+    path even when the kernel is forced on — dense-oracle tie parity is
+    part of the exact-mode contract."""
+    rng = np.random.default_rng(8)
+    n, d = 512, 16
+    c = unit(rng.normal(size=(n, d)).astype(np.float32))
+    index = IVFIndex(c, n_lists=8, iters=4, use_kernel=True)
+    q = c[:17]
+    vals, idx = index.search(q, k=6, n_probes=index.n_lists)
+    ovals, oidx = numpy_oracle(
+        q, np.zeros(17, np.int32), c, np.zeros(n, np.int32), 6
+    )
+    np.testing.assert_array_equal(idx, oidx)
+    np.testing.assert_allclose(vals, ovals, rtol=0, atol=1e-5)
+
+
+def test_int8_precision_recall():
+    """int8 packed layout: 4x capacity with near-identical recall —
+    quantization perturbs cosine scores by ~1e-3, so recall@10 vs the
+    fp32 probed path stays high (both kernel and XLA paths)."""
+    rng = np.random.default_rng(9)
+    c, _ = make_clustered(rng, n=4096, d=32, g=16)
+    q = unit(c[rng.integers(len(c), size=128)]
+             + 0.05 * rng.normal(size=(128, 32)).astype(np.float32))
+    fp = IVFIndex(c, n_lists=16, n_probes=4, iters=6, use_kernel=False)
+    for use_kernel in (False, True):
+        i8 = IVFIndex(c, n_lists=16, n_probes=4, iters=6,
+                      precision="int8", use_kernel=use_kernel)
+        assert i8.memory_bytes < fp.memory_bytes / 2
+        _, fi = fp.search(q, k=10)
+        _, qi = i8.search(q, k=10)
+        hits = np.mean([
+            len(np.intersect1d(qi[r], fi[r])) / 10 for r in range(len(q))
+        ])
+        assert hits >= 0.95, f"int8 recall {hits:.3f} (kernel={use_kernel})"
+
+
+def test_prequantized_corpus_build_matches_quantize_at_build():
+    """Building from an already-int8 corpus (+ per-row scales) must give
+    the same results as quantizing at build time — the beyond-fp32-HBM
+    capacity path never materializes an fp32 corpus."""
+    rng = np.random.default_rng(10)
+    c, _ = make_clustered(rng, n=1024, d=32, g=8)
+    scale = np.maximum(np.abs(c).max(axis=1, keepdims=True) / 127.0, 1e-12)
+    c_i8 = np.clip(np.rint(c / scale), -127, 127).astype(np.int8)
+    a = IVFIndex(c, n_lists=8, iters=4, precision="int8")
+    b = IVFIndex(c_i8, n_lists=8, iters=4,
+                 corpus_scales=scale.astype(np.float32))
+    assert b.precision == "int8"
+    q = unit(rng.normal(size=(40, 32)).astype(np.float32))
+    va, ia = a.search(q, k=5, n_probes=a.n_lists)
+    vb, ib = b.search(q, k=5, n_probes=b.n_lists)
+    # k-means sees (near-)identical dequantized data; rankings agree
+    np.testing.assert_array_equal(ia, ib)
+    np.testing.assert_allclose(va, vb, rtol=0, atol=1e-4)
+
+    with pytest.raises(ValueError):
+        IVFIndex(c_i8, n_lists=8)  # int8 corpus requires scales
 
 
 def test_probe_sweep_monotone_recall():

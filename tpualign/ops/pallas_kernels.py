@@ -30,7 +30,8 @@ from jax.experimental.pallas import tpu as pltpu
 from tpualign.ops.preprocess import CLIP_MEAN, CLIP_STD
 from tpualign.ops.similarity import NEG_INF, WILDCARD_KEY
 
-__all__ = ["masked_sim_topk", "normalize_u8", "SENTINEL_IDX"]
+__all__ = ["masked_sim_topk", "ivf_probe_topk", "normalize_u8",
+           "SENTINEL_IDX"]
 
 # Empty top-k slots carry this index (values carry NEG_INF). Callers either
 # map it to -1 (host sentinel convention) or must avoid offsetting it when
@@ -49,6 +50,60 @@ def _round_up(x: int, m: int) -> int:
 # ---------------------------------------------------------------------------
 # Fused masked similarity + running top-k
 # ---------------------------------------------------------------------------
+
+
+def _merge_running_topk(run_vals, run_idx, sims, col, k: int):
+    """Merge a running (Qb, k) top-k with a scored block (Qb, Nb): k
+    iterative max-extractions, all vector ops (no scatter/gather).
+    Candidate order [old winners (smaller global idx), block cols
+    ascending] + argmax's first-occurrence rule = ascending-index
+    tie-break across the whole sweep. Returns (new_vals, new_idx).
+    """
+    qb = sims.shape[0]
+    cand_vals = jnp.concatenate([run_vals, sims], axis=1)
+    cand_idx = jnp.concatenate([run_idx, col], axis=1)
+    width = cand_vals.shape[1]
+    colid = jax.lax.broadcasted_iota(jnp.int32, (qb, width), 1)
+    kcol = jax.lax.broadcasted_iota(jnp.int32, (qb, k), 1)
+
+    if k <= 16:
+        # Unrolled extraction: k is a static Python int, and unrolling lets
+        # Mosaic software-pipeline the passes — measured 1.38x over the
+        # fori_loop version at k=10 (79.5k -> 109.9k QPS, identical output).
+        out_v_cols = []
+        out_i_cols = []
+        cv = cand_vals
+        for _ in range(k):
+            pos = jnp.argmax(cv, axis=1)  # first max occurrence per row
+            sel = colid == pos[:, None]
+            out_v_cols.append(jnp.max(cv, axis=1)[:, None])
+            out_i_cols.append(
+                jnp.sum(jnp.where(sel, cand_idx, 0), axis=1)[:, None]
+            )
+            cv = jnp.where(sel, NEG_INF, cv)
+        return (jnp.concatenate(out_v_cols, axis=1),
+                jnp.concatenate(out_i_cols, axis=1))
+
+    def extract(i, carry):
+        cv, out_v, out_i = carry
+        pos = jnp.argmax(cv, axis=1)  # first max occurrence per row
+        sel = colid == pos[:, None]
+        best_v = jnp.max(cv, axis=1)
+        best_i = jnp.sum(jnp.where(sel, cand_idx, 0), axis=1)
+        # column-i write as a select (Mosaic has no dynamic_update_slice)
+        out_sel = kcol == i
+        out_v = jnp.where(out_sel, best_v[:, None], out_v)
+        out_i = jnp.where(out_sel, best_i[:, None], out_i)
+        cv = jnp.where(sel, NEG_INF, cv)
+        return cv, out_v, out_i
+
+    init = (
+        cand_vals,
+        jnp.full((qb, k), NEG_INF, jnp.float32),
+        jnp.full((qb, k), jnp.int32(SENTINEL_IDX)),
+    )
+    _, new_v, new_i = jax.lax.fori_loop(0, k, extract, init)
+    return new_v, new_i
 
 
 def _sim_topk_kernel(
@@ -84,56 +139,9 @@ def _sim_topk_kernel(
 
     qb = sims.shape[0]
     col = jax.lax.broadcasted_iota(jnp.int32, (qb, block_n), 1) + j * block_n
-
-    # merge running (Qb, k) with the block's (Qb, Nb): k iterative
-    # max-extractions, all vector ops (no scatter/gather). Candidate order
-    # [old winners (smaller global idx), block cols ascending] + argmax's
-    # first-occurrence rule = ascending-index tie-break.
-    cand_vals = jnp.concatenate([run_vals[:], sims], axis=1)
-    cand_idx = jnp.concatenate([run_idx[:], col], axis=1)
-    width = cand_vals.shape[1]
-    colid = jax.lax.broadcasted_iota(jnp.int32, (qb, width), 1)
-    kcol = jax.lax.broadcasted_iota(jnp.int32, (qb, k), 1)
-
-    if k <= 16:
-        # Unrolled extraction: k is a static Python int, and unrolling lets
-        # Mosaic software-pipeline the passes — measured 1.38x over the
-        # fori_loop version at k=10 (79.5k -> 109.9k QPS, identical output).
-        out_v_cols = []
-        out_i_cols = []
-        cv = cand_vals
-        for _ in range(k):
-            pos = jnp.argmax(cv, axis=1)  # first max occurrence per row
-            sel = colid == pos[:, None]
-            out_v_cols.append(jnp.max(cv, axis=1)[:, None])
-            out_i_cols.append(
-                jnp.sum(jnp.where(sel, cand_idx, 0), axis=1)[:, None]
-            )
-            cv = jnp.where(sel, NEG_INF, cv)
-        run_vals[:] = jnp.concatenate(out_v_cols, axis=1)
-        run_idx[:] = jnp.concatenate(out_i_cols, axis=1)
-    else:
-        def extract(i, carry):
-            cv, out_v, out_i = carry
-            pos = jnp.argmax(cv, axis=1)  # first max occurrence per row
-            sel = colid == pos[:, None]
-            best_v = jnp.max(cv, axis=1)
-            best_i = jnp.sum(jnp.where(sel, cand_idx, 0), axis=1)
-            # column-i write as a select (Mosaic has no dynamic_update_slice)
-            out_sel = kcol == i
-            out_v = jnp.where(out_sel, best_v[:, None], out_v)
-            out_i = jnp.where(out_sel, best_i[:, None], out_i)
-            cv = jnp.where(sel, NEG_INF, cv)
-            return cv, out_v, out_i
-
-        init = (
-            cand_vals,
-            jnp.full((qb, k), NEG_INF, jnp.float32),
-            jnp.full((qb, k), jnp.int32(SENTINEL_IDX)),
-        )
-        _, new_v, new_i = jax.lax.fori_loop(0, k, extract, init)
-        run_vals[:] = new_v
-        run_idx[:] = new_i
+    new_v, new_i = _merge_running_topk(run_vals[:], run_idx[:], sims, col, k)
+    run_vals[:] = new_v
+    run_idx[:] = new_i
 
     @pl.when(j == num_n - 1)
     def _emit():
@@ -299,6 +307,171 @@ def _sim_topk_one_segment(
         interpret=_interpret(),
     )(*args)
     return vals[:q], idx[:q]
+
+
+# ---------------------------------------------------------------------------
+# IVF probed top-k: scalar-prefetch block-sparse streaming
+# ---------------------------------------------------------------------------
+
+
+def _ivf_topk_kernel(
+    uids_ref, q_ref, qk_ref, probe_ref, c_ref, ck_ref, vals_ref, idx_ref,
+    run_vals, run_idx, *, k: int, capacity: int, num_u: int, n_lists: int,
+    cs_ref=None,
+):
+    """Grid = (num_q_blocks, num_union_entries); union iterates fastest so
+    the running top-k scratch persists across one query block's sweep.
+
+    The j-th grid step visits packed cluster block ``uids[j]`` — the
+    BlockSpec index_map reads the prefetched union array, so the DMA
+    engine streams ONLY probed clusters from HBM (contiguous (C, D)
+    blocks, double-buffered by the Pallas pipeline). Padding entries
+    carry uid == n_lists: their index_map repeats the trailing zero
+    block (consecutive equal block indices skip the copy) and
+    ``pl.when`` skips their compute entirely.
+    """
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _reset():
+        run_vals[:] = jnp.full_like(run_vals, NEG_INF)
+        run_idx[:] = jnp.full_like(run_idx, jnp.int32(SENTINEL_IDX))
+
+    uid = uids_ref[j]
+
+    @pl.when(uid != n_lists)  # n_lists = padding; > n_lists = spill blocks
+    def _score():
+        c = c_ref[:]
+        if cs_ref is not None:
+            c = c.astype(jnp.float32) * cs_ref[:]
+        sims = jnp.dot(q_ref[:], c.T, preferred_element_type=jnp.float32)
+        qk = qk_ref[:]  # (Qb, 1) int32
+        ck = ck_ref[:]  # (1, C) int32; -1 marks unused slots
+        mask = ((qk == ck) | (qk == WILDCARD_KEY)) & (ck >= 0)
+        # classic IVFFlat candidate restriction: a query only accepts rows
+        # from clusters IT probed — except the spill blocks (uid >
+        # n_lists), which every query scans exactly by construction
+        member = (jnp.any(probe_ref[:] == uid, axis=1, keepdims=True)
+                  | (uid > n_lists))
+        sims = jnp.where(mask & member, sims, NEG_INF)
+        qb = sims.shape[0]
+        col = (jax.lax.broadcasted_iota(jnp.int32, (qb, capacity), 1)
+               + uid * capacity)  # packed row index
+        new_v, new_i = _merge_running_topk(
+            run_vals[:], run_idx[:], sims, col, k
+        )
+        run_vals[:] = new_v
+        run_idx[:] = new_i
+
+    @pl.when(j == num_u - 1)
+    def _emit():
+        vals_ref[:] = run_vals[:]
+        idx_ref[:] = run_idx[:]
+
+
+def _ivf_topk_kernel_int8(
+    uids_ref, q_ref, qk_ref, probe_ref, c_ref, ck_ref, cs_ref,
+    vals_ref, idx_ref, run_vals, run_idx, *, k: int, capacity: int,
+    num_u: int, n_lists: int,
+):
+    _ivf_topk_kernel(
+        uids_ref, q_ref, qk_ref, probe_ref, c_ref, ck_ref, vals_ref,
+        idx_ref, run_vals, run_idx, k=k, capacity=capacity, num_u=num_u,
+        n_lists=n_lists, cs_ref=cs_ref,
+    )
+
+
+def ivf_probe_topk(
+    queries: jnp.ndarray,
+    query_keys: jnp.ndarray,
+    probes: jnp.ndarray,
+    uids: jnp.ndarray,
+    packed_emb: jnp.ndarray,
+    packed_keys: jnp.ndarray,
+    k: int,
+    capacity: int,
+    n_lists: int,
+    block_q: int = 64,
+    packed_scales: jnp.ndarray | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Block-sparse streaming top-k over an IVF packed-cluster layout.
+
+    The TPU-first IVF schedule: instead of per-query cluster gathers (zero
+    MXU operand reuse; measured 0.43x brute force) or XLA union gathers
+    (gather + per-chunk ``lax.top_k`` cost 40x the matmul), the kernel's
+    grid runs over the deduplicated union of the batch's probed clusters
+    and a scalar-prefetch ``index_map`` DMAs exactly those packed blocks —
+    contiguous, double-buffered, full HBM bandwidth — while every resident
+    block is scored for ALL queries with one MXU matmul and folded into
+    the same running top-k as :func:`masked_sim_topk`.
+
+    Args:
+      queries: (Q, D) fp32, Q a multiple of block_q (caller pads).
+      query_keys: (Q, 1) int32 same-page keys (-2 padding, -3 wildcard).
+      probes: (Q, P) int32 cluster ids probed per query (-1 padding rows).
+      uids: (U,) int32 sorted deduplicated union of probes, padded with
+        ``n_lists`` (the trailing all-masked zero block). U is static.
+      packed_emb: ((n_lists+1)*capacity [+ spill], D) packed clusters; the
+        kernel addresses blocks 0..n_lists only. fp32 — or int8 with
+        ``packed_scales``.
+      packed_keys: (1, same) int32; -1 marks unused/padding slots.
+      k: winners per query (k <= 16 uses the unrolled merge).
+      capacity: rows per packed cluster block (multiple of 8; 32 for int8).
+      n_lists: number of real clusters.
+      packed_scales: (rows, 1) fp32 per-row scales for an int8 layout.
+
+    Returns (values, packed_idx): (Q, k); packed_idx indexes packed rows
+    (callers map to corpus ids via the packed id array); empty slots carry
+    (NEG_INF, SENTINEL_IDX).
+    """
+    q, d = queries.shape
+    num_q = q // block_q
+    num_u = uids.shape[0]
+
+    in_specs = [
+        pl.BlockSpec((block_q, d), lambda i, j, u: (i, 0)),
+        pl.BlockSpec((block_q, 1), lambda i, j, u: (i, 0)),
+        pl.BlockSpec((block_q, probes.shape[1]), lambda i, j, u: (i, 0)),
+        pl.BlockSpec((capacity, d), lambda i, j, u: (u[j], 0)),
+        pl.BlockSpec((1, capacity), lambda i, j, u: (0, u[j])),
+    ]
+    args = [queries, query_keys, probes, packed_emb, packed_keys]
+    if packed_scales is not None:
+        in_specs.append(
+            pl.BlockSpec((capacity, 1), lambda i, j, u: (u[j], 0))
+        )
+        args.append(packed_scales)
+        kernel = functools.partial(
+            _ivf_topk_kernel_int8, k=k, capacity=capacity, num_u=num_u,
+            n_lists=n_lists,
+        )
+    else:
+        kernel = functools.partial(
+            _ivf_topk_kernel, k=k, capacity=capacity, num_u=num_u,
+            n_lists=n_lists,
+        )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_q, num_u),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((block_q, k), lambda i, j, u: (i, 0)),
+            pl.BlockSpec((block_q, k), lambda i, j, u: (i, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, k), jnp.float32),
+            pltpu.VMEM((block_q, k), jnp.int32),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((q, k), jnp.float32),
+            jax.ShapeDtypeStruct((q, k), jnp.int32),
+        ],
+        interpret=_interpret(),
+    )(uids, *args)
 
 
 # ---------------------------------------------------------------------------
