@@ -5,7 +5,13 @@ cannot upload hundreds of MB), measures build time, probed-search QPS at
 several probe counts, recall@10 vs the exact ranking, and the exact
 baseline QPS through RetrievalIndex for the same (N, Q, k).
 
-Usage: python benchmarks/bench_ivf.py [n_corpus] [n_lists] [d] [n_queries]
+With ``precision=int8`` the corpus is generated AND quantized on device
+in segments (an fp32 copy of the whole corpus never exists — matching
+the production beyond-fp32-HBM build path), and the exact baseline runs
+the int8 streaming kernel.
+
+Usage: python benchmarks/bench_ivf.py [n] [n_lists] [d] [n_queries]
+                                      [precision] [probes,csv]
 """
 
 from __future__ import annotations
@@ -28,32 +34,61 @@ def main() -> None:
     d = int(sys.argv[3]) if len(sys.argv) > 3 else 512
     g = 4096  # latent directions: clusterable, like real page embeddings
     nq = int(sys.argv[4]) if len(sys.argv) > 4 else 1024
+    precision = sys.argv[5] if len(sys.argv) > 5 else "fp32"
+    probe_list = (tuple(int(x) for x in sys.argv[6].split(","))
+                  if len(sys.argv) > 6 else (1, 8, 32, 64))
     k = 10
+    seg = min(n, 1_000_000)
+    assert n % seg == 0
 
     @jax.jit
-    def make_data(key):
+    def make_seg(key, qkey):
         # noise scales with 1/sqrt(d) so the latent direction keeps a
         # fixed share of each vector's norm — per-coordinate sigma=0.25 in
         # 512-d would swamp the unit direction entirely (noise norm ~5.7)
         # and no index could beat random scanning on such isotropic data
-        kc, ka, kn, kq = jax.random.split(key, 4)
+        kc, ka, kn = jax.random.split(key, 3)
         centers = jax.random.normal(kc, (g, d), jnp.float32)
         centers /= jnp.linalg.norm(centers, axis=1, keepdims=True)
-        a = jax.random.randint(ka, (n,), 0, g)
+        a = jax.random.randint(ka, (seg,), 0, g)
         sig = 0.35 / (d ** 0.5)
-        x = centers[a] + sig * jax.random.normal(kn, (n, d), jnp.float32)
+        x = centers[a] + sig * jax.random.normal(kn, (seg, d), jnp.float32)
         x /= jnp.linalg.norm(x, axis=1, keepdims=True)
-        qi = jax.random.randint(kq, (nq,), 0, n)
-        q = x[qi] + sig * jax.random.normal(kq, (nq, d), jnp.float32)
-        q /= jnp.linalg.norm(q, axis=1, keepdims=True)
-        return x, q
+        q = None
+        if qkey is not None:
+            qi = jax.random.randint(qkey, (nq,), 0, seg)
+            q = x[qi] + sig * jax.random.normal(qkey, (nq, d), jnp.float32)
+            q /= jnp.linalg.norm(q, axis=1, keepdims=True)
+        if precision == "int8":
+            s = jnp.maximum(
+                jnp.max(jnp.abs(x), axis=1, keepdims=True) / 127.0, 1e-12
+            )
+            x = jnp.clip(jnp.rint(x / s), -127, 127).astype(jnp.int8)
+            return x, s[:, 0], q
+        return x, None, q
 
-    corpus, queries = make_data(jax.random.PRNGKey(0))
+    # root key is split per segment; queries come from segment 0
+    segs, scales, queries = [], [], None
+    for si in range(n // seg):
+        key = jax.random.fold_in(jax.random.PRNGKey(0), si)
+        x, s, q = make_seg(key, jax.random.PRNGKey(7) if si == 0 else None)
+        segs.append(x)
+        if s is not None:
+            scales.append(s)
+        if q is not None:
+            queries = q
+        float(jnp.sum(x[0].astype(jnp.float32)))  # sync before next seg
+    corpus = segs[0] if len(segs) == 1 else jnp.concatenate(segs)
+    del segs
+    cscales = (None if precision != "int8"
+               else (scales[0] if len(scales) == 1
+                     else jnp.concatenate(scales)))
+    del scales
     float(jnp.sum(queries[0]))  # sync data generation
 
     t0 = time.perf_counter()
     index = IVFIndex(corpus, n_lists=n_lists, iters=10,
-                     query_block=min(nq, 256))
+                     query_block=min(nq, 256), corpus_scales=cscales)
     # sync: fetch one packed scalar
     float(jnp.sum(index.centroids[0]))
     build_s = time.perf_counter() - t0
@@ -65,10 +100,10 @@ def main() -> None:
     exact.n = n
     exact.dim = d
     exact.mesh = None
-    exact.precision = "fp32"
+    exact.precision = precision
     exact.recall_target = None
     exact.vocab = {}
-    exact._corpus_scales = None
+    exact._corpus_scales = cscales
     exact._approx_warned = set()
     exact._n_local = n
     exact._corpus = corpus
@@ -89,10 +124,10 @@ def main() -> None:
     t_exact = timed(lambda: exact.search_device(queries, qk, k))
     print(json.dumps({
         "metric": "ivf_baseline_exact", "n": n, "d": d, "q": nq, "k": k,
-        "qps": round(nq / t_exact, 1),
+        "precision": precision, "qps": round(nq / t_exact, 1),
     }), flush=True)
 
-    for probes in (1, 8, 32, 64):
+    for probes in probe_list:
         if probes > n_lists:
             continue
         pv, pi = index.search_device(queries, qk, k, n_probes=probes)
@@ -104,9 +139,10 @@ def main() -> None:
                                               n_probes=probes))
         print(json.dumps({
             "metric": "ivf_probed_search", "n": n, "d": d, "q": nq, "k": k,
-            "n_lists": n_lists, "n_probes": probes,
+            "n_lists": n_lists, "n_probes": probes, "precision": precision,
             "capacity": index.capacity, "spill": index.spill,
             "build_s": round(build_s, 1),
+            "memory_gb": round(index.memory_bytes / 2**30, 2),
             "recall_at_10": round(recall, 4),
             "qps": round(nq / t, 1),
             "speedup_vs_exact": round(t_exact / t, 2),

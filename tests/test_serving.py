@@ -589,3 +589,44 @@ def test_search_text_routes_through_encode_coalescer(service):
     assert svc._encode_coalescer.dispatches == before + 1
     st = svc.stats()
     assert "encode_coalescer" in st
+
+
+def test_service_index_type_and_precision_knobs():
+    """RETRIEVAL_INDEX / RETRIEVAL_PRECISION routing through the service:
+    ivf builds an IVFIndex, int8 quantizes the resident corpus, and both
+    still return the self-match first."""
+    from tpualign.parallel.ivf import IVFIndex
+    from tpualign.parallel.retrieval import RetrievalIndex
+
+    rng = np.random.default_rng(1)
+    n, d = 256, 16
+    emb = rng.normal(size=(n, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    ids = [f"c{i}" for i in range(n)]
+    manuals = ["m0"] * n
+    pages = [1 + i % 4 for i in range(n)]
+
+    ivf = RetrievalService(
+        emb, ids, manuals, pages, index_type="ivf", ivf_lists=8,
+        ivf_probes=8, precision="int8",
+    )
+    assert isinstance(ivf.index, IVFIndex)
+    assert ivf.index.precision == "int8"
+    res = ivf.search_embeddings(emb[:3], manuals[:3], pages[:3], k=4)
+    assert [r[0]["chunk_id"] for r in res] == ids[:3]
+
+    exact = RetrievalService(emb, ids, manuals, pages, precision="int8")
+    assert isinstance(exact.index, RetrievalIndex)
+    assert exact.index.precision == "int8"
+    res = exact.search_embeddings(emb[:3], manuals[:3], pages[:3], k=4)
+    assert [r[0]["chunk_id"] for r in res] == ids[:3]
+
+
+def test_config_retrieval_precision_knob():
+    from tpualign.config import load_config
+
+    cfg = load_config(env_file=None,
+                      overrides={"RETRIEVAL_PRECISION": "int8",
+                                 "RETRIEVAL_INDEX": "ivf"})
+    assert cfg.retrieval_precision == "int8"
+    assert cfg.retrieval_index == "ivf"

@@ -284,6 +284,11 @@ class PipelineConfig:
     # IVF geometry (None = sqrt(N) lists, lists//8 probes)
     ivf_lists: Optional[int] = None
     ivf_probes: Optional[int] = None
+    # Serving-index storage precision: "fp32" (exact) or "int8" (per-row
+    # symmetric quantization: 4x corpus capacity per HBM byte at ~1e-3
+    # similarity perturbation; composes with exact, ivf, and the mesh
+    # streaming strategies). Evaluation always uses exact fp32.
+    retrieval_precision: str = "fp32"
     # Image feed: "host" (PIL bicubic, torchvision parity) or "device"
     # (host decodes only — 2.45x per-core feed rate — resize/crop/normalize
     # fused on TPU as matmul bicubic+antialias matching PIL's uint8
@@ -435,6 +440,7 @@ def load_config(
             if _env(env, "RETRIEVAL_RECALL_TARGET", "") else None
         ),
         retrieval_index=_env(env, "RETRIEVAL_INDEX", "exact"),
+        retrieval_precision=_env(env, "RETRIEVAL_PRECISION", "fp32"),
         ivf_lists=(
             int(_env(env, "IVF_LISTS", ""))
             if _env(env, "IVF_LISTS", "") else None

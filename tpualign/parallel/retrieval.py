@@ -737,6 +737,7 @@ def build_index(
             return IVFIndex(
                 corpus_embeddings, corpus_manuals, corpus_pages,
                 n_lists=ivf_lists, n_probes=ivf_probes,
+                precision=precision,
             )
     elif index_type != "exact":
         raise ValueError(

@@ -278,6 +278,7 @@ class RetrievalService:
         index_type: str = "exact",
         ivf_lists: Optional[int] = None,
         ivf_probes: Optional[int] = None,
+        precision: str = "fp32",
     ):
         self.schema = schema
         self.chunk_ids = list(chunk_ids)
@@ -288,6 +289,7 @@ class RetrievalService:
             chunk_embeddings, chunk_manuals, chunk_pages, mesh=mesh,
             recall_target=recall_target, index_type=index_type,
             ivf_lists=ivf_lists, ivf_probes=ivf_probes,
+            precision=precision,
         )
         # request coalescing: concurrent searches (and text encodes) merge
         # into one device dispatch each (None disables — library callers
@@ -462,6 +464,7 @@ def build_service(config, schema: str, mesh=None, text_tower: bool = True) -> Re
         index_type=getattr(config, "retrieval_index", "exact"),
         ivf_lists=getattr(config, "ivf_lists", None),
         ivf_probes=getattr(config, "ivf_probes", None),
+        precision=getattr(config, "retrieval_precision", "fp32"),
     )
 
 
