@@ -231,3 +231,64 @@ def test_probe_sweep_monotone_recall():
     r1, r4, rall = recall(1), recall(4), recall(32)
     assert r1 <= r4 + 1e-9 <= rall + 2e-9
     assert rall == 1.0
+
+
+def test_save_load_roundtrip(tmp_path):
+    """Persisted structure + same corpus must reproduce the index exactly
+    (fp32 and int8), and loading guards corpus-shape mismatches."""
+    rng = np.random.default_rng(11)
+    c, _ = make_clustered(rng, n=1024, d=32, g=8)
+    cman = [f"m{i % 2}" for i in range(1024)]
+    cpage = [1 + i % 3 for i in range(1024)]
+    q = unit(rng.normal(size=(40, 32)).astype(np.float32))
+    for precision in ("fp32", "int8"):
+        a = IVFIndex(c, cman, cpage, n_lists=8, iters=4,
+                     precision=precision)
+        path = tmp_path / f"ivf_{precision}.npz"
+        a.save(path)
+        b = IVFIndex.load(path, c)
+        assert b.precision == precision and b.vocab == a.vocab
+        va, ia = a.search(q, cman[:40], cpage[:40], k=5)
+        vb, ib = b.search(q, cman[:40], cpage[:40], k=5)
+        np.testing.assert_array_equal(ia, ib)
+        np.testing.assert_allclose(va, vb, rtol=0, atol=1e-6)
+    with pytest.raises(ValueError):
+        IVFIndex.load(tmp_path / "ivf_fp32.npz", c[:100])
+
+
+def test_build_index_ivf_cache(tmp_path, caplog):
+    """The IVF_CACHE path: first build saves, second build loads (same
+    results, no second k-means), precision mismatch rebuilds."""
+    from tpualign.parallel.retrieval import build_index
+    import tpualign.parallel.ivf as ivf_mod
+
+    rng = np.random.default_rng(12)
+    c, _ = make_clustered(rng, n=512, d=16, g=8)
+    man = ["m0"] * 512
+    pages = [1 + i % 4 for i in range(512)]
+    cache = str(tmp_path / "ivf.npz")
+    a = build_index(c, man, pages, index_type="ivf", ivf_lists=8,
+                    ivf_cache=cache)
+    assert (tmp_path / "ivf.npz").exists()
+    calls = []
+    orig = ivf_mod._kmeans
+
+    def spy(*args, **kw):
+        calls.append(1)
+        return orig(*args, **kw)
+
+    ivf_mod._kmeans = spy
+    try:
+        b = build_index(c, man, pages, index_type="ivf", ivf_lists=8,
+                        ivf_cache=cache)
+        assert not calls, "cache hit must not re-run k-means"
+        # precision mismatch: rebuild (k-means runs)
+        d_ = build_index(c, man, pages, index_type="ivf", ivf_lists=8,
+                         ivf_cache=cache, precision="int8")
+        assert calls and d_.precision == "int8"
+    finally:
+        ivf_mod._kmeans = orig
+    q = unit(rng.normal(size=(16, 16)).astype(np.float32))
+    va, ia = a.search(q, k=5, n_probes=8)
+    vb, ib = b.search(q, k=5, n_probes=8)
+    np.testing.assert_array_equal(ia, ib)

@@ -284,6 +284,10 @@ class PipelineConfig:
     # IVF geometry (None = sqrt(N) lists, lists//8 probes)
     ivf_lists: Optional[int] = None
     ivf_probes: Optional[int] = None
+    # Persist the trained IVF structure (centroids + packed layout) here,
+    # like pgvector's on-disk index: loaded when it matches the corpus,
+    # rebuilt (and re-saved) otherwise. None = rebuild at each serve start.
+    ivf_cache: Optional[str] = None
     # Serving-index storage precision: "fp32" (exact) or "int8" (per-row
     # symmetric quantization: 4x corpus capacity per HBM byte at ~1e-3
     # similarity perturbation; composes with exact, ivf, and the mesh
@@ -449,6 +453,7 @@ def load_config(
             int(_env(env, "IVF_PROBES", ""))
             if _env(env, "IVF_PROBES", "") else None
         ),
+        ivf_cache=_env(env, "IVF_CACHE", "") or None,
         image_preprocess=_env(env, "IMAGE_PREPROCESS", "host"),
         image_preprocess_bucket=int(
             _env(env, "IMAGE_PREPROCESS_BUCKET", "256")

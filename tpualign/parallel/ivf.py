@@ -435,6 +435,91 @@ class IVFIndex:
             self.cluster_chunk, exact_ties,
         )
 
+    # -- persistence -----------------------------------------------------------
+
+    def save(self, path) -> None:
+        """Persist the trained index STRUCTURE (centroids + packed layout
+        ids/keys + geometry) — not the vectors. pgvector's index survives
+        restarts on disk (ref:src/setup_vector_db.py:155-190); here the
+        vectors live in the embedding store already, so the artifact is
+        small (L*D floats + ~1.5*N int32 pairs) and :meth:`load` rebuilds
+        the device layout with one gather instead of re-running k-means.
+        """
+        import json as _json
+
+        np.savez_compressed(
+            path,
+            centroids=np.asarray(self.centroids, np.float32),
+            pids=np.asarray(self._ids, np.int32),
+            pkeys=np.asarray(self._keys, np.int32),
+            meta=np.frombuffer(_json.dumps({
+                "n": self.n, "dim": self.dim, "n_lists": self.n_lists,
+                "n_probes": self.n_probes, "capacity": self.capacity,
+                "spill": self.spill, "spill_blocks": self.spill_blocks,
+                "precision": self.precision,
+                "query_block": self.query_block,
+                "cluster_chunk": self.cluster_chunk,
+                "vocab": self.vocab,
+            }).encode(), dtype=np.uint8),
+        )
+
+    @classmethod
+    def load(cls, path, corpus_embeddings, corpus_scales=None,
+             use_kernel: Optional[bool] = None) -> "IVFIndex":
+        """Rebuild a saved index around the SAME corpus (row order must
+        match the build — ids index into it). One device gather replaces
+        the k-means build; precision follows the saved index (an fp32
+        corpus is re-quantized along the packed layout for int8)."""
+        import json as _json
+
+        z = np.load(path)
+        meta = _json.loads(bytes(z["meta"]).decode())
+        corpus = jnp.asarray(corpus_embeddings)
+        if corpus.shape != (meta["n"], meta["dim"]):
+            raise ValueError(
+                f"corpus shape {corpus.shape} does not match saved index "
+                f"({meta['n']}, {meta['dim']})"
+            )
+        self = cls.__new__(cls)
+        self.vocab = {k: int(v) for k, v in meta["vocab"].items()}
+        self.mesh = None
+        self.use_kernel = use_kernel
+        self.n, self.dim = meta["n"], meta["dim"]
+        self.n_lists = meta["n_lists"]
+        self.n_probes = meta["n_probes"]
+        self.capacity = meta["capacity"]
+        self.spill = meta["spill"]
+        self.spill_blocks = meta["spill_blocks"]
+        self.precision = meta["precision"]
+        self.query_block = meta["query_block"]
+        self.cluster_chunk = meta["cluster_chunk"]
+        self.centroids = jnp.asarray(z["centroids"], jnp.float32)
+        self._ids = jnp.asarray(z["pids"], jnp.int32)
+        self._keys = jnp.asarray(z["pkeys"], jnp.int32)
+        gather = jnp.maximum(self._ids, 0)
+        if corpus.dtype == jnp.int8:
+            if corpus_scales is None:
+                raise ValueError("int8 corpus needs corpus_scales")
+            if self.precision != "int8":
+                raise ValueError("fp32 index cannot load an int8 corpus")
+            self._emb = corpus[gather]
+            self._scales = jnp.asarray(
+                corpus_scales, jnp.float32).reshape(-1, 1)[gather]
+        elif self.precision == "int8":
+            pemb = corpus.astype(jnp.float32)[gather]
+            scales = jnp.maximum(
+                jnp.max(jnp.abs(pemb), axis=1, keepdims=True) / 127.0,
+                1e-12,
+            )
+            self._emb = jnp.clip(
+                jnp.rint(pemb / scales), -127, 127
+            ).astype(jnp.int8)
+            self._scales = scales.astype(jnp.float32)
+        else:
+            self._emb = corpus.astype(jnp.float32)[gather]
+            self._scales = None
+        return self
+
     @property
     def memory_bytes(self) -> int:
         """Resident bytes: packed corpus + keys + ids + centroids."""

@@ -712,6 +712,7 @@ def build_index(
     index_type: str = "exact",
     ivf_lists: Optional[int] = None,
     ivf_probes: Optional[int] = None,
+    ivf_cache: Optional[str] = None,
 ):
     """Index factory honoring the ``RETRIEVAL_INDEX`` config knob.
 
@@ -724,6 +725,10 @@ def build_index(
     design; with a >1-device mesh the factory logs a warning and falls
     back to the exact sharded index (beyond-HBM corpora take the
     streaming mesh path instead).
+
+    ``ivf_cache`` (the ``IVF_CACHE`` knob) persists the trained IVF
+    structure like pgvector's on-disk index: load if the file matches
+    the corpus, else build and save (k-means runs once per corpus).
     """
     if index_type == "ivf":
         if mesh is not None and mesh.shape.get("data", 1) > 1:
@@ -732,13 +737,32 @@ def build_index(
                 "exact sharded index on the %s mesh", dict(mesh.shape)
             )
         else:
+            import os
+
             from tpualign.parallel.ivf import IVFIndex
 
-            return IVFIndex(
+            if ivf_cache and os.path.exists(ivf_cache):
+                try:
+                    loaded = IVFIndex.load(ivf_cache, corpus_embeddings)
+                    if loaded.precision != precision:
+                        raise ValueError(
+                            f"cache precision {loaded.precision} != "
+                            f"requested {precision}"
+                        )
+                    return loaded
+                except Exception as e:  # stale/mismatched cache: rebuild
+                    log.warning(
+                        "IVF cache %s unusable (%s); rebuilding", ivf_cache, e
+                    )
+            index = IVFIndex(
                 corpus_embeddings, corpus_manuals, corpus_pages,
                 n_lists=ivf_lists, n_probes=ivf_probes,
                 precision=precision,
             )
+            if ivf_cache:
+                index.save(ivf_cache)
+                log.info("IVF index structure cached to %s", ivf_cache)
+            return index
     elif index_type != "exact":
         raise ValueError(
             f"retrieval_index must be 'exact' or 'ivf', got {index_type!r}"

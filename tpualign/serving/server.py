@@ -279,6 +279,7 @@ class RetrievalService:
         ivf_lists: Optional[int] = None,
         ivf_probes: Optional[int] = None,
         precision: str = "fp32",
+        ivf_cache: Optional[str] = None,
     ):
         self.schema = schema
         self.chunk_ids = list(chunk_ids)
@@ -289,7 +290,7 @@ class RetrievalService:
             chunk_embeddings, chunk_manuals, chunk_pages, mesh=mesh,
             recall_target=recall_target, index_type=index_type,
             ivf_lists=ivf_lists, ivf_probes=ivf_probes,
-            precision=precision,
+            precision=precision, ivf_cache=ivf_cache,
         )
         # request coalescing: concurrent searches (and text encodes) merge
         # into one device dispatch each (None disables — library callers
@@ -465,6 +466,7 @@ def build_service(config, schema: str, mesh=None, text_tower: bool = True) -> Re
         ivf_lists=getattr(config, "ivf_lists", None),
         ivf_probes=getattr(config, "ivf_probes", None),
         precision=getattr(config, "retrieval_precision", "fp32"),
+        ivf_cache=getattr(config, "ivf_cache", None),
     )
 
 
