@@ -126,6 +126,10 @@ def main() -> None:
         "metric": "ivf_baseline_exact", "n": n, "d": d, "q": nq, "k": k,
         "precision": precision, "qps": round(nq / t_exact, 1),
     }), flush=True)
+    # free the exact index's corpus before the probed phase: at capacity-
+    # limit N the raw corpus (the exact baseline's operand) + the packed
+    # layout (~1.5x) cannot BOTH stay resident alongside search temps
+    del exact, corpus, cscales
 
     for probes in probe_list:
         if probes > n_lists:

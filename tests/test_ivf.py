@@ -292,3 +292,45 @@ def test_build_index_ivf_cache(tmp_path, caplog):
     va, ia = a.search(q, k=5, n_probes=8)
     vb, ib = b.search(q, k=5, n_probes=8)
     np.testing.assert_array_equal(ia, ib)
+
+
+def test_calibrate_picks_probes_meeting_target():
+    """Analytic probe calibration: the chosen n_probes must actually
+    deliver the target recall when searching (verified empirically
+    against the exact ranking), and tighter targets need >= probes."""
+    rng = np.random.default_rng(13)
+    c, _ = make_clustered(rng, n=4096, d=32, g=32, noise=0.35)
+    index = IVFIndex(c, n_lists=32, iters=6)
+    p_low = index.calibrate(0.7, k=10)
+    p_high = index.calibrate(0.99, k=10)
+    assert 1 <= p_low <= p_high <= index.n_lists
+    assert index.n_probes == p_high  # calibrate sets the default
+
+    # empirical check: in-corpus sample queries reach the target
+    sel = (np.arange(200) * len(c)) // 200
+    q = c[sel]
+    _, oidx = numpy_oracle(
+        q, np.zeros(len(q), np.int32), c, np.zeros(len(c), np.int32), 10
+    )
+    _, idx = index.search(q, k=10)  # uses calibrated n_probes
+    hits = np.mean([
+        len(np.intersect1d(idx[r], oidx[r])) / 10 for r in range(len(q))
+    ])
+    assert hits >= 0.95, f"calibrated recall {hits:.3f} < target-ish 0.99"
+
+
+def test_build_index_recall_target_calibrates_ivf():
+    """RETRIEVAL_RECALL_TARGET + RETRIEVAL_INDEX=ivf = auto-probes; an
+    explicit IVF_PROBES wins over calibration."""
+    from tpualign.parallel.retrieval import build_index
+
+    rng = np.random.default_rng(14)
+    c, _ = make_clustered(rng, n=1024, d=16, g=8)
+    man = ["m0"] * 1024
+    pages = [1] * 1024
+    auto = build_index(c, man, pages, index_type="ivf", ivf_lists=16,
+                       recall_target=0.95)
+    manual = build_index(c, man, pages, index_type="ivf", ivf_lists=16,
+                         ivf_probes=2, recall_target=0.95)
+    assert manual.n_probes == 2
+    assert 1 <= auto.n_probes <= 16

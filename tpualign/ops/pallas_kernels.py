@@ -33,6 +33,25 @@ from tpualign.ops.similarity import NEG_INF, WILDCARD_KEY
 __all__ = ["masked_sim_topk", "ivf_probe_topk", "normalize_u8",
            "SENTINEL_IDX"]
 
+# Threshold-skip (IVF kernel only): merge a scored block into the
+# running top-k only when some score strictly beats the current kth-best
+# (exact — kth-value ties lose to incumbents anyway). Pays off when most
+# blocks lose, i.e. long sweeps: expected merges ~ k*ln(num_blocks).
+# Measured on v5e: +10.5% on the IVF kernel at N=2M Q=32 P=8 (264-block
+# union), but a LOSS on masked_sim_topk in every regime (0.80-1.00x —
+# HBM-bound at small Q; the data-dependent branch defeats Mosaic's
+# software pipelining at large Q), so the exact kernel does not use it.
+# The bound below gates short unions out; A/B scripts flip the override.
+THRESHOLD_SKIP_MIN_BLOCKS = 64
+_threshold_skip_override: bool | None = None
+
+
+def _use_threshold_skip(num_blocks: int) -> bool:
+    if _threshold_skip_override is not None:
+        return _threshold_skip_override
+    return num_blocks >= THRESHOLD_SKIP_MIN_BLOCKS
+
+
 # Empty top-k slots carry this index (values carry NEG_INF). Callers either
 # map it to -1 (host sentinel convention) or must avoid offsetting it when
 # localizing shard indices (tpualign.parallel.retrieval's sharded streaming).
@@ -139,6 +158,12 @@ def _sim_topk_kernel(
 
     qb = sims.shape[0]
     col = jax.lax.broadcasted_iota(jnp.int32, (qb, block_n), 1) + j * block_n
+
+    # NOTE a threshold-skip (merge only when some score strictly beats
+    # the running kth-best, which is exact — kth-value ties lose to the
+    # incumbent) was measured and REJECTED here: 0.85x at N=100k Q=1024,
+    # 1.00x at N=2M Q=32 (the sweep is HBM-bound), 0.80x at N=2M Q=256
+    # (the data-dependent branch defeats Mosaic's software pipelining).
     new_v, new_i = _merge_running_topk(run_vals[:], run_idx[:], sims, col, k)
     run_vals[:] = new_v
     run_idx[:] = new_i
@@ -357,11 +382,25 @@ def _ivf_topk_kernel(
         qb = sims.shape[0]
         col = (jax.lax.broadcasted_iota(jnp.int32, (qb, capacity), 1)
                + uid * capacity)  # packed row index
-        new_v, new_i = _merge_running_topk(
-            run_vals[:], run_idx[:], sims, col, k
-        )
-        run_vals[:] = new_v
-        run_idx[:] = new_i
+
+        # threshold skip (see _sim_topk_kernel): strict > is exact
+        if _use_threshold_skip(num_u):
+            rv = run_vals[:]
+            beats = jnp.any(sims > rv[:, k - 1:k])
+
+            @pl.when(beats)
+            def _merge():
+                new_v, new_i = _merge_running_topk(
+                    run_vals[:], run_idx[:], sims, col, k
+                )
+                run_vals[:] = new_v
+                run_idx[:] = new_i
+        else:
+            new_v, new_i = _merge_running_topk(
+                run_vals[:], run_idx[:], sims, col, k
+            )
+            run_vals[:] = new_v
+            run_idx[:] = new_i
 
     @pl.when(j == num_u - 1)
     def _emit():

@@ -435,6 +435,82 @@ class IVFIndex:
             self.cluster_chunk, exact_ties,
         )
 
+    # -- probe auto-calibration --------------------------------------------------
+
+    def calibrate(self, recall_target: float, k: int = 10,
+                  sample: int = 256) -> int:
+        """Pick the smallest ``n_probes`` whose expected recall@k meets
+        ``recall_target``, and set it as the default. pgvector makes the
+        user guess ``probes`` (the reference hard-codes lists=100 and
+        never measures recall, ref:src/setup_vector_db.py:171-190); this
+        measures it, ANALYTICALLY over every probe count at once:
+
+        a true neighbor is found at probe count P iff its cluster ranks
+        inside the query's top-P centroid scores (or the row spilled —
+        spill rows are always scanned). So ONE exact (full-probe) search
+        over a deterministic corpus sample plus one (S, L) centroid
+        matmul yields each neighbor's required probe depth; recall(P) is
+        a quantile over those depths. No probed-search ladder, no
+        per-P kernel compiles.
+
+        Returns the chosen probe count. Recall here is vs the index's
+        own exact ranking on in-corpus sample queries (the standard
+        IVFFlat calibration protocol); real query recall varies with
+        query/corpus drift.
+        """
+        if not 0.0 < recall_target <= 1.0:
+            raise ValueError(f"recall_target in (0, 1], got {recall_target}")
+        s = min(int(sample), self.n)
+        sel = np.asarray(
+            (np.arange(s, dtype=np.int64) * self.n) // s, np.int64
+        )
+        # sample queries straight from the packed layout (device gather)
+        pos = np.asarray(self._positions_of(sel))
+        q = self._emb[pos].astype(jnp.float32)
+        if self._scales is not None:
+            q = q * self._scales[pos]
+        qk = jnp.full((s,), WILDCARD_KEY, jnp.int32)
+        _, nbr = self.search_encoded(np.asarray(q), np.asarray(qk), k,
+                                     n_probes=self.n_lists)
+        depth = np.asarray(_probe_depths(
+            jnp.asarray(q), jnp.asarray(nbr, jnp.int32), self.centroids,
+            self._positions, self.n_lists, self.capacity,
+        ))
+        valid = depth >= 0  # -1 marks empty neighbor slots
+        depths = np.sort(depth[valid])
+        if depths.size == 0:
+            return self.n_probes
+        # smallest P with mean(depth < P) >= target
+        idx = min(int(np.ceil(recall_target * depths.size)) - 1,
+                  depths.size - 1)
+        p = int(depths[idx]) + 1
+        p = max(1, min(p, self.n_lists))
+        achieved = float(np.mean(depths < p))
+        log.info(
+            "IVF calibration: n_probes=%d reaches recall@%d %.4f "
+            "(target %.3f, %d sample queries)", p, k, achieved,
+            recall_target, s,
+        )
+        self.n_probes = p
+        return p
+
+    def _positions_of(self, corpus_ids: np.ndarray):
+        """Packed row position of each corpus id (device gather)."""
+        return self._positions[jnp.asarray(corpus_ids)]
+
+    @property
+    def _positions(self):
+        """(N,) packed row position per corpus id, built lazily once."""
+        cached = getattr(self, "_positions_cache", None)
+        if cached is None:
+            total = self._ids.shape[0]
+            dest = jnp.where(self._ids >= 0, self._ids, self.n)
+            cached = jnp.zeros((self.n,), jnp.int32).at[dest].set(
+                jnp.arange(total, dtype=jnp.int32), mode="drop"
+            )
+            self._positions_cache = cached
+        return cached
+
     # -- persistence -----------------------------------------------------------
 
     def save(self, path) -> None:
@@ -528,6 +604,25 @@ class IVFIndex:
         scale = 4 if self.precision == "int8" else 0
         return (total * (self.dim * item + 8 + scale)
                 + self.n_lists * self.dim * 4)
+
+
+@partial(jax.jit, static_argnames=("n_lists", "capacity"))
+def _probe_depths(q, nbr, centroids, positions,
+                  n_lists: int, capacity: int):
+    """(S, k) probe depth at which each true neighbor is found: the rank
+    of its cluster among the query's centroid scores — 0 for spilled
+    rows (always scanned), -1 for empty neighbor slots. ``positions``
+    maps corpus id -> packed row; the packed block index IS the cluster
+    (spill blocks sit past ``n_lists``)."""
+    qc = jnp.dot(q, centroids.T, preferred_element_type=jnp.float32)
+    pos = positions[jnp.maximum(nbr, 0)]  # (S, k) packed rows
+    block = pos // capacity
+    spilled = block > n_lists  # the zero block (== n_lists) holds no ids
+    cluster = jnp.minimum(block, n_lists - 1)
+    s_c = jnp.take_along_axis(qc, cluster, axis=1)  # (S, k)
+    rank = jnp.sum(qc[:, None, :] > s_c[:, :, None], axis=2)
+    depth = jnp.where(spilled, 0, rank)
+    return jnp.where(nbr >= 0, depth, -1)
 
 
 def _dequant(emb, scales):

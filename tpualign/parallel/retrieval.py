@@ -759,6 +759,11 @@ def build_index(
                 n_lists=ivf_lists, n_probes=ivf_probes,
                 precision=precision,
             )
+            if recall_target is not None and ivf_probes is None:
+                # pick the smallest probe count meeting the target —
+                # RETRIEVAL_RECALL_TARGET means "this recall, whatever
+                # the index" (approx_max_k for exact, probes for ivf)
+                index.calibrate(recall_target)
             if ivf_cache:
                 index.save(ivf_cache)
                 log.info("IVF index structure cached to %s", ivf_cache)
