@@ -334,3 +334,23 @@ def test_build_index_recall_target_calibrates_ivf():
                          ivf_probes=2, recall_target=0.95)
     assert manual.n_probes == 2
     assert 1 <= auto.n_probes <= 16
+
+
+def test_vmem_capacity_clamp():
+    """Too-few lists must auto-bump so cluster blocks fit the kernel's
+    VMEM budget (capacity 8256 int8 at d=512 measurably fails the AOT
+    compile), and the capacity itself never exceeds the bound."""
+    from tpualign.parallel.ivf import _max_capacity
+
+    assert _max_capacity(512, 4) == 3072   # fp32: 12MB / (512*8)
+    assert _max_capacity(512, 1) == 4096   # int8: 12MB / (512*6)
+    assert _max_capacity(64, 4) % 128 == 0
+
+    rng = np.random.default_rng(15)
+    # d=4096 makes the fp32 bound tiny (384 rows) so a small corpus
+    # triggers the bump: 8 lists over 4096 rows -> implied cap 768 > 384
+    c = rng.normal(size=(4096, 4096)).astype(np.float32)
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    index = IVFIndex(c, n_lists=8, iters=1)
+    assert index.capacity <= _max_capacity(4096, 4)
+    assert index.n_lists >= 16  # bumped past the requested 8

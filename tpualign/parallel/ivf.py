@@ -79,6 +79,17 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _max_capacity(dim: int, itemsize: int, budget: int = 12 * 2**20) -> int:
+    """Largest packed-cluster capacity whose kernel block fits the ~16MB
+    scoped VMEM (with margin): fp32 blocks double-buffer (2 x C x d x 4);
+    int8 blocks add a full fp32 dequant intermediate (C x d x (4 + 2x1)).
+    Measured: capacity 8256 int8 at d=512 fails AOT compile (19.25M >
+    16M scoped vmem); 4096 compiles. Multiples of 128 (lane alignment).
+    """
+    per_row = dim * (8 if itemsize == 4 else 6)
+    return max(128, (budget // per_row // 128) * 128)
+
+
 @partial(jax.jit, static_argnames=("iters", "block"))
 def _kmeans(corpus, scales, centroids, iters: int, block: int):
     """Spherical k-means on device. Returns (centroids, assignment, sizes).
@@ -260,6 +271,22 @@ class IVFIndex:
 
         if n_lists is None:
             n_lists = max(8, min(_round_up(int(self.n ** 0.5), 8), self.n))
+        # keep cluster blocks inside the kernel's VMEM budget: too-few
+        # lists would either blow the scoped-vmem compile (measured) or
+        # dump whole clusters into the everyone-scans spill tail
+        max_cap = _max_capacity(
+            self.dim, 1 if precision == "int8" else 4
+        )
+        min_lists = -(-int(np.ceil(capacity_factor * self.n)) // max_cap)
+        if n_lists < min_lists:
+            bumped = min(_round_up(min_lists, 8), self.n)
+            log.info(
+                "IVF: n_lists %d would give cluster capacity ~%d > the "
+                "%d-row VMEM bound at d=%d; using %d lists",
+                n_lists, int(capacity_factor * self.n / n_lists), max_cap,
+                self.dim, bumped,
+            )
+            n_lists = bumped
         self.n_lists = int(n_lists)
         self.n_probes = (
             max(1, self.n_lists // 8) if n_probes is None
@@ -318,7 +345,7 @@ class IVFIndex:
         # capacity is a multiple of 128: lane alignment for the kernel's
         # (1, capacity) key blocks (and int8 sublane tiling)
         cap = _round_up(max(1, int(np.ceil(capacity_factor * avg))), 128)
-        cap = min(cap, _round_up(int(sizes.max()), 128))
+        cap = min(cap, _round_up(int(sizes.max()), 128), max_cap)
         overflow = int(np.maximum(sizes - cap, 0).sum())
         self.capacity = cap
         self.spill = overflow
