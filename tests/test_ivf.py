@@ -354,3 +354,26 @@ def test_vmem_capacity_clamp():
     index = IVFIndex(c, n_lists=8, iters=1)
     assert index.capacity <= _max_capacity(4096, 4)
     assert index.n_lists >= 16  # bumped past the requested 8
+
+
+def test_int8_mxu_kernel_matches_dequant_path():
+    """The s8xs8->s32 MXU kernel variant must agree with the VMEM-dequant
+    int8 path up to query-side quantization noise (recall-level match on
+    clusterable data, near-equal scores for the self-match)."""
+    rng = np.random.default_rng(16)
+    c, _ = make_clustered(rng, n=2048, d=32, g=8)
+    deq = IVFIndex(c, n_lists=16, iters=4, precision="int8",
+                   use_kernel=True)
+    mxu = IVFIndex(c, n_lists=16, iters=4, precision="int8",
+                   use_kernel=True, int8_mxu=True)
+    q = unit(c[rng.integers(len(c), size=64)]
+             + 0.05 * rng.normal(size=(64, 32)).astype(np.float32))
+    vd, idd = deq.search(q, k=10, n_probes=4)
+    vm, idm = mxu.search(q, k=10, n_probes=4)
+    hits = np.mean([
+        len(np.intersect1d(idm[r], idd[r])) / 10 for r in range(len(q))
+    ])
+    assert hits >= 0.95, f"mxu-vs-dequant overlap {hits:.3f}"
+    # scores agree to quantization noise where the candidates agree
+    both = idm == idd
+    np.testing.assert_allclose(vm[both], vd[both], rtol=0, atol=2e-2)

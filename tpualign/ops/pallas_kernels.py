@@ -420,6 +420,68 @@ def _ivf_topk_kernel_int8(
     )
 
 
+def _ivf_topk_kernel_int8_mxu(
+    uids_ref, q_ref, qs_ref, qk_ref, probe_ref, c_ref, ck_ref, cs_ref,
+    vals_ref, idx_ref, run_vals, run_idx, *, k: int, capacity: int,
+    num_u: int, n_lists: int,
+):
+    """int8 x int8 -> int32 MXU path: queries arrive pre-quantized
+    (``qs_ref`` their per-row fp32 scales; ``cs_ref`` the corpus block's
+    per-row scales in LANE layout (1, C)); the epilogue rescales the
+    int32 accumulator to fp32 sims. No fp32 dequant intermediate in
+    VMEM — half the scoped-vmem pressure of the dequant path and the 2x
+    int8 MXU rate."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _reset():
+        run_vals[:] = jnp.full_like(run_vals, NEG_INF)
+        run_idx[:] = jnp.full_like(run_idx, jnp.int32(SENTINEL_IDX))
+
+    uid = uids_ref[j]
+
+    @pl.when(uid != n_lists)  # n_lists = padding; > n_lists = spill blocks
+    def _score():
+        acc = jax.lax.dot_general(
+            q_ref[:], c_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # (Qb, C) int32
+        sims = acc.astype(jnp.float32) * qs_ref[:] * cs_ref[:]
+        qk = qk_ref[:]
+        ck = ck_ref[:]
+        mask = ((qk == ck) | (qk == WILDCARD_KEY)) & (ck >= 0)
+        member = (jnp.any(probe_ref[:] == uid, axis=1, keepdims=True)
+                  | (uid > n_lists))
+        sims = jnp.where(mask & member, sims, NEG_INF)
+        qb = sims.shape[0]
+        col = (jax.lax.broadcasted_iota(jnp.int32, (qb, capacity), 1)
+               + uid * capacity)
+
+        if _use_threshold_skip(num_u):
+            rv = run_vals[:]
+            beats = jnp.any(sims > rv[:, k - 1:k])
+
+            @pl.when(beats)
+            def _merge():
+                new_v, new_i = _merge_running_topk(
+                    run_vals[:], run_idx[:], sims, col, k
+                )
+                run_vals[:] = new_v
+                run_idx[:] = new_i
+        else:
+            new_v, new_i = _merge_running_topk(
+                run_vals[:], run_idx[:], sims, col, k
+            )
+            run_vals[:] = new_v
+            run_idx[:] = new_i
+
+    @pl.when(j == num_u - 1)
+    def _emit():
+        vals_ref[:] = run_vals[:]
+        idx_ref[:] = run_idx[:]
+
+
 def ivf_probe_topk(
     queries: jnp.ndarray,
     query_keys: jnp.ndarray,
@@ -432,6 +494,7 @@ def ivf_probe_topk(
     n_lists: int,
     block_q: int = 64,
     packed_scales: jnp.ndarray | None = None,
+    int8_mxu: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Block-sparse streaming top-k over an IVF packed-cluster layout.
 
@@ -457,7 +520,13 @@ def ivf_probe_topk(
       k: winners per query (k <= 16 uses the unrolled merge).
       capacity: rows per packed cluster block (multiple of 8; 32 for int8).
       n_lists: number of real clusters.
-      packed_scales: (rows, 1) fp32 per-row scales for an int8 layout.
+      packed_scales: (rows,) flat fp32 per-row scales for an int8 layout
+        (reshaped per path — free, row-major).
+      int8_mxu: with an int8 layout, quantize the queries too and run
+        s8 x s8 -> s32 on the MXU (2x rate, no fp32 dequant intermediate
+        in VMEM — half the scoped-vmem pressure), rescaling the int32
+        accumulator in the epilogue. Adds ~1e-3 query-side quantization
+        noise (the same trade the dense int8 serving path makes).
 
     Returns (values, packed_idx): (Q, k); packed_idx indexes packed rows
     (callers map to corpus ids via the packed id array); empty slots carry
@@ -467,24 +536,46 @@ def ivf_probe_topk(
     num_q = q // block_q
     num_u = uids.shape[0]
 
-    in_specs = [
-        pl.BlockSpec((block_q, d), lambda i, j, u: (i, 0)),
+    q_spec = pl.BlockSpec((block_q, d), lambda i, j, u: (i, 0))
+    common_specs = [
         pl.BlockSpec((block_q, 1), lambda i, j, u: (i, 0)),
         pl.BlockSpec((block_q, probes.shape[1]), lambda i, j, u: (i, 0)),
         pl.BlockSpec((capacity, d), lambda i, j, u: (u[j], 0)),
         pl.BlockSpec((1, capacity), lambda i, j, u: (0, u[j])),
     ]
-    args = [queries, query_keys, probes, packed_emb, packed_keys]
-    if packed_scales is not None:
-        in_specs.append(
-            pl.BlockSpec((capacity, 1), lambda i, j, u: (u[j], 0))
+    if packed_scales is not None and int8_mxu:
+        qs = jnp.maximum(
+            jnp.max(jnp.abs(queries), axis=1, keepdims=True) / 127.0,
+            1e-12,
         )
-        args.append(packed_scales)
+        qq = jnp.clip(jnp.rint(queries / qs), -127, 127).astype(jnp.int8)
+        in_specs = [
+            q_spec,
+            pl.BlockSpec((block_q, 1), lambda i, j, u: (i, 0)),  # qs
+            *common_specs,
+            pl.BlockSpec((1, capacity), lambda i, j, u: (0, u[j])),  # cs
+        ]
+        args = [qq, qs, query_keys, probes, packed_emb, packed_keys,
+                packed_scales[None, :]]
+        kernel = functools.partial(
+            _ivf_topk_kernel_int8_mxu, k=k, capacity=capacity,
+            num_u=num_u, n_lists=n_lists,
+        )
+    elif packed_scales is not None:
+        in_specs = [
+            q_spec,
+            *common_specs,
+            pl.BlockSpec((capacity, 1), lambda i, j, u: (u[j], 0)),  # cs
+        ]
+        args = [queries, query_keys, probes, packed_emb, packed_keys,
+                packed_scales[:, None]]
         kernel = functools.partial(
             _ivf_topk_kernel_int8, k=k, capacity=capacity, num_u=num_u,
             n_lists=n_lists,
         )
     else:
+        in_specs = [q_spec, *common_specs]
+        args = [queries, query_keys, probes, packed_emb, packed_keys]
         kernel = functools.partial(
             _ivf_topk_kernel, k=k, capacity=capacity, num_u=num_u,
             n_lists=n_lists,

@@ -234,6 +234,7 @@ class IVFIndex:
         precision: str = "fp32",
         use_kernel: Optional[bool] = None,
         corpus_scales=None,
+        int8_mxu: bool = False,
     ):
         if precision not in ("fp32", "int8"):
             raise ValueError(f"precision must be fp32|int8, got {precision}")
@@ -242,6 +243,10 @@ class IVFIndex:
         # None = auto: kernel on TPU, XLA path elsewhere. True forces the
         # kernel (interpret mode off-TPU — tests pin kernel semantics).
         self.use_kernel = use_kernel
+        # int8 layouts as s8 x s8 -> s32 MXU matmuls (queries quantized
+        # per dispatch): 2x MXU rate, no fp32 dequant intermediate, at
+        # ~1e-3 extra query-side quantization noise. Opt-in.
+        self.int8_mxu = bool(int8_mxu)
         corpus = jnp.asarray(corpus_embeddings)
         if corpus.dtype == jnp.int8:
             # pre-quantized corpus (per-row symmetric scales): the build
@@ -366,7 +371,7 @@ class IVFIndex:
         if scales_p is not None:
             # pre-quantized corpus: pack the scales along the same layout
             self._emb = pemb
-            self._scales = scales_p[jnp.maximum(self._ids, 0)]
+            self._scales = scales_p[jnp.maximum(self._ids, 0), 0]
             del scales_p
         elif precision == "int8":
             scales = jnp.maximum(
@@ -376,7 +381,7 @@ class IVFIndex:
             self._emb = jnp.clip(
                 jnp.rint(pemb / scales), -127, 127
             ).astype(jnp.int8)
-            self._scales = scales.astype(jnp.float32)
+            self._scales = scales.astype(jnp.float32)[:, 0]
             del pemb
         else:
             self._emb = pemb
@@ -453,9 +458,14 @@ class IVFIndex:
         p = self.n_probes if n_probes is None else min(int(n_probes),
                                                        self.n_lists)
         exact_ties = p == self.n_lists
-        fn = (_ivf_kernel_search if self._kernel_path(exact_ties, k)
-              else _ivf_union_search)
-        return fn(
+        if self._kernel_path(exact_ties, k):
+            return _ivf_kernel_search(
+                query_embeddings, query_keys, self.centroids, self._emb,
+                self._keys, self._ids, self._scales, k, p,
+                self.n_lists, self.capacity, self.spill_blocks,
+                self.cluster_chunk, exact_ties, int8_mxu=self.int8_mxu,
+            )
+        return _ivf_union_search(
             query_embeddings, query_keys, self.centroids, self._emb,
             self._keys, self._ids, self._scales, k, p,
             self.n_lists, self.capacity, self.spill_blocks,
@@ -495,7 +505,7 @@ class IVFIndex:
         pos = np.asarray(self._positions_of(sel))
         q = self._emb[pos].astype(jnp.float32)
         if self._scales is not None:
-            q = q * self._scales[pos]
+            q = q * self._scales[pos][:, None]
         qk = jnp.full((s,), WILDCARD_KEY, jnp.int32)
         _, nbr = self.search_encoded(np.asarray(q), np.asarray(qk), k,
                                      n_probes=self.n_lists)
@@ -568,7 +578,8 @@ class IVFIndex:
 
     @classmethod
     def load(cls, path, corpus_embeddings, corpus_scales=None,
-             use_kernel: Optional[bool] = None) -> "IVFIndex":
+             use_kernel: Optional[bool] = None,
+             int8_mxu: bool = False) -> "IVFIndex":
         """Rebuild a saved index around the SAME corpus (row order must
         match the build — ids index into it). One device gather replaces
         the k-means build; precision follows the saved index (an fp32
@@ -587,6 +598,7 @@ class IVFIndex:
         self.vocab = {k: int(v) for k, v in meta["vocab"].items()}
         self.mesh = None
         self.use_kernel = use_kernel
+        self.int8_mxu = bool(int8_mxu)
         self.n, self.dim = meta["n"], meta["dim"]
         self.n_lists = meta["n_lists"]
         self.n_probes = meta["n_probes"]
@@ -607,7 +619,7 @@ class IVFIndex:
                 raise ValueError("fp32 index cannot load an int8 corpus")
             self._emb = corpus[gather]
             self._scales = jnp.asarray(
-                corpus_scales, jnp.float32).reshape(-1, 1)[gather]
+                corpus_scales, jnp.float32).reshape(-1)[gather]
         elif self.precision == "int8":
             pemb = corpus.astype(jnp.float32)[gather]
             scales = jnp.maximum(
@@ -617,7 +629,7 @@ class IVFIndex:
             self._emb = jnp.clip(
                 jnp.rint(pemb / scales), -127, 127
             ).astype(jnp.int8)
-            self._scales = scales.astype(jnp.float32)
+            self._scales = scales.astype(jnp.float32)[:, 0]
         else:
             self._emb = corpus.astype(jnp.float32)[gather]
             self._scales = None
@@ -725,7 +737,7 @@ def _ivf_union_search(q, qk, centroids, pemb, pkeys, pids, pscales,
                   | (cid > n_lists)[None, :])  # spill: everyone scans it
         rows = (cid[:, None] * capacity + arange_c[None, :]).reshape(-1)
         emb = _dequant(pemb[rows], None if pscales is None
-                       else pscales[rows])
+                       else pscales[rows][:, None])
         keysc = pkeys[rows]
         idsc = pids[rows]
         s = jnp.dot(q, emb.T, preferred_element_type=jnp.float32)
@@ -746,20 +758,21 @@ def _ivf_union_search(q, qk, centroids, pemb, pkeys, pids, pscales,
 
 @partial(jax.jit, static_argnames=(
     "k", "n_probes", "n_lists", "capacity", "spill_blocks", "chunk",
-    "exact_ties"))
+    "exact_ties", "int8_mxu"))
 def _ivf_kernel_search(q, qk, centroids, pemb, pkeys, pids, pscales,
                        k: int, n_probes: int, n_lists: int, capacity: int,
                        spill_blocks: int, chunk: int = 8,
-                       exact_ties: bool = False):
+                       exact_ties: bool = False, int8_mxu: bool = False):
     """Production TPU probed search: probe selection + union build in XLA,
     then ONE scalar-prefetch Pallas kernel sweep
     (:func:`tpualign.ops.pallas_kernels.ivf_probe_topk`) that streams
     exactly the probed blocks (plus spill) through VMEM. Packed winner
     indices resolve to corpus ids on device. ``chunk``/``exact_ties``
     accepted for signature parity with the XLA path (the kernel path is
-    never routed with exact_ties)."""
+    never routed with exact_ties). ``int8_mxu`` runs int8 layouts as
+    s8 x s8 -> s32 MXU matmuls (queries quantized in the prologue)."""
     b, d = q.shape
-    block_q = min(64, _round_up(b, 8))
+    block_q = min(64, _round_up(b, 32 if int8_mxu else 8))
     bp = _round_up(b, block_q)
     if bp > b:
         q = jnp.pad(q, ((0, bp - b), (0, 0)))
@@ -783,6 +796,7 @@ def _ivf_kernel_search(q, qk, centroids, pemb, pkeys, pids, pscales,
     vals, pidx = ivf_probe_topk(
         q, qk[:, None], probe, uids, pemb, pkeys[None, :], k,
         capacity, n_lists, block_q=block_q, packed_scales=pscales,
+        int8_mxu=int8_mxu and pscales is not None,
     )
     safe = jnp.minimum(pidx, pids.shape[0] - 1)
     idx = jnp.where(pidx >= SENTINEL_IDX, -1, pids[safe])
