@@ -43,7 +43,9 @@ runs on device with static shapes:
 - **int8**: ``precision="int8"`` stores the packed layout per-row
   symmetrically quantized (4x corpus HBM capacity); blocks dequantize in
   VMEM right before the matmul, exactly like the exact streaming
-  kernel's int8 mode.
+  kernel's int8 mode — or, with ``int8_mxu=True``, queries quantize too
+  and the block matmul runs s8 x s8 -> s32 on the MXU (2x rate, no fp32
+  dequant intermediate, ~1e-3 extra query-side noise).
 
 Recall semantics match IVFFlat's: a query's true neighbors are found iff
 their clusters are probed (or they spilled). ``n_probes = n_lists`` is
