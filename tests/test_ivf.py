@@ -377,3 +377,24 @@ def test_int8_mxu_kernel_matches_dequant_path():
     # scores agree to quantization noise where the candidates agree
     both = idm == idd
     np.testing.assert_allclose(vm[both], vd[both], rtol=0, atol=2e-2)
+
+
+def test_cache_recalibrates_on_target_change(tmp_path):
+    """A cached index recalibrates (and refreshes the artifact) when
+    RETRIEVAL_RECALL_TARGET changes; same target loads without work."""
+    from tpualign.parallel.retrieval import build_index
+
+    rng = np.random.default_rng(17)
+    c, _ = make_clustered(rng, n=2048, d=32, g=32, noise=0.35)
+    man = ["m0"] * 2048
+    pages = [1] * 2048
+    cache = str(tmp_path / "ivf.npz")
+    a = build_index(c, man, pages, index_type="ivf", ivf_lists=32,
+                    recall_target=0.7, ivf_cache=cache)
+    b = build_index(c, man, pages, index_type="ivf", ivf_lists=32,
+                    recall_target=0.99, ivf_cache=cache)
+    assert b.calibrated_target == 0.99
+    assert b.n_probes >= a.n_probes
+    cda = build_index(c, man, pages, index_type="ivf", ivf_lists=32,
+                      recall_target=0.99, ivf_cache=cache)
+    assert cda.n_probes == b.n_probes and cda.calibrated_target == 0.99

@@ -531,6 +531,7 @@ class IVFIndex:
             recall_target, s,
         )
         self.n_probes = p
+        self.calibrated_target = float(recall_target)
         return p
 
     def _positions_of(self, corpus_ids: np.ndarray):
@@ -574,6 +575,8 @@ class IVFIndex:
                 "precision": self.precision,
                 "query_block": self.query_block,
                 "cluster_chunk": self.cluster_chunk,
+                "calibrated_target": getattr(self, "calibrated_target",
+                                             None),
                 "vocab": self.vocab,
             }).encode(), dtype=np.uint8),
         )
@@ -610,6 +613,8 @@ class IVFIndex:
         self.precision = meta["precision"]
         self.query_block = meta["query_block"]
         self.cluster_chunk = meta["cluster_chunk"]
+        if meta.get("calibrated_target") is not None:
+            self.calibrated_target = meta["calibrated_target"]
         self.centroids = jnp.asarray(z["centroids"], jnp.float32)
         self._ids = jnp.asarray(z["pids"], jnp.int32)
         self._keys = jnp.asarray(z["pkeys"], jnp.int32)

@@ -749,6 +749,13 @@ def build_index(
                             f"cache precision {loaded.precision} != "
                             f"requested {precision}"
                         )
+                    if (recall_target is not None and ivf_probes is None
+                            and getattr(loaded, "calibrated_target", None)
+                            != recall_target):
+                        # target changed since the cache was written:
+                        # recalibrate (cheap) and refresh the artifact
+                        loaded.calibrate(recall_target)
+                        loaded.save(ivf_cache)
                     return loaded
                 except Exception as e:  # stale/mismatched cache: rebuild
                     log.warning(
