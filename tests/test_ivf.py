@@ -398,3 +398,86 @@ def test_cache_recalibrates_on_target_change(tmp_path):
     cda = build_index(c, man, pages, index_type="ivf", ivf_lists=32,
                       recall_target=0.99, ivf_cache=cache)
     assert cda.n_probes == b.n_probes and cda.calibrated_target == 0.99
+
+
+# -- sharded (mesh) IVF -------------------------------------------------------
+
+
+def _mesh8():
+    from tpualign.parallel.mesh import create_mesh
+    return create_mesh(data=8)
+
+
+def test_sharded_full_probe_matches_dense_oracle():
+    """Per-shard exhaustive probing + exact cross-shard merge must be
+    bit-identical to the dense oracle, keys and ties included."""
+    rng = np.random.default_rng(20)
+    n, d = 1024, 32
+    c = unit(rng.normal(size=(n, d)).astype(np.float32))
+    cman = [f"m{i % 3}" for i in range(n)]
+    cpage = [1 + i % 4 for i in range(n)]
+    index = IVFIndex(c, cman, cpage, n_lists=32, iters=4, mesh=_mesh8())
+    assert index.n_lists_local * 8 == index.n_lists
+    q = c[:37]
+    vals, idx = index.search(q, cman[:37], cpage[:37], k=9,
+                             n_probes=index.n_lists_local)
+    vocab = {}
+    ck, vocab = encode_keys(cman, cpage, vocab)
+    qk, _ = encode_keys(cman[:37], cpage[:37], vocab)
+    ovals, oidx = numpy_oracle(q, qk, c, ck, 9)
+    np.testing.assert_array_equal(idx, oidx)
+    np.testing.assert_allclose(vals, ovals, rtol=0, atol=1e-5)
+
+
+def test_sharded_probed_recall_and_int8():
+    """Probed sharded search keeps recall on clusterable data; the int8
+    sharded variant stays within quantization noise of it."""
+    rng = np.random.default_rng(21)
+    c, _ = make_clustered(rng, n=8192, d=32, g=32)
+    q = unit(c[rng.integers(len(c), size=128)]
+             + 0.05 * rng.normal(size=(128, 32)).astype(np.float32))
+    _, oidx = numpy_oracle(
+        q, np.zeros(len(q), np.int32), c, np.zeros(len(c), np.int32), 10
+    )
+    fp = IVFIndex(c, n_lists=64, n_probes=4, iters=6, mesh=_mesh8())
+    _, idx = fp.search(q, k=10)
+    rec = np.mean([
+        len(np.intersect1d(idx[r], oidx[r])) / 10 for r in range(len(q))
+    ])
+    assert rec >= 0.9, f"sharded recall {rec:.3f}"
+
+    i8 = IVFIndex(c, n_lists=64, n_probes=4, iters=6, precision="int8",
+                  mesh=_mesh8())
+    _, idx8 = i8.search(q, k=10)
+    rec8 = np.mean([
+        len(np.intersect1d(idx8[r], oidx[r])) / 10 for r in range(len(q))
+    ])
+    assert rec8 >= 0.85, f"sharded int8 recall {rec8:.3f}"
+
+
+def test_sharded_kernel_interpret_matches_union():
+    """The scalar-prefetch kernel under shard_map (interpret mode on the
+    CPU mesh) must agree with the XLA union path shard-for-shard."""
+    rng = np.random.default_rng(22)
+    c, _ = make_clustered(rng, n=2048, d=32, g=16)
+    q = unit(rng.normal(size=(40, 32)).astype(np.float32))
+    kern = IVFIndex(c, n_lists=32, iters=4, mesh=_mesh8(),
+                    use_kernel=True)
+    xla = IVFIndex(c, n_lists=32, iters=4, mesh=_mesh8(),
+                   use_kernel=False)
+    vk, ik = kern.search(q, k=7, n_probes=2)
+    vx, ix = xla.search(q, k=7, n_probes=2)
+    np.testing.assert_array_equal(ik, ix)
+    np.testing.assert_allclose(vk, vx, rtol=0, atol=1e-5)
+
+
+def test_factory_builds_sharded_ivf_on_mesh():
+    from tpualign.parallel.retrieval import build_index
+
+    rng = np.random.default_rng(23)
+    c, _ = make_clustered(rng, n=1024, d=16, g=8)
+    ix = build_index(c, ["m0"] * 1024, [1] * 1024, mesh=_mesh8(),
+                     index_type="ivf", ivf_lists=32, ivf_probes=2)
+    assert isinstance(ix, IVFIndex) and ix.mesh is not None
+    v, i = ix.search(c[:5], k=3)
+    assert (i[:, 0] == np.arange(5)).all()

@@ -213,8 +213,11 @@ class IVFIndex:
     Search mirrors :class:`~tpualign.parallel.retrieval.RetrievalIndex`:
     ``search(queries, manuals, pages, k)`` with the same (manual, page)
     candidate restriction, wildcard global mode, and (-inf, -1) sentinel
-    rows. Single-device by design — IVF is the *single-chip* capacity/QPS
-    lever; beyond-HBM corpora shard through the exact streaming mesh path.
+    rows. With ``mesh`` (data axis > 1) the index shards FAISS-style:
+    rows split across devices, each shard k-means its own ``n_lists /
+    n_devices`` lists and probes them locally (``n_probes`` per shard),
+    and the exact two-key cross-shard merge picks the global top-k —
+    beyond-HBM corpora with probed-QPS on every shard.
 
     Defaults follow IVFFlat practice: ``n_lists ~ sqrt(N)`` (the reference
     hard-codes ``lists=100``, tuned for nothing in particular —
@@ -237,11 +240,19 @@ class IVFIndex:
         use_kernel: Optional[bool] = None,
         corpus_scales=None,
         int8_mxu: bool = False,
+        mesh=None,
     ):
         if precision not in ("fp32", "int8"):
             raise ValueError(f"precision must be fp32|int8, got {precision}")
         self.vocab: Dict[str, int] = {}
-        self.mesh = None  # single-device by design (serving /stats parity)
+        # mesh (data axis > 1): rows shard across devices; every shard
+        # k-means its LOCAL rows into n_lists/n_devices lists, searches
+        # its local packed layout (n_probes applies PER SHARD), and the
+        # exact two-key cross-shard merge picks the global top-k — the
+        # FAISS-style sharded-IVF schedule, riding the same winners-only
+        # ICI traffic as the exact mesh strategies.
+        self.mesh = (mesh if mesh is not None
+                     and dict(mesh.shape).get("data", 1) > 1 else None)
         # None = auto: kernel on TPU, XLA path elsewhere. True forces the
         # kernel (interpret mode off-TPU — tests pin kernel semantics).
         self.use_kernel = use_kernel
@@ -275,6 +286,13 @@ class IVFIndex:
             keys = jnp.asarray(hk)
         else:
             keys = jnp.zeros((self.n,), jnp.int32)
+
+        if self.mesh is not None:
+            self._build_sharded(
+                corpus, keys, scales_in, n_lists, n_probes, int(iters),
+                capacity_factor, query_block, cluster_chunk,
+            )
+            return
 
         if n_lists is None:
             n_lists = max(8, min(_round_up(int(self.n ** 0.5), 8), self.n))
@@ -389,6 +407,192 @@ class IVFIndex:
             self._emb = pemb
             self._scales = None
 
+    # -- sharded (mesh) build/search --------------------------------------------
+
+    def _build_sharded(self, corpus, keys, scales_in, n_lists, n_probes,
+                       iters: int, capacity_factor: float,
+                       query_block: int, cluster_chunk: int) -> None:
+        """Per-shard IVF over the mesh's ``data`` axis: rows shard into
+        contiguous chunks, each shard k-means its own rows into
+        ``n_lists/n_devices`` lists (one shard_map — no DCN/ICI traffic
+        during the build beyond the initial placement), layouts pack with
+        a GLOBALLY uniform capacity/spill geometry (shard_map needs
+        identical static shapes per device), and searches sweep each
+        shard's own probed union. Recall semantics: a true neighbor is
+        found iff its cluster is probed ON ITS SHARD (or it spilled) —
+        ``n_probes`` applies per shard, so the scanned fraction matches
+        the single-device index at equal n_probes/n_lists ratio."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = self.mesh
+        ndev = int(dict(mesh.shape)["data"])
+        itemsize = 1 if self.precision == "int8" else 4
+        max_cap = _max_capacity(self.dim, itemsize)
+
+        # per-shard rows, padded so a k-means block divides them exactly
+        n_local = -(-self.n // ndev)
+        block = 1 << 14
+        while block > n_local:
+            block //= 2
+        block = max(block, 8)
+        n_local = _round_up(n_local, block)
+        n_pad = n_local * ndev
+        self._n_local = n_local
+        if n_pad > self.n:
+            corpus = jnp.concatenate(
+                [corpus,
+                 jnp.zeros((n_pad - self.n, self.dim), corpus.dtype)]
+            )
+            keys = jnp.concatenate(
+                [keys, jnp.full((n_pad - self.n,), -1, jnp.int32)]
+            )
+            if scales_in is not None:
+                scales_in = jnp.concatenate(
+                    [scales_in,
+                     jnp.ones((n_pad - self.n, 1), jnp.float32)]
+                )
+
+        if n_lists is None:
+            n_lists = max(8 * ndev,
+                          min(_round_up(int(self.n ** 0.5), 8), self.n))
+        ll = max(8, _round_up(-(-int(n_lists) // ndev), 8))
+        min_ll = -(-int(np.ceil(capacity_factor * n_local)) // max_cap)
+        ll = max(ll, _round_up(min_ll, 8))
+        self.n_lists_local = ll
+        self.n_lists = ll * ndev
+        self.n_probes = (
+            max(1, ll // 8) if n_probes is None else min(int(n_probes), ll)
+        )
+        self.query_block = int(query_block)
+        self.cluster_chunk = max(1, int(cluster_chunk))
+
+        row_sh = NamedSharding(mesh, P("data"))
+        mat_sh = NamedSharding(mesh, P("data", None))
+        corpus = jax.device_put(corpus, mat_sh)
+        keys = jax.device_put(keys, row_sh)
+        if scales_in is not None:
+            scales_in = jax.device_put(scales_in, mat_sh)
+
+        init_idx = jnp.asarray(
+            (np.arange(ll, dtype=np.int64) * n_local) // ll
+        )
+
+        has_sc = scales_in is not None
+
+        def kmeans_body(c_l, s_l):
+            if not has_sc:
+                s_l = None  # dummy arg: shard_map args must be arrays
+            init = c_l[init_idx].astype(jnp.float32)
+            if s_l is not None:
+                init = init * s_l[init_idx]
+            return _kmeans(c_l, s_l, init, iters, block)
+
+        in_specs = (P("data", None), P("data", None) if has_sc else P())
+        cent, assign, sizes = jax.jit(jax.shard_map(
+            kmeans_body, mesh=mesh, in_specs=in_specs,
+            out_specs=(P("data", None), P("data"), P("data")),
+            # scan carries start as fresh (unvarying) zeros; skip the
+            # varying-manual-axes check like the streaming search path
+            check_vma=False,
+        ))(corpus, scales_in if has_sc
+           else jnp.zeros((1, 1), jnp.float32))
+        sizes = np.asarray(sizes).reshape(ndev, ll)
+        avg = n_local / ll
+        cap = _round_up(max(1, int(np.ceil(capacity_factor * avg))), 128)
+        cap = min(cap, _round_up(int(sizes.max()), 128), max_cap)
+        overflow = np.maximum(sizes - cap, 0).sum(axis=1)  # per shard
+        self.capacity = cap
+        self.spill = int(overflow.sum())
+        self.spill_blocks = max(1, -(-int(overflow.max()) // cap))
+        if self.spill:
+            log.info(
+                "sharded IVF build: %d/%d rows spilled past capacity %d "
+                "(max %d on one shard)", self.spill, self.n, cap,
+                int(overflow.max()),
+            )
+        self.centroids = cent  # (ndev*ll, D), row-sharded
+
+        def pack_body(c_l, k_l, a_l):
+            return _pack(c_l, k_l, a_l, ll, cap, self.spill_blocks)
+
+        pemb, self._keys, self._ids = jax.jit(jax.shard_map(
+            pack_body, mesh=mesh,
+            in_specs=(P("data", None), P("data"), P("data")),
+            out_specs=(P("data", None), P("data"), P("data")),
+            check_vma=False,
+        ))(corpus, keys, assign)
+        del corpus, keys, assign
+        if scales_in is not None:
+            self._emb = pemb
+            self._scales = scales_in[jnp.maximum(self._ids, 0), 0]
+        elif self.precision == "int8":
+            scales = jnp.maximum(
+                jnp.max(jnp.abs(pemb), axis=1, keepdims=True) / 127.0,
+                1e-12,
+            )
+            self._emb = jnp.clip(
+                jnp.rint(pemb / scales), -127, 127
+            ).astype(jnp.int8)
+            self._scales = scales.astype(jnp.float32)[:, 0]
+            del pemb
+        else:
+            self._emb = pemb
+            self._scales = None
+        self._sharded_cache: Dict = {}
+
+    def _sharded_search_fn(self, k: int, p: int, exact_ties: bool):
+        from jax.sharding import PartitionSpec as P
+
+        key = (k, p, exact_ties)
+        cached = self._sharded_cache.get(key)
+        if cached is not None:
+            return cached
+        ll, cap, sb = self.n_lists_local, self.capacity, self.spill_blocks
+        chunk = self.cluster_chunk
+        n_local = self._n_local
+        kernel_path = self._kernel_path(exact_ties, k)
+        int8_mxu = self.int8_mxu
+        has_scales = self._scales is not None
+
+        def body(q, qk, cent_l, pemb_l, pkeys_l, pids_l, pscales_l):
+            if not has_scales:
+                pscales_l = None
+            if kernel_path:
+                vals, idx = _ivf_kernel_search(
+                    q, qk, cent_l, pemb_l, pkeys_l, pids_l, pscales_l,
+                    k, p, ll, cap, sb, chunk, exact_ties,
+                    int8_mxu=int8_mxu,
+                )
+            else:
+                vals, idx = _ivf_union_search(
+                    q, qk, cent_l, pemb_l, pkeys_l, pids_l, pscales_l,
+                    k, p, ll, cap, sb, chunk, exact_ties,
+                )
+            offset = jax.lax.axis_index("data") * n_local
+            gidx = jnp.where(idx >= 0, idx + offset, -1)
+            return vals[None], gidx[None]
+
+        in_specs = (P(), P(), P("data", None), P("data", None),
+                    P("data"), P("data"),
+                    P("data") if has_scales else P())
+        mapped = jax.shard_map(
+            body, mesh=self.mesh, in_specs=in_specs,
+            out_specs=(P("data", None, None), P("data", None, None)),
+            # pallas_call does not annotate varying-mesh-axes metadata on
+            # its outputs; the specs pin the layout explicitly
+            check_vma=False,
+        )
+
+        from tpualign.parallel.retrieval import _merge_gathered
+
+        @jax.jit
+        def run(q, qk, cent, pemb, pkeys, pids, pscales):
+            lv, li = mapped(q, qk, cent, pemb, pkeys, pids, pscales)
+            return _merge_gathered(lv, li, q.shape[0], k)
+
+        self._sharded_cache[key] = run
+        return run
+
     # -- search ----------------------------------------------------------------
 
     def _kernel_path(self, exact_ties: bool, k: int) -> bool:
@@ -456,7 +660,17 @@ class IVFIndex:
         """Device-resident probed search (bench/serving path): one jitted
         dispatch, no host round-trip, corpus indices resolved on device
         (-1 sentinel). Query count should match a warmed shape (pad on
-        the caller side)."""
+        the caller side). On a mesh, ``n_probes`` applies PER SHARD
+        (capped at the per-shard list count)."""
+        if self.mesh is not None:
+            ll = self.n_lists_local
+            p = self.n_probes if n_probes is None else min(int(n_probes),
+                                                           ll)
+            run = self._sharded_search_fn(k, p, exact_ties=(p == ll))
+            ps = (self._scales if self._scales is not None
+                  else jnp.zeros((1,), jnp.float32))
+            return run(query_embeddings, query_keys, self.centroids,
+                       self._emb, self._keys, self._ids, ps)
         p = self.n_probes if n_probes is None else min(int(n_probes),
                                                        self.n_lists)
         exact_ties = p == self.n_lists
@@ -497,6 +711,11 @@ class IVFIndex:
         IVFFlat calibration protocol); real query recall varies with
         query/corpus drift.
         """
+        if self.mesh is not None:
+            raise NotImplementedError(
+                "probe calibration runs on single-device indexes; "
+                "calibrate one shard's worth offline or set IVF_PROBES"
+            )
         if not 0.0 < recall_target <= 1.0:
             raise ValueError(f"recall_target in (0, 1], got {recall_target}")
         s = min(int(sample), self.n)
@@ -561,6 +780,11 @@ class IVFIndex:
         small (L*D floats + ~1.5*N int32 pairs) and :meth:`load` rebuilds
         the device layout with one gather instead of re-running k-means.
         """
+        if self.mesh is not None:
+            raise NotImplementedError(
+                "sharded indexes rebuild from the store at serve start; "
+                "persistence covers single-device indexes"
+            )
         import json as _json
 
         np.savez_compressed(

@@ -721,20 +721,35 @@ def build_index(
     amortizes over the batch; measured faster than probing at Q>=256 even
     at N=2M). "ivf" -> :class:`~tpualign.parallel.ivf.IVFIndex` — the
     pgvector-IVFFlat equivalent (ref:src/setup_vector_db.py:171-190) for
-    the small-batch/large-corpus serving regime. IVF is single-device by
-    design; with a >1-device mesh the factory logs a warning and falls
-    back to the exact sharded index (beyond-HBM corpora take the
-    streaming mesh path instead).
+    the small-batch/large-corpus serving regime. On a >1-device mesh the
+    index shards FAISS-style: rows split across devices, each shard
+    k-means and probes its own lists, and the exact two-key cross-shard
+    merge picks the global top-k (cache/calibration are single-device
+    features and log a warning on a mesh).
 
     ``ivf_cache`` (the ``IVF_CACHE`` knob) persists the trained IVF
     structure like pgvector's on-disk index: load if the file matches
     the corpus, else build and save (k-means runs once per corpus).
     """
     if index_type == "ivf":
-        if mesh is not None and mesh.shape.get("data", 1) > 1:
-            log.warning(
-                "RETRIEVAL_INDEX=ivf is single-device; falling back to the "
-                "exact sharded index on the %s mesh", dict(mesh.shape)
+        if mesh is not None and dict(mesh.shape).get("data", 1) > 1:
+            from tpualign.parallel.ivf import IVFIndex
+
+            if ivf_cache:
+                log.warning(
+                    "IVF_CACHE covers single-device indexes; the sharded "
+                    "index rebuilds from the store at serve start"
+                )
+            if recall_target is not None and ivf_probes is None:
+                log.warning(
+                    "probe auto-calibration covers single-device indexes; "
+                    "set IVF_PROBES explicitly on a mesh (using the "
+                    "n_lists/8 default)"
+                )
+            return IVFIndex(
+                corpus_embeddings, corpus_manuals, corpus_pages,
+                n_lists=ivf_lists, n_probes=ivf_probes,
+                precision=precision, mesh=mesh,
             )
         else:
             import os
