@@ -95,11 +95,13 @@ def main() -> None:
 
     from tpualign.ops.pallas_kernels import masked_sim_topk
 
-    @jax.jit
-    def pallas_path():
-        return masked_sim_topk(q, qk, c, ck, k)
-
-    timed(pallas_path, "pallas_streaming_topk")
+    # arrays must be jit ARGUMENTS: a closure would capture the corpus as
+    # a lowering CONSTANT and ship it to the remote compiler (measured:
+    # GB-scale constant fetches through the relay wedge the backend)
+    raw = jax.jit(
+        lambda q, qk, c, ck: masked_sim_topk(q, qk, c, ck, k)
+    )
+    timed(lambda: raw(q, qk, c, ck), "pallas_streaming_topk")
 
 
 if __name__ == "__main__":
