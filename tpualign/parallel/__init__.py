@@ -13,7 +13,8 @@ TPU-native:
   distributed top-k with same-page candidate masking (the pgvector HNSW
   replacement; exact, not approximate);
 - :mod:`tpualign.parallel.ivf` — cluster-probed approximate index (the
-  pgvector IVFFlat equivalent, k-means trained on device).
+  pgvector IVFFlat equivalent): k-means trained on device, searched by
+  a scalar-prefetch Pallas kernel; shards FAISS-style over the mesh.
 """
 
 from tpualign.parallel.mesh import create_mesh, default_mesh  # noqa: F401
