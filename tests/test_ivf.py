@@ -481,3 +481,25 @@ def test_factory_builds_sharded_ivf_on_mesh():
     assert isinstance(ix, IVFIndex) and ix.mesh is not None
     v, i = ix.search(c[:5], k=3)
     assert (i[:, 0] == np.arange(5)).all()
+
+
+def test_sharded_calibrate():
+    """Analytic calibration on the sharded index: tighter targets need
+    >= per-shard probes, and the calibrated default reaches the target
+    empirically vs the exact ranking."""
+    rng = np.random.default_rng(24)
+    c, _ = make_clustered(rng, n=8192, d=32, g=64, noise=0.35)
+    index = IVFIndex(c, n_lists=64, iters=6, mesh=_mesh8())
+    p_low = index.calibrate(0.7)
+    p_high = index.calibrate(0.99)
+    assert 1 <= p_low <= p_high <= index.n_lists_local
+    sel = (np.arange(128) * len(c)) // 128
+    q = c[sel]
+    _, oidx = numpy_oracle(
+        q, np.zeros(len(q), np.int32), c, np.zeros(len(c), np.int32), 10
+    )
+    _, idx = index.search(q, k=10)
+    rec = np.mean([
+        len(np.intersect1d(idx[r], oidx[r])) / 10 for r in range(len(q))
+    ])
+    assert rec >= 0.95, f"sharded calibrated recall {rec:.3f}"

@@ -711,11 +711,6 @@ class IVFIndex:
         IVFFlat calibration protocol); real query recall varies with
         query/corpus drift.
         """
-        if self.mesh is not None:
-            raise NotImplementedError(
-                "probe calibration runs on single-device indexes; "
-                "calibrate one shard's worth offline or set IVF_PROBES"
-            )
         if not 0.0 < recall_target <= 1.0:
             raise ValueError(f"recall_target in (0, 1], got {recall_target}")
         s = min(int(sample), self.n)
@@ -730,10 +725,25 @@ class IVFIndex:
         qk = jnp.full((s,), WILDCARD_KEY, jnp.int32)
         _, nbr = self.search_encoded(np.asarray(q), np.asarray(qk), k,
                                      n_probes=self.n_lists)
-        depth = np.asarray(_probe_depths(
-            jnp.asarray(q), jnp.asarray(nbr, jnp.int32), self.centroids,
-            self._positions, self.n_lists, self.capacity,
-        ))
+        if self.mesh is not None:
+            # per-shard depth: a neighbor is found iff its cluster ranks
+            # < P among ITS OWN shard's centroid scores (probes apply
+            # per shard)
+            ndev = int(dict(self.mesh.shape)["data"])
+            depth = np.asarray(_probe_depths_sharded(
+                jnp.asarray(q), jnp.asarray(nbr, jnp.int32),
+                self.centroids, self._positions, ndev,
+                self.n_lists_local, self.capacity,
+                self._ids.shape[0] // ndev,
+            ))
+            max_p = self.n_lists_local
+        else:
+            depth = np.asarray(_probe_depths(
+                jnp.asarray(q), jnp.asarray(nbr, jnp.int32),
+                self.centroids, self._positions, self.n_lists,
+                self.capacity,
+            ))
+            max_p = self.n_lists
         valid = depth >= 0  # -1 marks empty neighbor slots
         depths = np.sort(depth[valid])
         if depths.size == 0:
@@ -742,7 +752,7 @@ class IVFIndex:
         idx = min(int(np.ceil(recall_target * depths.size)) - 1,
                   depths.size - 1)
         p = int(depths[idx]) + 1
-        p = max(1, min(p, self.n_lists))
+        p = max(1, min(p, max_p))
         achieved = float(np.mean(depths < p))
         log.info(
             "IVF calibration: n_probes=%d reaches recall@%d %.4f "
@@ -759,13 +769,24 @@ class IVFIndex:
 
     @property
     def _positions(self):
-        """(N,) packed row position per corpus id, built lazily once."""
+        """Packed row position per corpus id, built lazily once. On a
+        mesh the packed ids are shard-local, so the global corpus id of
+        packed row r is (r // total_local) * n_local + ids[r]."""
         cached = getattr(self, "_positions_cache", None)
         if cached is None:
             total = self._ids.shape[0]
-            dest = jnp.where(self._ids >= 0, self._ids, self.n)
-            cached = jnp.zeros((self.n,), jnp.int32).at[dest].set(
-                jnp.arange(total, dtype=jnp.int32), mode="drop"
+            rows = jnp.arange(total, dtype=jnp.int32)
+            if self.mesh is not None:
+                ndev = int(dict(self.mesh.shape)["data"])
+                total_local = total // ndev
+                gids = (rows // total_local) * self._n_local + self._ids
+                size = self._n_local * ndev
+            else:
+                gids = self._ids
+                size = self.n
+            dest = jnp.where(self._ids >= 0, gids, size)
+            cached = jnp.zeros((size,), jnp.int32).at[dest].set(
+                rows, mode="drop"
             )
             self._positions_cache = cached
         return cached
@@ -891,6 +912,30 @@ def _probe_depths(q, nbr, centroids, positions,
     cluster = jnp.minimum(block, n_lists - 1)
     s_c = jnp.take_along_axis(qc, cluster, axis=1)  # (S, k)
     rank = jnp.sum(qc[:, None, :] > s_c[:, :, None], axis=2)
+    depth = jnp.where(spilled, 0, rank)
+    return jnp.where(nbr >= 0, depth, -1)
+
+
+@partial(jax.jit, static_argnames=("ndev", "ll", "capacity",
+                                   "total_local"))
+def _probe_depths_sharded(q, nbr, centroids, positions, ndev: int,
+                          ll: int, capacity: int, total_local: int):
+    """Sharded analogue of :func:`_probe_depths`: each neighbor's probe
+    depth is the rank of its cluster among ITS OWN SHARD's centroid
+    scores (per-shard probing). 0 for spilled rows, -1 for empty
+    slots."""
+    qc = jnp.dot(q, centroids.T, preferred_element_type=jnp.float32)
+    pos = positions[jnp.maximum(nbr, 0)]  # (S, k) global packed rows
+    shard = pos // total_local
+    local_row = pos % total_local
+    block = local_row // capacity
+    spilled = block > ll  # the zero block (== ll) holds no ids
+    col = shard * ll + jnp.minimum(block, ll - 1)
+    s_c = jnp.take_along_axis(qc, col, axis=1)  # (S, k)
+    col_shard = (jnp.arange(ndev * ll, dtype=jnp.int32) // ll)
+    same_shard = col_shard[None, None, :] == shard[:, :, None]
+    rank = jnp.sum((qc[:, None, :] > s_c[:, :, None]) & same_shard,
+                   axis=2)
     depth = jnp.where(spilled, 0, rank)
     return jnp.where(nbr >= 0, depth, -1)
 

@@ -740,17 +740,14 @@ def build_index(
                     "IVF_CACHE covers single-device indexes; the sharded "
                     "index rebuilds from the store at serve start"
                 )
-            if recall_target is not None and ivf_probes is None:
-                log.warning(
-                    "probe auto-calibration covers single-device indexes; "
-                    "set IVF_PROBES explicitly on a mesh (using the "
-                    "n_lists/8 default)"
-                )
-            return IVFIndex(
+            index = IVFIndex(
                 corpus_embeddings, corpus_manuals, corpus_pages,
                 n_lists=ivf_lists, n_probes=ivf_probes,
                 precision=precision, mesh=mesh,
             )
+            if recall_target is not None and ivf_probes is None:
+                index.calibrate(recall_target)
+            return index
         else:
             import os
 
