@@ -630,3 +630,22 @@ def test_config_retrieval_precision_knob():
                                  "RETRIEVAL_INDEX": "ivf"})
     assert cfg.retrieval_precision == "int8"
     assert cfg.retrieval_index == "ivf"
+
+
+def test_stats_reports_ivf_geometry():
+    rng = np.random.default_rng(2)
+    emb = rng.normal(size=(256, 16)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    svc = RetrievalService(
+        emb, [f"c{i}" for i in range(256)], ["m0"] * 256,
+        [1 + i % 4 for i in range(256)], index_type="ivf", ivf_lists=8,
+    )
+    s = svc.stats()
+    assert s["index"] == "IVFIndex"
+    assert s["ivf"]["n_lists"] == 8 and s["ivf"]["precision"] == "fp32"
+    exact = RetrievalService(
+        emb, [f"c{i}" for i in range(256)], ["m0"] * 256,
+        [1 + i % 4 for i in range(256)],
+    )
+    s2 = exact.stats()
+    assert s2["index"] == "RetrievalIndex" and "ivf" not in s2

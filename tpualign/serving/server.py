@@ -420,7 +420,18 @@ class RetrievalService:
             "image_search": self._image_embs is not None,
             "num_images": len(self._image_meta),
             "mesh": dict(self.index.mesh.shape) if self.index.mesh else None,
+            "index": type(self.index).__name__,
         }
+        if hasattr(self.index, "n_lists"):  # IVF geometry
+            out["ivf"] = {
+                "n_lists": self.index.n_lists,
+                "n_probes": self.index.n_probes,
+                "capacity": self.index.capacity,
+                "spill": self.index.spill,
+                "precision": self.index.precision,
+                "calibrated_target": getattr(
+                    self.index, "calibrated_target", None),
+            }
         if self.coalescer is not None:
             out["coalescer"] = self.coalescer.stats()
         if self._encode_coalescer is not None:
