@@ -503,3 +503,16 @@ def test_sharded_calibrate():
         len(np.intersect1d(idx[r], oidx[r])) / 10 for r in range(len(q))
     ])
     assert rec >= 0.95, f"sharded calibrated recall {rec:.3f}"
+
+
+def test_factory_empty_corpus_serves_exact():
+    """RETRIEVAL_INDEX=ivf on an empty schema must not crash serve
+    startup — it serves the (all-sentinel) exact index instead."""
+    from tpualign.parallel.retrieval import build_index, RetrievalIndex
+
+    ix = build_index(np.zeros((0, 16), np.float32), [], [],
+                     index_type="ivf")
+    assert isinstance(ix, RetrievalIndex)
+    _, i = ix.search(np.ones((2, 16), np.float32), k=3,
+                     global_search=True)
+    assert (i == -1).all()

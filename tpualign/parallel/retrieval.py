@@ -731,6 +731,12 @@ def build_index(
     structure like pgvector's on-disk index: load if the file matches
     the corpus, else build and save (k-means runs once per corpus).
     """
+    if index_type == "ivf" and len(corpus_embeddings) == 0:
+        # an empty schema must still serve (all-sentinel results, like
+        # the exact index); k-means has nothing to train on
+        log.info("RETRIEVAL_INDEX=ivf on an empty corpus: serving the "
+                 "exact index")
+        index_type = "exact"
     if index_type == "ivf":
         if mesh is not None and dict(mesh.shape).get("data", 1) > 1:
             from tpualign.parallel.ivf import IVFIndex
