@@ -649,3 +649,61 @@ def test_stats_reports_ivf_geometry():
     )
     s2 = exact.stats()
     assert s2["index"] == "RetrievalIndex" and "ivf" not in s2
+
+
+def test_cli_index_builds_artifact(tmp_path, capsys):
+    """`tpualign index` builds + persists the IVF structure offline (the
+    reference created its ANN index at setup time); a subsequent serve
+    with IVF_CACHE loads it without re-running k-means."""
+    import json as _json
+
+    from tpualign.cli import main
+    from tpualign.config import load_config
+    from tpualign.serving import build_service
+    from tpualign.store import EmbeddingStore
+    import tpualign.parallel.ivf as ivf_mod
+
+    rng = np.random.default_rng(5)
+    store = EmbeddingStore(tmp_path / "store", embed_dim=512)
+    store.setup(["vanilla_clip"])
+    emb = rng.normal(size=(64, 512)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    store.insert_images("vanilla_clip", [
+        {"image_id": f"i{k}", "manual_id": "m", "page": 1,
+         "bbox": [0, 0, 1, 1], "bbox_source": "native", "caption": None,
+         "filename": None, "image_type": "raster_image"}
+        for k in range(64)
+    ], emb)
+    store.insert_chunks("vanilla_clip", [
+        {"chunk_id": f"c{k}", "manual_id": "m", "page": 1,
+         "bbox": [0, 0, 1, 1], "text": f"t{k}"} for k in range(64)
+    ], emb)
+    store.save(["vanilla_clip"])
+
+    cache = tmp_path / "vanilla.ivf.npz"
+    rc = main(["index", "--schema", "vanilla_clip",
+               "--store-dir", str(tmp_path / "store"),
+               "--cache", str(cache)])
+    assert rc == 0 and cache.exists()
+    meta = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert meta["n"] == 64 and meta["cache"] == str(cache)
+
+    calls = []
+    orig = ivf_mod._kmeans
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    ivf_mod._kmeans = spy
+    try:
+        cfg = load_config(env_file=None, overrides={
+            "STORE_DIR": str(tmp_path / "store"),
+            "RETRIEVAL_INDEX": "ivf", "IVF_CACHE": str(cache),
+        })
+        svc = build_service(cfg, "vanilla_clip", text_tower=False)
+        assert not calls, "serve must LOAD the artifact, not rebuild"
+    finally:
+        ivf_mod._kmeans = orig
+    res = svc.search_embeddings(emb[3:4], ["m"], [1], k=2)
+    assert res[0][0]["chunk_id"] == "c3"

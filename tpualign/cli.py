@@ -153,6 +153,18 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     p_cal.add_argument("--write", action="store_true",
                        help="upsert calibrated scores back into the store")
 
+    p_index = sub.add_parser(
+        "index",
+        help="build + persist the IVF retrieval index offline (the "
+             "reference built its ANN index at setup time)",
+    )
+    _add_common(p_index)
+    p_index.add_argument("--schema", default="vanilla_clip",
+                         choices=list(SCHEMAS))
+    p_index.add_argument("--cache", default=None,
+                         help="artifact path (default: IVF_CACHE from the "
+                              "config, else <store>/<schema>.ivf.npz)")
+
     p_query = sub.add_parser("query", help="similarity search over the store")
     _add_common(p_query)
     p_query.add_argument("--schema", default="vanilla_clip", choices=list(SCHEMAS))
@@ -259,6 +271,26 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
                        max_cycles=args.max_cycles)
         except KeyboardInterrupt:
             pass
+        return 0
+
+    if args.command == "index":
+        import os
+
+        from tpualign.serving import build_index_artifact
+
+        config = _config_from(args)
+        cache = args.cache or getattr(config, "ivf_cache", None) or \
+            os.path.join(config.store.root, f"{args.schema}.ivf.npz")
+        index = build_index_artifact(config, args.schema, cache)
+        import json as _json
+
+        print(_json.dumps({
+            "schema": args.schema, "cache": cache, "n": index.n,
+            "n_lists": index.n_lists, "n_probes": index.n_probes,
+            "capacity": index.capacity, "spill": index.spill,
+            "precision": index.precision,
+            "calibrated_target": getattr(index, "calibrated_target", None),
+        }))
         return 0
 
     if args.command == "serve":

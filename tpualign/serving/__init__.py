@@ -4,6 +4,7 @@ from tpualign.serving.server import (
     BatchCoalescer,
     RetrievalService,
     TextEncodeCoalescer,
+    build_index_artifact,
     build_service,
     serve,
 )
@@ -12,6 +13,7 @@ __all__ = [
     "BatchCoalescer",
     "RetrievalService",
     "TextEncodeCoalescer",
+    "build_index_artifact",
     "build_service",
     "serve",
 ]

@@ -42,7 +42,8 @@ from tpualign.utils.logging import get_logger
 
 log = get_logger("serving")
 
-__all__ = ["RetrievalService", "serve", "build_service"]
+__all__ = ["RetrievalService", "serve", "build_service",
+           "build_index_artifact"]
 
 
 class RequestMetrics:
@@ -437,6 +438,40 @@ class RetrievalService:
         if self._encode_coalescer is not None:
             out["encode_coalescer"] = self._encode_coalescer.stats()
         return out
+
+
+def build_index_artifact(config, schema: str, cache_path: str):
+    """Offline IVF build + persist (``tpualign index``).
+
+    The reference created its ANN index at SETUP time, not query time
+    (ref:src/setup_vector_db.py:155-190); this is that step for the TPU
+    IVF index: k-means over the schema's chunk corpus, probe calibration
+    if ``RETRIEVAL_RECALL_TARGET`` is configured, and the trained
+    structure saved to ``cache_path`` — serve starts point ``IVF_CACHE``
+    at it and skip the build. Idempotent: an existing matching artifact
+    is loaded (and recalibrated only if the target changed).
+    """
+    from tpualign.parallel.retrieval import build_index
+
+    store = EmbeddingStore(config.store.root,
+                           embed_dim=config.model.embed_dim)
+    if not store.has_embeddings(schema):
+        raise ValueError(
+            f"schema {schema} has no embeddings in {config.store.root}"
+        )
+    chunks = store.chunks(schema)
+    _, chunk_emb = store.embedding_matrix(schema, "text_chunks")
+    return build_index(
+        chunk_emb,
+        [c["manual_id"] for c in chunks],
+        [c.get("page") for c in chunks],
+        index_type="ivf",
+        ivf_lists=getattr(config, "ivf_lists", None),
+        ivf_probes=getattr(config, "ivf_probes", None),
+        precision=getattr(config, "retrieval_precision", "fp32"),
+        recall_target=getattr(config, "retrieval_recall_target", None),
+        ivf_cache=cache_path,
+    )
 
 
 def build_service(config, schema: str, mesh=None, text_tower: bool = True) -> RetrievalService:
