@@ -8,7 +8,10 @@ baseline QPS through RetrievalIndex for the same (N, Q, k).
 With ``precision=int8`` the corpus is generated AND quantized on device
 in segments (an fp32 copy of the whole corpus never exists — matching
 the production beyond-fp32-HBM build path), and the exact baseline runs
-the int8 streaming kernel.
+the int8 streaming kernel. ``precision=int8_mxu`` is the same int8
+layout served through the s8 x s8 -> s32 MXU kernel variant (queries
+quantized per dispatch, no fp32 dequant intermediate in VMEM) — the
+A/B for the dequant-vs-MXU int8 serving path.
 
 Usage: python benchmarks/bench_ivf.py [n] [n_lists] [d] [n_queries]
                                       [precision] [probes,csv]
@@ -35,6 +38,9 @@ def main() -> None:
     g = 4096  # latent directions: clusterable, like real page embeddings
     nq = int(sys.argv[4]) if len(sys.argv) > 4 else 1024
     precision = sys.argv[5] if len(sys.argv) > 5 else "fp32"
+    int8_mxu = precision == "int8_mxu"
+    if int8_mxu:
+        precision = "int8"
     probe_list = (tuple(int(x) for x in sys.argv[6].split(","))
                   if len(sys.argv) > 6 else (1, 8, 32, 64))
     k = 10
@@ -88,7 +94,8 @@ def main() -> None:
 
     t0 = time.perf_counter()
     index = IVFIndex(corpus, n_lists=n_lists, iters=10,
-                     query_block=min(nq, 256), corpus_scales=cscales)
+                     query_block=min(nq, 256), corpus_scales=cscales,
+                     int8_mxu=int8_mxu)
     # sync: fetch one packed scalar
     float(jnp.sum(index.centroids[0]))
     build_s = time.perf_counter() - t0
@@ -144,6 +151,7 @@ def main() -> None:
         print(json.dumps({
             "metric": "ivf_probed_search", "n": n, "d": d, "q": nq, "k": k,
             "n_lists": n_lists, "n_probes": probes, "precision": precision,
+            "int8_mxu": int8_mxu,
             "capacity": index.capacity, "spill": index.spill,
             "build_s": round(build_s, 1),
             "memory_gb": round(index.memory_bytes / 2**30, 2),
