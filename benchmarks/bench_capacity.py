@@ -13,6 +13,9 @@ corpus can never cross it) in int8 directly; values are irrelevant for
 throughput. Prints one JSON line per corpus size.
 
 Usage: python benchmarks/bench_capacity.py [Q] [k] [sizes_millions...]
+
+Env: CAPACITY_DEQUANT=1 pins the legacy VMEM-dequant kernel (default is
+the s8 x s8 -> s32 MXU variant, the TPU production route).
 """
 
 from __future__ import annotations
@@ -69,9 +72,14 @@ def main() -> None:
         q = q / jnp.linalg.norm(q, axis=1, keepdims=True)
         return q, jnp.zeros((q_n,), jnp.int32)
 
+    import os
+
+    mxu = os.environ.get("CAPACITY_DEQUANT", "") != "1"
+
     @_partial(jax.jit, static_argnames=("kk",))
     def search_seg(q, qk, c, ck, cs, kk):
-        return masked_sim_topk(q, qk, c, ck, kk, corpus_scales=cs)
+        return masked_sim_topk(q, qk, c, ck, kk, corpus_scales=cs,
+                               int8_mxu=mxu)
 
     def search(q, qk, parts, meta, kk):
         """Sweep every resident segment, merge winners by the two-key
@@ -108,7 +116,7 @@ def main() -> None:
                 "metric": "int8_streaming_qps",
                 "corpus_millions": m,
                 "corpus_gb": round(n * d / 2**30, 2),
-                "q": q_n, "k": k,
+                "q": q_n, "k": k, "int8_mxu": mxu,
                 "value": round(qps, 1),
                 "unit": "queries/s",
                 "checksum_finite": bool(np.isfinite(s)),

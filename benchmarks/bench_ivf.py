@@ -93,9 +93,11 @@ def main() -> None:
     float(jnp.sum(queries[0]))  # sync data generation
 
     t0 = time.perf_counter()
+    # pin the variant even on TPU where int8_mxu now defaults on: the
+    # plain "int8" arm must stay the dequant path for A/Bs
     index = IVFIndex(corpus, n_lists=n_lists, iters=10,
                      query_block=min(nq, 256), corpus_scales=cscales,
-                     int8_mxu=int8_mxu)
+                     int8_mxu=int8_mxu if precision == "int8" else None)
     # sync: fetch one packed scalar
     float(jnp.sum(index.centroids[0]))
     build_s = time.perf_counter() - t0

@@ -184,6 +184,50 @@ def _sim_topk_kernel_int8(
     )
 
 
+def _sim_topk_kernel_int8_mxu(
+    q_ref, qs_ref, qk_ref, c_ref, ck_ref, cs_ref, vals_ref, idx_ref,
+    run_vals, run_idx, *, k: int, block_n: int, num_n: int,
+):
+    """int8 x int8 -> int32 streaming variant: queries arrive pre-quantized
+    (``qs_ref`` their per-row fp32 scales, ``cs_ref`` the corpus block's
+    per-row scales in LANE layout (1, Nb)); the epilogue rescales the int32
+    accumulator. Measured on v5e (same-process A/B, N=2M d=512): the VMEM
+    dequant path's fp32 dot lowers to bf16 MXU passes (~1.8e-3 score
+    error) and sits on a compute floor (~12 us/step regardless of block
+    bytes — benchmarks/prof_ivf_bw.py); the integer matmul is EXACT given
+    the quantized operands (only ~8.5e-4 query-quantization noise) and
+    1.7-2x faster. Strictly dominates on TPU; the dequant path remains for
+    parity oracles and non-TPU backends."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _reset():
+        run_vals[:] = jnp.full_like(run_vals, NEG_INF)
+        run_idx[:] = jnp.full_like(run_idx, jnp.int32(SENTINEL_IDX))
+
+    acc = jax.lax.dot_general(
+        q_ref[:], c_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # (Qb, Nb) int32
+    sims = acc.astype(jnp.float32) * qs_ref[:] * cs_ref[:]
+    qk = qk_ref[:]
+    ck = ck_ref[:]
+    mask = ((qk == ck) | (qk == WILDCARD_KEY)) & (ck >= 0)
+    sims = jnp.where(mask, sims, NEG_INF)
+
+    qb = sims.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (qb, block_n), 1) + j * block_n
+    new_v, new_i = _merge_running_topk(run_vals[:], run_idx[:], sims, col, k)
+    run_vals[:] = new_v
+    run_idx[:] = new_i
+
+    @pl.when(j == num_n - 1)
+    def _emit():
+        vals_ref[:] = run_vals[:]
+        idx_ref[:] = run_idx[:]
+
+
 def _auto_block_n(d: int, itemsize: int = 4,
                   budget: int = 8 * 2**20) -> int:
     """Largest corpus block (multiple of 512) whose double-buffered VMEM
@@ -205,6 +249,7 @@ def masked_sim_topk(
     block_q: int = 128,
     block_n: int | None = None,
     corpus_scales: jnp.ndarray | None = None,
+    int8_mxu: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused masked similarity top-k.
 
@@ -220,6 +265,13 @@ def masked_sim_topk(
       block_q / block_n: VMEM tile sizes; block_n=None auto-sizes to the
         VMEM budget (2048 at d=512 — the measured-fastest point).
       corpus_scales: (N,) fp32 per-row scales for an int8 corpus.
+      int8_mxu: with an int8 corpus, quantize the queries too and run
+        s8 x s8 -> s32 on the MXU, rescaling the int32 accumulator in the
+        epilogue — no fp32 dequant intermediate in VMEM. Measured 1.7-2x
+        the dequant path on v5e AND closer to the true quantized scores
+        (the dequant path's fp32 dot runs as bf16 MXU passes, ~1.8e-3
+        error; the integer dot is exact, leaving ~8.5e-4 query-side
+        noise). Ignored for fp32 corpora.
 
     Returns (values, indices): (Q, k); indices of SENTINEL_IDX / values NEG_INF
     mark empty slots (callers map them to -1, matching
@@ -232,14 +284,15 @@ def masked_sim_topk(
     while segmented sweeps run to the HBM capacity limit.
     """
     n = corpus.shape[0]
+    int8_mxu = int8_mxu and corpus_scales is not None
     if n > SEGMENT_ROWS:
         return _segmented_sim_topk(
             queries, query_keys, corpus, corpus_keys, k,
-            block_q, block_n, corpus_scales,
+            block_q, block_n, corpus_scales, int8_mxu,
         )
     return _sim_topk_one_segment(
         queries, query_keys, corpus, corpus_keys, k,
-        block_q, block_n, corpus_scales,
+        block_q, block_n, corpus_scales, int8_mxu,
     )
 
 
@@ -249,7 +302,7 @@ SEGMENT_ROWS = 4_000_000
 
 
 def _segmented_sim_topk(queries, query_keys, corpus, corpus_keys, k,
-                        block_q, block_n, corpus_scales):
+                        block_q, block_n, corpus_scales, int8_mxu=False):
     n = corpus.shape[0]
     seg_vals, seg_idx = [], []
     for s0 in range(0, n, SEGMENT_ROWS):
@@ -258,6 +311,7 @@ def _segmented_sim_topk(queries, query_keys, corpus, corpus_keys, k,
             queries, query_keys,
             corpus[s0:s1], corpus_keys[s0:s1], k, block_q, block_n,
             None if corpus_scales is None else corpus_scales[s0:s1],
+            int8_mxu,
         )
         # globalize winners; sentinels stay put (offset could overflow)
         seg_vals.append(v)
@@ -270,12 +324,14 @@ def _segmented_sim_topk(queries, query_keys, corpus, corpus_keys, k,
 
 def _sim_topk_one_segment(
     queries, query_keys, corpus, corpus_keys, k,
-    block_q, block_n, corpus_scales,
+    block_q, block_n, corpus_scales, int8_mxu=False,
 ):
     q, d = queries.shape
     n = corpus.shape[0]
     if block_n is None:
-        block_n = _auto_block_n(d)
+        # the MXU variant holds no fp32 dequant intermediate, so its
+        # double-buffered int8 blocks afford 2x the corpus tile
+        block_n = _auto_block_n(d, itemsize=2 if int8_mxu else 4)
     qp = _round_up(max(q, 8), min(block_q, _round_up(max(q, 8), 8)))
     block_q = min(block_q, qp)
     qp = _round_up(qp, block_q)
@@ -300,7 +356,26 @@ def _sim_topk_one_segment(
         pl.BlockSpec((1, block_n), lambda i, j: (0, j)),
     ]
     args = [queries, query_keys[:, None], corpus, corpus_keys[None, :]]
-    if corpus_scales is not None:
+    if corpus_scales is not None and int8_mxu:
+        scales = jnp.pad(
+            corpus_scales.astype(jnp.float32), (0, np_ - n)
+        )
+        qs = jnp.maximum(
+            jnp.max(jnp.abs(queries), axis=1, keepdims=True) / 127.0,
+            1e-12,
+        )
+        qq = jnp.clip(jnp.rint(queries / qs), -127, 127).astype(jnp.int8)
+        in_specs = [
+            in_specs[0],
+            pl.BlockSpec((block_q, 1), lambda i, j: (i, 0)),  # qs
+            *in_specs[1:],
+            pl.BlockSpec((1, block_n), lambda i, j: (0, j)),  # cs (lanes)
+        ]
+        args = [qq, qs, *args[1:], scales[None, :]]
+        kernel = functools.partial(
+            _sim_topk_kernel_int8_mxu, k=k, block_n=block_n, num_n=num_n
+        )
+    elif corpus_scales is not None:
         scales = jnp.pad(
             corpus_scales.astype(jnp.float32), (0, np_ - n)
         )

@@ -239,7 +239,7 @@ class IVFIndex:
         precision: str = "fp32",
         use_kernel: Optional[bool] = None,
         corpus_scales=None,
-        int8_mxu: bool = False,
+        int8_mxu: Optional[bool] = None,
         mesh=None,
     ):
         if precision not in ("fp32", "int8"):
@@ -257,9 +257,16 @@ class IVFIndex:
         # kernel (interpret mode off-TPU — tests pin kernel semantics).
         self.use_kernel = use_kernel
         # int8 layouts as s8 x s8 -> s32 MXU matmuls (queries quantized
-        # per dispatch): 2x MXU rate, no fp32 dequant intermediate, at
-        # ~1e-3 extra query-side quantization noise. Opt-in.
-        self.int8_mxu = bool(int8_mxu)
+        # per dispatch). Default (None) = auto: ON when searches run on
+        # TPU — measured 1.7-2x the VMEM-dequant path on v5e at N=2M
+        # (benchmarks/ab_ivf_int8.py) AND more accurate (the dequant fp32
+        # dot lowers to bf16 MXU passes, ~1.8e-3 score error vs the exact
+        # integer dot's ~8.5e-4 query-side quantization). The dequant
+        # path remains for interpret-mode oracles / non-TPU.
+        from tpualign.parallel.retrieval import _use_int8_mxu
+
+        self.int8_mxu = (_use_int8_mxu() if int8_mxu is None
+                         else bool(int8_mxu))
         corpus = jnp.asarray(corpus_embeddings)
         if corpus.dtype == jnp.int8:
             # pre-quantized corpus (per-row symmetric scales): the build
@@ -829,7 +836,7 @@ class IVFIndex:
     @classmethod
     def load(cls, path, corpus_embeddings, corpus_scales=None,
              use_kernel: Optional[bool] = None,
-             int8_mxu: bool = False) -> "IVFIndex":
+             int8_mxu: Optional[bool] = None) -> "IVFIndex":
         """Rebuild a saved index around the SAME corpus (row order must
         match the build — ids index into it). One device gather replaces
         the k-means build; precision follows the saved index (an fp32
@@ -844,11 +851,14 @@ class IVFIndex:
                 f"corpus shape {corpus.shape} does not match saved index "
                 f"({meta['n']}, {meta['dim']})"
             )
+        from tpualign.parallel.retrieval import _use_int8_mxu
+
         self = cls.__new__(cls)
         self.vocab = {k: int(v) for k, v in meta["vocab"].items()}
         self.mesh = None
         self.use_kernel = use_kernel
-        self.int8_mxu = bool(int8_mxu)
+        self.int8_mxu = (_use_int8_mxu() if int8_mxu is None
+                         else bool(int8_mxu))
         self.n, self.dim = meta["n"], meta["dim"]
         self.n_lists = meta["n_lists"]
         self.n_probes = meta["n_probes"]

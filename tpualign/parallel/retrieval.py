@@ -113,6 +113,21 @@ def _prefer_streaming_kernel(k: int) -> bool:
     return k <= 16 and jax.default_backend() == "tpu"
 
 
+# int8 streaming sweeps route to the s8 x s8 -> s32 MXU kernel variant on
+# TPU: measured 1.7-2x the VMEM-dequant path on v5e AND closer to the true
+# quantized scores (the dequant fp32 dot lowers to bf16 MXU passes at
+# ~1.8e-3 error; the integer dot is exact modulo ~8.5e-4 query-side
+# quantization). The dequant path remains for interpret-mode parity
+# oracles and non-TPU backends. Tests pin either variant via the override.
+_int8_mxu_override: Optional[bool] = None
+
+
+def _use_int8_mxu() -> bool:
+    if _int8_mxu_override is not None:
+        return _int8_mxu_override
+    return jax.default_backend() == "tpu"
+
+
 @partial(jax.jit, static_argnames=("k",))
 def _device_streaming_topk(q, qk, c, ck, k: int):
     """Jitted wrapper over the fused kernel: ONE dispatched executable per
@@ -121,6 +136,33 @@ def _device_streaming_topk(q, qk, c, ck, k: int):
     from tpualign.ops.pallas_kernels import masked_sim_topk
 
     return masked_sim_topk(q, qk, c, ck, k)
+
+
+# Routing bound for the single-device int8 exact search (v5e, N=2M,
+# benchmarks/ab_exact_int8.py): the dense integer matmul wins while the
+# (Q, N) fp32 sims matrix is small (5.1k vs 4.2k QPS at Q=32, 256 MB),
+# the MXU streaming sweep wins once it is not (14.1k vs 10.0k at Q=256,
+# 2 GB) — and the dense path hits the sims HBM wall long before the int8
+# corpus limit (~24M rows at d=512). Crossover sits between; 512 MiB
+# splits the measured points.
+INT8_STREAM_SIM_BYTES = 512 * 2**20
+
+
+@partial(jax.jit, static_argnames=("k", "int8_mxu"))
+def _device_streaming_topk_int8(q, qk, c_q, c_s, ck, k: int,
+                                int8_mxu: bool = True):
+    """int8 streaming search: the fused sweep never materializes the
+    (Q, N) similarity matrix, so serving-sized batches search corpora up
+    to the int8 HBM capacity limit (~24M rows at d=512 on one v5e chip)
+    through the same `search_device` call as small ones. With
+    ``int8_mxu`` the sweep runs s8 x s8 -> s32 on the MXU — measured
+    1.33-1.40x the dequant sweep and 1.40x the dense int8 matmul+top_k
+    at (N=2M, Q=256); see INT8_STREAM_SIM_BYTES for when the dense path
+    still wins."""
+    from tpualign.ops.pallas_kernels import masked_sim_topk
+
+    return masked_sim_topk(q, qk, c_q, ck, k, corpus_scales=c_s,
+                           int8_mxu=int8_mxu)
 
 
 def _two_key_topk(vals: jnp.ndarray, idx: jnp.ndarray, k: int):
@@ -251,7 +293,8 @@ def _local_topk_kernel_int8(q, qk, c_q, c_s, ck, *, k_local: int, axis: str):
     return vals[None], (idx + offset)[None]
 
 
-def _streaming_local_kernel(q, qk, c, ck, cs=None, *, k: int, axis: str):
+def _streaming_local_kernel(q, qk, c, ck, cs=None, *, k: int, axis: str,
+                            int8_mxu: bool = False):
     """shard_map body wrapping the fused Pallas streaming kernel per shard:
     each device sweeps its RESIDENT corpus shard through VMEM with O(Q*k)
     running state (never materializing the (Q, N/shards) similarity
@@ -262,7 +305,8 @@ def _streaming_local_kernel(q, qk, c, ck, cs=None, *, k: int, axis: str):
     (4 x n_devices)x corpus capacity vs one fp32 chip."""
     from tpualign.ops.pallas_kernels import SENTINEL_IDX, masked_sim_topk
 
-    vals, idx = masked_sim_topk(q, qk, c, ck, k, corpus_scales=cs)
+    vals, idx = masked_sim_topk(q, qk, c, ck, k, corpus_scales=cs,
+                                int8_mxu=int8_mxu)
     offset = jax.lax.axis_index(axis) * c.shape[0]
     # empty slots keep the sentinel (offsetting it could overflow int32)
     gidx = jnp.where(idx >= SENTINEL_IDX, idx, idx + offset)
@@ -308,10 +352,12 @@ def _sharded_search_fn(mesh: Mesh, k: int, k_local: int, recall_target=None,
 
 
 @lru_cache(maxsize=32)
-def _sharded_streaming_fn(mesh: Mesh, k: int, int8: bool = False):
+def _sharded_streaming_fn(mesh: Mesh, k: int, int8: bool = False,
+                          int8_mxu: bool = False):
     """Compiled streaming-strategy search: fused Pallas sweep per shard +
     exact cross-shard merge (one executable, winners-only ICI traffic)."""
-    kernel = partial(_streaming_local_kernel, k=k, axis="data")
+    kernel = partial(_streaming_local_kernel, k=k, axis="data",
+                     int8_mxu=int8 and int8_mxu)
     in_specs = (P(), P(), P("data", None), P("data"))
     if int8:
         in_specs = in_specs + (P("data"),)
@@ -569,6 +615,14 @@ class RetrievalIndex:
         The ring strategy requires Q % data-axis-size == 0."""
         if self.mesh is None:
             if self.precision == "int8":
+                sim_bytes = 4 * query_embeddings.shape[0] * self.n
+                if (_prefer_streaming_kernel(k)
+                        and sim_bytes > INT8_STREAM_SIM_BYTES):
+                    return _device_streaming_topk_int8(
+                        query_embeddings, query_keys, self._corpus,
+                        self._corpus_scales, self._keys, min(k, self.n),
+                        int8_mxu=_use_int8_mxu(),
+                    )
                 return _device_masked_topk_int8(
                     query_embeddings, query_keys, self._corpus,
                     self._corpus_scales, self._keys, min(k, self.n),
@@ -613,7 +667,8 @@ class RetrievalIndex:
             return run(query_embeddings, query_keys, self._corpus, self._keys)
         if strategy == "streaming":
             run = _sharded_streaming_fn(
-                self.mesh, min(k, self._n_local), self.precision == "int8"
+                self.mesh, min(k, self._n_local), self.precision == "int8",
+                _use_int8_mxu(),
             )
             args = (query_embeddings, query_keys, self._corpus, self._keys)
             if self.precision == "int8":
@@ -687,6 +742,7 @@ class RetrievalIndex:
                         self._corpus_scales
                         if self.precision == "int8" else None
                     ),
+                    int8_mxu=_use_int8_mxu(),
                 )
                 vals = np.asarray(vals)
                 idx = np.where(np.asarray(idx) >= self.n, -1, np.asarray(idx))
