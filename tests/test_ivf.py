@@ -344,6 +344,10 @@ def test_vmem_capacity_clamp():
 
     assert _max_capacity(512, 4) == 3072   # fp32: 12MB / (512*8)
     assert _max_capacity(512, 1) == 4096   # int8: 12MB / (512*6)
+    # MXU variant: no fp32 dequant intermediate -> 12MB / (512*2 + 512);
+    # capacity 8192 at d=512 compile-probed OK on v5e
+    assert _max_capacity(512, 1, int8_mxu=True) == 8192
+    assert _max_capacity(512, 4, int8_mxu=True) == 3072  # fp32 unaffected
     assert _max_capacity(64, 4) % 128 == 0
 
     rng = np.random.default_rng(15)
@@ -516,3 +520,28 @@ def test_factory_empty_corpus_serves_exact():
     _, i = ix.search(np.ones((2, 16), np.float32), k=3,
                      global_search=True)
     assert (i == -1).all()
+
+
+def test_mxu_capacity_index_falls_back_off_kernel(monkeypatch):
+    """An index packed under the MXU clamp (capacity beyond the dequant
+    kernel's VMEM bound) must NOT route to the dequant kernel on TPU —
+    that compile measurably fails — but fall back to the XLA union path
+    with a loud warning."""
+    from tpualign.parallel import ivf as I
+
+    rng = np.random.default_rng(21)
+    c, _ = make_clustered(rng, n=512, d=32, g=4)
+    index = IVFIndex(c, n_lists=8, iters=2, precision="int8",
+                     use_kernel=None, int8_mxu=True)
+    monkeypatch.setattr(I.jax, "default_backend", lambda: "tpu")
+    assert index._kernel_path(False, 10) is True  # mxu: kernel fine
+
+    index.int8_mxu = False
+    index.capacity = I._max_capacity(index.dim, 1) + 128  # past the bound
+    warned = []
+    # the tpualign logger doesn't propagate (caplog can't see it) —
+    # record the call itself
+    monkeypatch.setattr(
+        I.log, "warning", lambda msg, *a: warned.append(msg % a))
+    assert index._kernel_path(False, 10) is False
+    assert any("VMEM bound" in w for w in warned)

@@ -81,14 +81,23 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _max_capacity(dim: int, itemsize: int, budget: int = 12 * 2**20) -> int:
+def _max_capacity(dim: int, itemsize: int, budget: int = 12 * 2**20,
+                  int8_mxu: bool = False) -> int:
     """Largest packed-cluster capacity whose kernel block fits the ~16MB
     scoped VMEM (with margin): fp32 blocks double-buffer (2 x C x d x 4);
-    int8 blocks add a full fp32 dequant intermediate (C x d x (4 + 2x1)).
-    Measured: capacity 8256 int8 at d=512 fails AOT compile (19.25M >
-    16M scoped vmem); 4096 compiles. Multiples of 128 (lane alignment).
-    """
-    per_row = dim * (8 if itemsize == 4 else 6)
+    int8 dequant blocks add a full fp32 dequant intermediate
+    (C x d x (4 + 2x1)). Measured: capacity 8256 int8 at d=512 fails AOT
+    compile (19.25M > 16M scoped vmem); 4096 compiles. The int8 MXU
+    variant holds NO dequant intermediate — per row just the
+    double-buffered int8 block (2 x d) plus the (block_q<=64, C) s32
+    accumulator + f32 sims columns (64 x 8 bytes): capacity 8192 at
+    d=512 compile-probed OK on v5e (2x the dequant bound — half the
+    lists, half the spill, fewer per-block fixed costs). Multiples of
+    128 (lane alignment)."""
+    if int8_mxu and itemsize == 1:
+        per_row = dim * 2 + 512
+    else:
+        per_row = dim * (8 if itemsize == 4 else 6)
     return max(128, (budget // per_row // 128) * 128)
 
 
@@ -307,7 +316,8 @@ class IVFIndex:
         # lists would either blow the scoped-vmem compile (measured) or
         # dump whole clusters into the everyone-scans spill tail
         max_cap = _max_capacity(
-            self.dim, 1 if precision == "int8" else 4
+            self.dim, 1 if precision == "int8" else 4,
+            int8_mxu=self.int8_mxu and precision == "int8",
         )
         min_lists = -(-int(np.ceil(capacity_factor * self.n)) // max_cap)
         if n_lists < min_lists:
@@ -434,7 +444,10 @@ class IVFIndex:
         mesh = self.mesh
         ndev = int(dict(mesh.shape)["data"])
         itemsize = 1 if self.precision == "int8" else 4
-        max_cap = _max_capacity(self.dim, itemsize)
+        max_cap = _max_capacity(
+            self.dim, itemsize,
+            int8_mxu=self.int8_mxu and self.precision == "int8",
+        )
 
         # per-shard rows, padded so a k-means block divides them exactly
         n_local = -(-self.n // ndev)
@@ -605,6 +618,19 @@ class IVFIndex:
     def _kernel_path(self, exact_ties: bool, k: int) -> bool:
         if exact_ties:
             return False  # dense-oracle tie parity needs the two-key sort
+        if (self.precision == "int8" and not self.int8_mxu
+                and jax.default_backend() == "tpu"
+                and self.capacity > _max_capacity(self.dim, 1)):
+            # index packed under the MXU clamp (capacity up to 2x the
+            # dequant bound); the dequant kernel would blow scoped VMEM
+            # on the real Mosaic — fall back to the XLA union path
+            log.warning(
+                "IVF: capacity %d exceeds the dequant kernel's %d-row "
+                "VMEM bound; searching via the XLA union path (set "
+                "int8_mxu=True to use the kernel)",
+                self.capacity, _max_capacity(self.dim, 1),
+            )
+            return False
         if self.use_kernel is not None:
             return self.use_kernel
         return jax.default_backend() == "tpu" and k <= 16
