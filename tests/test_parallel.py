@@ -883,3 +883,114 @@ def test_int8_search_device_routing_gate(monkeypatch):
     monkeypatch.setattr(R, "INT8_STREAM_SIM_BYTES", 0)
     index.search_device(jnp.asarray(q), jnp.asarray(qkeys), 5)
     assert calls == ["dense", "stream"]
+
+
+def int4_integer_oracle(q, qkeys, c, ckeys, k):
+    """Host oracle for the packed-int4 paths: 4-bit per-row corpus
+    quantization ([-7, 7]), int8 query quantization, integer dot,
+    kernel multiply order (acc_f32 * qs * cs)."""
+    cs = np.maximum(np.max(np.abs(c), axis=1, keepdims=True) / 7.0, 1e-12)
+    cq = np.clip(np.rint(c / cs), -7, 7).astype(np.int32)
+    qs = np.maximum(np.max(np.abs(q), axis=1, keepdims=True) / 127.0, 1e-12)
+    qq = np.clip(np.rint(q / qs), -127, 127).astype(np.int32)
+    acc = qq @ cq.T
+    sims = acc.astype(np.float32) * qs.astype(np.float32)
+    sims = sims * cs.astype(np.float32)[:, 0][None, :]
+    vals = np.full((len(q), k), NEG_INF, np.float32)
+    idx = np.full((len(q), k), -1, np.int64)
+    for r in range(len(q)):
+        cand = np.where((qkeys[r] == ckeys) | (qkeys[r] == -3))[0]
+        order = cand[np.lexsort((cand, -sims[r][cand]))][:k]
+        vals[r, : len(order)] = sims[r][order]
+        idx[r, : len(order)] = order
+    return vals, idx
+
+
+def test_int4_pack_roundtrip():
+    """Nibble packing is lossless over the quantized values: low nibbles
+    dims [0, D/2), high nibbles [D/2, D), offset-8 encoding."""
+    from tpualign.parallel.retrieval import _quantize_rows_int4
+
+    rng = np.random.default_rng(51)
+    x = rng.normal(size=(37, 16)).astype(np.float32)
+    packed, scales = _quantize_rows_int4(x)
+    assert packed.dtype == np.uint8 and packed.shape == (37, 8)
+    lo = (packed.astype(np.int32) & 15) - 8
+    hi = (packed.astype(np.int32) >> 4) - 8
+    q = np.concatenate([lo, hi], axis=1)
+    expect = np.clip(np.rint(x / np.maximum(
+        np.abs(x).max(axis=1, keepdims=True) / 7.0, 1e-12)), -7, 7)
+    np.testing.assert_array_equal(q, expect.astype(np.int32))
+    with pytest.raises(ValueError, match="even"):
+        _quantize_rows_int4(x[:, :15])
+
+
+def test_int4_dense_and_streaming_match_integer_oracle(monkeypatch):
+    """precision="int4": both the dense unpack path and the streaming
+    kernel (dtype-dispatched) must rank exactly like the host integer
+    oracle, tie-breaks included — 8x capacity with deterministic
+    semantics."""
+    from tpualign.parallel import retrieval as R
+
+    rng = np.random.default_rng(53)
+    q, qman, qpage, c, cman, cpage = make_problem(rng, nq=7, n=157)
+    index = RetrievalIndex(c, cman, cpage, mesh=None, precision="int4")
+    qkeys, _ = encode_keys(qman, qpage, dict(index.vocab))
+    ckeys = np.asarray(index._keys)
+    ovals, oidx = int4_integer_oracle(q, qkeys, c, ckeys, 10)
+    has = oidx >= 0
+
+    dv, di = index.search(q, qman, qpage, k=10)  # dense (small sims)
+    np.testing.assert_array_equal(di, oidx)
+    np.testing.assert_allclose(dv[has], ovals[has], atol=1e-6)
+
+    monkeypatch.setattr(R, "_prefer_streaming_kernel", lambda k: True)
+    monkeypatch.setattr(R, "INT8_STREAM_SIM_BYTES", 0)
+    sv, si = index.search(q, qman, qpage, k=10)  # streaming kernel
+    np.testing.assert_array_equal(si, oidx)
+    np.testing.assert_allclose(sv[has], ovals[has], atol=1e-6)
+
+    # wildcard through the kernel
+    gv, gi = index.search(q, k=10, global_search=True)
+    wk = np.full(len(q), -3, np.int32)
+    wov, woi = int4_integer_oracle(q, wk, c, ckeys, 10)
+    np.testing.assert_array_equal(gi, woi)
+
+    # recall vs the fp32 exact ranking stays useful at 4 bits
+    fidx = RetrievalIndex(c, cman, cpage, mesh=None)
+    fv, fi = fidx.search(q, k=10, global_search=True)
+    rec = np.mean([len(np.intersect1d(gi[r], fi[r])) / 10
+                   for r in range(len(q))])
+    assert rec >= 0.6, rec
+
+
+def test_mesh_int4_gather_and_streaming(mesh8):
+    """int4 composes with the mesh: gather (integer dot per shard) and
+    streaming (packed sweep per shard) both equal the host integer
+    oracle globally; ring refuses loudly."""
+    rng = np.random.default_rng(59)
+    q, qman, qpage, c, cman, cpage = make_problem(rng, nq=8, n=203)
+    index = RetrievalIndex(c, cman, cpage, mesh=mesh8, precision="int4")
+    qkeys, _ = encode_keys(qman, qpage, dict(index.vocab))
+    ckeys = np.asarray(index._keys)[: len(c)]
+    ovals, oidx = int4_integer_oracle(q, qkeys, c, ckeys, 10)
+    has = oidx >= 0
+    for strategy in ("gather", "streaming"):
+        vals, idx = index.search(q, qman, qpage, k=10, strategy=strategy)
+        np.testing.assert_array_equal(idx, oidx, err_msg=strategy)
+        np.testing.assert_allclose(vals[has], ovals[has], atol=1e-6)
+    with pytest.raises(ValueError, match="int4"):
+        index.search_device(
+            jnp.asarray(q), jnp.asarray(qkeys, jnp.int32), 10, "ring"
+        )
+
+
+def test_int4_rejects_ivf_and_recall_target():
+    rng = np.random.default_rng(61)
+    c = rng.normal(size=(64, 8)).astype(np.float32)
+    with pytest.raises(ValueError, match="recall_target"):
+        RetrievalIndex(c, ["m"] * 64, [1] * 64, precision="int4",
+                       recall_target=0.9)
+    from tpualign.parallel.ivf import IVFIndex
+    with pytest.raises(ValueError, match="precision"):
+        IVFIndex(c, n_lists=4, precision="int4")

@@ -622,6 +622,24 @@ def test_service_index_type_and_precision_knobs():
     assert [r[0]["chunk_id"] for r in res] == ids[:3]
 
 
+def test_serving_int4_precision():
+    """precision="int4" serves through the same surface: self-retrieval
+    survives 4-bit quantization, and /stats reports the precision for
+    exact indexes (not just IVF geometry)."""
+    rng = np.random.default_rng(7)
+    n, d = 256, 16
+    emb = rng.normal(size=(n, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    ids = [f"c{i}" for i in range(n)]
+    manuals = ["m0"] * n
+    pages = [1 + i % 4 for i in range(n)]
+    svc = RetrievalService(emb, ids, manuals, pages, precision="int4")
+    assert svc.index.precision == "int4"
+    assert svc.stats()["precision"] == "int4"
+    res = svc.search_embeddings(emb[:3], manuals[:3], pages[:3], k=4)
+    assert [r[0]["chunk_id"] for r in res] == ids[:3]
+
+
 def test_config_retrieval_precision_knob():
     from tpualign.config import load_config
 

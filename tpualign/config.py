@@ -288,10 +288,13 @@ class PipelineConfig:
     # like pgvector's on-disk index: loaded when it matches the corpus,
     # rebuilt (and re-saved) otherwise. None = rebuild at each serve start.
     ivf_cache: Optional[str] = None
-    # Serving-index storage precision: "fp32" (exact) or "int8" (per-row
+    # Serving-index storage precision: "fp32" (exact), "int8" (per-row
     # symmetric quantization: 4x corpus capacity per HBM byte at ~1e-3
     # similarity perturbation; composes with exact, ivf, and the mesh
-    # streaming strategies). Evaluation always uses exact fp32.
+    # streaming strategies; sweeps run s8xs8->s32 on the TPU MXU), or
+    # "int4" (packed two-per-byte: 8x capacity at coarser ~1e-2
+    # quantization — the extreme-capacity exact/streaming mode; not
+    # supported by the IVF index). Evaluation always uses exact fp32.
     retrieval_precision: str = "fp32"
     # Image feed: "host" (PIL bicubic, torchvision parity) or "device"
     # (host decodes only — 2.45x per-core feed rate — resize/crop/normalize

@@ -228,6 +228,56 @@ def _sim_topk_kernel_int8_mxu(
         idx_ref[:] = run_idx[:]
 
 
+def _sim_topk_kernel_int4_mxu(
+    q_ref, qs_ref, qk_ref, c_ref, ck_ref, cs_ref, vals_ref, idx_ref,
+    run_vals, run_idx, *, k: int, block_n: int, num_n: int,
+):
+    """int4-packed corpus streaming variant: the block arrives as
+    (Nb, D/2) uint8, two offset-8 nibbles per byte — low nibbles hold
+    dims [0, D/2), high nibbles [D/2, D), so the unpack is two cheap VPU
+    expressions and the score is TWO half-width s8 x s8 -> s32 MXU dots
+    (no interleave, no concat). 8x less corpus HBM traffic than fp32,
+    2x less than int8, at a coarser ~1e-2-level quantization (per-row
+    symmetric, 4-bit) — the extreme-capacity serving mode."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _reset():
+        run_vals[:] = jnp.full_like(run_vals, NEG_INF)
+        run_idx[:] = jnp.full_like(run_idx, jnp.int32(SENTINEL_IDX))
+
+    b = c_ref[:].astype(jnp.int32)          # (Nb, D/2) of packed bytes
+    lo = ((b & 15) - 8).astype(jnp.int8)    # dims [0, D/2)
+    hi = ((b >> 4) - 8).astype(jnp.int8)    # dims [D/2, D)
+    q = q_ref[:]                            # (Qb, D) int8
+    half = b.shape[1]
+    acc = jax.lax.dot_general(
+        q[:, :half], lo,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ) + jax.lax.dot_general(
+        q[:, half:], hi,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    sims = acc.astype(jnp.float32) * qs_ref[:] * cs_ref[:]
+    qk = qk_ref[:]
+    ck = ck_ref[:]
+    mask = ((qk == ck) | (qk == WILDCARD_KEY)) & (ck >= 0)
+    sims = jnp.where(mask, sims, NEG_INF)
+
+    qb = sims.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (qb, block_n), 1) + j * block_n
+    new_v, new_i = _merge_running_topk(run_vals[:], run_idx[:], sims, col, k)
+    run_vals[:] = new_v
+    run_idx[:] = new_i
+
+    @pl.when(j == num_n - 1)
+    def _emit():
+        vals_ref[:] = run_vals[:]
+        idx_ref[:] = run_idx[:]
+
+
 def _auto_block_n(d: int, itemsize: int = 4,
                   budget: int = 8 * 2**20) -> int:
     """Largest corpus block (multiple of 512) whose double-buffered VMEM
@@ -257,9 +307,14 @@ def masked_sim_topk(
       queries: (Q, D) float32 unit-norm.
       query_keys: (Q,) int32 same-page keys.
       corpus: (N, D) float32 unit-norm — or int8 when ``corpus_scales``
-        is given (per-row symmetric quantization; dequantized in VMEM, so
-        corpus HBM traffic is 4x smaller: the int8 capacity lever composed
-        with streaming, for corpora too big even for an fp32 HBM copy).
+        is given (per-row symmetric quantization; 4x less corpus HBM
+        traffic: the int8 capacity lever composed with streaming, for
+        corpora too big even for an fp32 HBM copy) — or (N, D/2) uint8
+        for the PACKED INT4 layout (two offset-8 nibbles per byte, low
+        nibbles = dims [0, D/2), high = [D/2, D); build with
+        tpualign.parallel.retrieval._quantize_rows_int4): 8x less
+        traffic / 8x the fp32 capacity, always scored via the integer
+        MXU path, at 4-bit quantization noise.
       corpus_keys: (N,) int32 (-1 = padding, never matches).
       k: winners per query.
       block_q / block_n: VMEM tile sizes; block_n=None auto-sizes to the
@@ -328,10 +383,19 @@ def _sim_topk_one_segment(
 ):
     q, d = queries.shape
     n = corpus.shape[0]
+    # an unsigned-byte corpus with scales is the packed-int4 layout (two
+    # offset-8 nibbles per byte, (N, D/2)); int8/float corpora keep their
+    # dtypes, so the dispatch cannot misfire
+    int4 = corpus.dtype == jnp.uint8 and corpus_scales is not None
+    if int4 and corpus.shape[1] * 2 != d:
+        raise ValueError(
+            f"packed int4 corpus must be (N, D/2); got {corpus.shape} "
+            f"for D={d}"
+        )
     if block_n is None:
-        # the MXU variant holds no fp32 dequant intermediate, so its
-        # double-buffered int8 blocks afford 2x the corpus tile
-        block_n = _auto_block_n(d, itemsize=2 if int8_mxu else 4)
+        # the MXU variants hold no fp32 dequant intermediate, so their
+        # double-buffered integer blocks afford 2x the corpus tile
+        block_n = _auto_block_n(d, itemsize=2 if (int8_mxu or int4) else 4)
     qp = _round_up(max(q, 8), min(block_q, _round_up(max(q, 8), 8)))
     block_q = min(block_q, qp)
     qp = _round_up(qp, block_q)
@@ -356,7 +420,29 @@ def _sim_topk_one_segment(
         pl.BlockSpec((1, block_n), lambda i, j: (0, j)),
     ]
     args = [queries, query_keys[:, None], corpus, corpus_keys[None, :]]
-    if corpus_scales is not None and int8_mxu:
+    if int4:
+        scales = jnp.pad(
+            corpus_scales.astype(jnp.float32), (0, np_ - n)
+        )
+        qs = jnp.maximum(
+            jnp.max(jnp.abs(queries), axis=1, keepdims=True) / 127.0,
+            1e-12,
+        )
+        qq = jnp.clip(jnp.rint(queries / qs), -127, 127).astype(jnp.int8)
+        in_specs = [
+            pl.BlockSpec((block_q, d), lambda i, j: (i, 0)),       # qq
+            pl.BlockSpec((block_q, 1), lambda i, j: (i, 0)),       # qs
+            pl.BlockSpec((block_q, 1), lambda i, j: (i, 0)),       # qk
+            pl.BlockSpec((block_n, d // 2), lambda i, j: (j, 0)),  # packed
+            pl.BlockSpec((1, block_n), lambda i, j: (0, j)),       # ck
+            pl.BlockSpec((1, block_n), lambda i, j: (0, j)),       # cs
+        ]
+        args = [qq, qs, query_keys[:, None], corpus,
+                corpus_keys[None, :], scales[None, :]]
+        kernel = functools.partial(
+            _sim_topk_kernel_int4_mxu, k=k, block_n=block_n, num_n=num_n
+        )
+    elif corpus_scales is not None and int8_mxu:
         scales = jnp.pad(
             corpus_scales.astype(jnp.float32), (0, np_ - n)
         )

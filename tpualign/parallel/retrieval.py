@@ -181,6 +181,24 @@ def _quantize_rows(x: np.ndarray):
     return q, scale.astype(np.float32)[:, 0]
 
 
+def _quantize_rows_int4(x: np.ndarray):
+    """Packed int4 quantization (the extreme-capacity corpus mode, 8x the
+    fp32 vectors per HBM byte): per-row symmetric 4-bit values in
+    [-7, 7], two per byte with offset-8 nibble encoding — LOW nibbles
+    hold dims [0, D/2), HIGH nibbles [D/2, D), so kernels unpack with two
+    VPU expressions and score with two half-width s8 MXU dots (no
+    interleave). Requires even D. Returns ((N, D/2) uint8, (N,) fp32
+    scales)."""
+    n, d = x.shape
+    if d % 2:
+        raise ValueError(f"int4 packing needs even embedding dim, got {d}")
+    scale = np.abs(x).max(axis=1, keepdims=True) / 7.0
+    scale = np.maximum(scale, 1e-12)
+    q = np.clip(np.rint(x / scale), -7, 7).astype(np.int16) + 8  # [1, 15]
+    packed = (q[:, : d // 2] | (q[:, d // 2:] << 4)).astype(np.uint8)
+    return packed, scale.astype(np.float32)[:, 0]
+
+
 @partial(jax.jit, static_argnames=("k",))
 def _device_masked_topk_int8(q, qk, c_q, c_s, ck, k: int):
     """int8 serving path: quantize the query block on device, s8xs8->s32
@@ -199,6 +217,41 @@ def _device_masked_topk_int8(q, qk, c_q, c_s, ck, k: int):
         qq, c_q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
     )
     sims = acc.astype(jnp.float32) * qs * c_s[None, :]
+    mask = ((qk[:, None] == ck[None, :]) | (qk[:, None] == WILDCARD_KEY)) & (
+        ck[None, :] >= 0
+    )
+    sims = jnp.where(mask, sims, NEG_INF)
+    return jax.lax.top_k(sims, k)
+
+
+def _int4_sims(q, c_p, c_s):
+    """Scores against a packed-int4 corpus (see `_quantize_rows_int4`):
+    quantize the query block to int8, unpack the two offset-8 nibble
+    planes, two half-width s8 x s8 -> s32 dots, rescale."""
+    qs = jnp.maximum(jnp.max(jnp.abs(q), axis=1, keepdims=True) / 127.0,
+                     1e-12)
+    qq = jnp.clip(jnp.rint(q / qs), -127, 127).astype(jnp.int8)
+    b = c_p.astype(jnp.int32)
+    lo = ((b & 15) - 8).astype(jnp.int8)
+    hi = ((b >> 4) - 8).astype(jnp.int8)
+    half = c_p.shape[1]
+    acc = jax.lax.dot_general(
+        qq[:, :half], lo, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ) + jax.lax.dot_general(
+        qq[:, half:], hi, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return acc.astype(jnp.float32) * qs * c_s[None, :]
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _device_masked_topk_int4(q, qk, c_p, c_s, ck, k: int):
+    """Dense XLA path for packed-int4 corpora (k > 16, CPU, small sims):
+    unpack + integer dots + stable top-k. The unpack transiently
+    materializes (N, D) int8 planes, so the beyond-HBM regime belongs to
+    the streaming kernel (which unpacks per VMEM block)."""
+    sims = _int4_sims(q, c_p, c_s)
     mask = ((qk[:, None] == ck[None, :]) | (qk[:, None] == WILDCARD_KEY)) & (
         ck[None, :] >= 0
     )
@@ -273,6 +326,20 @@ def _local_topk_kernel(q, qk, c, ck, *, k_local: int, axis: str,
     return vals[None], gidx[None]
 
 
+def _local_topk_kernel_int4(q, qk, c_p, c_s, ck, *, k_local: int, axis: str):
+    """shard_map body for a packed-int4 corpus shard (gather strategy):
+    same scheme as :func:`_device_masked_topk_int4` per shard; the
+    cross-shard merge stays exact fp32."""
+    sims = _int4_sims(q, c_p, c_s)
+    mask = ((qk[:, None] == ck[None, :]) | (qk[:, None] == WILDCARD_KEY)) & (
+        ck[None, :] >= 0
+    )
+    sims = jnp.where(mask, sims, NEG_INF)
+    vals, idx = jax.lax.top_k(sims, k_local)
+    offset = jax.lax.axis_index(axis) * c_p.shape[0]
+    return vals[None], (idx + offset)[None]
+
+
 def _local_topk_kernel_int8(q, qk, c_q, c_s, ck, *, k_local: int, axis: str):
     """shard_map body for an int8 corpus shard: quantize the replicated
     query block on device, s8 x s8 -> s32 on the MXU, rescale to fp32 sims,
@@ -325,10 +392,14 @@ def _merge_gathered(lv, li, qn: int, k: int):
 
 @lru_cache(maxsize=32)
 def _sharded_search_fn(mesh: Mesh, k: int, k_local: int, recall_target=None,
-                       int8: bool = False):
+                       precision: str = "fp32"):
     """Compiled gather-strategy search over ``mesh``'s data axis (cached so
     repeated ``search()`` calls reuse the same executable)."""
-    if int8:
+    if precision == "int4":
+        kernel = partial(_local_topk_kernel_int4, k_local=k_local,
+                         axis="data")
+        in_specs = (P(), P(), P("data", None), P("data"), P("data"))
+    elif precision == "int8":
         kernel = partial(_local_topk_kernel_int8, k_local=k_local,
                          axis="data")
         in_specs = (P(), P(), P("data", None), P("data"), P("data"))
@@ -352,14 +423,15 @@ def _sharded_search_fn(mesh: Mesh, k: int, k_local: int, recall_target=None,
 
 
 @lru_cache(maxsize=32)
-def _sharded_streaming_fn(mesh: Mesh, k: int, int8: bool = False,
+def _sharded_streaming_fn(mesh: Mesh, k: int, precision: str = "fp32",
                           int8_mxu: bool = False):
     """Compiled streaming-strategy search: fused Pallas sweep per shard +
-    exact cross-shard merge (one executable, winners-only ICI traffic)."""
+    exact cross-shard merge (one executable, winners-only ICI traffic).
+    int4 shards dispatch inside masked_sim_topk by dtype (packed uint8)."""
     kernel = partial(_streaming_local_kernel, k=k, axis="data",
-                     int8_mxu=int8 and int8_mxu)
+                     int8_mxu=precision == "int8" and int8_mxu)
     in_specs = (P(), P(), P("data", None), P("data"))
-    if int8:
+    if precision in ("int8", "int4"):
         in_specs = in_specs + (P("data"),)
     mapped = jax.shard_map(
         kernel,
@@ -463,17 +535,20 @@ class RetrievalIndex:
         self.n = len(corpus)
         self.dim = dim
         self.mesh = mesh if (mesh is not None and mesh.shape["data"] > 1) else None
-        if precision not in ("fp32", "int8"):
-            raise ValueError(f"precision must be fp32 or int8, got {precision!r}")
+        if precision not in ("fp32", "int8", "int4"):
+            raise ValueError(
+                f"precision must be fp32, int8 or int4, got {precision!r}"
+            )
         self.precision = precision
         if recall_target is not None and not (0.0 < recall_target <= 1.0):
             raise ValueError(
                 f"recall_target must be in (0, 1], got {recall_target}"
             )
-        if recall_target is not None and precision == "int8":
+        if recall_target is not None and precision in ("int8", "int4"):
             raise ValueError(
-                "recall_target composes with fp32 retrieval only; int8 is "
-                "already an approximate (capacity) mode — pick one"
+                "recall_target composes with fp32 retrieval only; "
+                f"{precision} is already an approximate (capacity) mode "
+                "— pick one"
             )
         self.recall_target = recall_target
         if not hasattr(self, "vocab"):
@@ -494,10 +569,14 @@ class RetrievalIndex:
                     [corpus, np.zeros((n_pad - self.n, corpus.shape[1]), np.float32)]
                 )
                 keys = np.concatenate([keys, np.full(n_pad - self.n, -1, np.int32)])
-            if precision == "int8":
-                # quantize AFTER padding so every shard is int8 + scales:
-                # (4 x n_devices)x the single-chip fp32 corpus capacity
-                corpus, scales = _quantize_rows(corpus)
+            if precision in ("int8", "int4"):
+                # quantize AFTER padding so every shard is quantized rows
+                # + scales: (4 or 8 x n_devices)x the single-chip fp32
+                # corpus capacity
+                corpus, scales = (
+                    _quantize_rows(corpus) if precision == "int8"
+                    else _quantize_rows_int4(corpus)
+                )
                 self._corpus_scales = jax.device_put(
                     scales, NamedSharding(self.mesh, P("data"))
                 )
@@ -507,8 +586,9 @@ class RetrievalIndex:
             self._keys = jax.device_put(
                 keys, NamedSharding(self.mesh, P("data"))
             )
-        elif precision == "int8":
-            q, s = _quantize_rows(corpus)
+        elif precision in ("int8", "int4"):
+            q, s = (_quantize_rows(corpus) if precision == "int8"
+                    else _quantize_rows_int4(corpus))
             self._n_local = self.n
             self._corpus = jax.device_put(q)
             self._corpus_scales = jax.device_put(s)
@@ -551,8 +631,8 @@ class RetrievalIndex:
         # explicitly for correctness tests)
         if k <= 16 and jax.default_backend() == "tpu":
             return "streaming"
-        if self.precision == "int8":
-            # ring has no int8 path; gather keeps the int8 MXU dot
+        if self.precision in ("int8", "int4"):
+            # ring has no quantized path; gather keeps the integer MXU dot
             return "gather"
         return "ring"
 
@@ -614,14 +694,21 @@ class RetrievalIndex:
         appear as indices >= n only when a query has < k candidates.
         The ring strategy requires Q % data-axis-size == 0."""
         if self.mesh is None:
-            if self.precision == "int8":
+            if self.precision in ("int8", "int4"):
                 sim_bytes = 4 * query_embeddings.shape[0] * self.n
                 if (_prefer_streaming_kernel(k)
                         and sim_bytes > INT8_STREAM_SIM_BYTES):
+                    # masked_sim_topk dispatches int8 vs packed-int4 by
+                    # corpus dtype; int8_mxu only applies to int8
                     return _device_streaming_topk_int8(
                         query_embeddings, query_keys, self._corpus,
                         self._corpus_scales, self._keys, min(k, self.n),
                         int8_mxu=_use_int8_mxu(),
+                    )
+                if self.precision == "int4":
+                    return _device_masked_topk_int4(
+                        query_embeddings, query_keys, self._corpus,
+                        self._corpus_scales, self._keys, min(k, self.n),
                     )
                 return _device_masked_topk_int8(
                     query_embeddings, query_keys, self._corpus,
@@ -653,10 +740,11 @@ class RetrievalIndex:
         if strategy == "ring":
             from tpualign.parallel.ring import ring_search_fn
 
-            if self.precision == "int8":
+            if self.precision in ("int8", "int4"):
                 raise ValueError(
-                    "the ring strategy has no int8 path; use "
-                    "strategy='streaming' (fused int8 sweep) or 'gather'"
+                    f"the ring strategy has no {self.precision} path; use "
+                    "strategy='streaming' (fused quantized sweep) or "
+                    "'gather'"
                 )
             if query_embeddings.shape[0] % self.mesh.shape["data"]:
                 raise ValueError(
@@ -667,18 +755,18 @@ class RetrievalIndex:
             return run(query_embeddings, query_keys, self._corpus, self._keys)
         if strategy == "streaming":
             run = _sharded_streaming_fn(
-                self.mesh, min(k, self._n_local), self.precision == "int8",
+                self.mesh, min(k, self._n_local), self.precision,
                 _use_int8_mxu(),
             )
             args = (query_embeddings, query_keys, self._corpus, self._keys)
-            if self.precision == "int8":
+            if self.precision in ("int8", "int4"):
                 args = args + (self._corpus_scales,)
             return run(*args)
         run = _sharded_search_fn(
             self.mesh, k, min(k, self._n_local), self.recall_target,
-            self.precision == "int8",
+            self.precision,
         )
-        if self.precision == "int8":
+        if self.precision in ("int8", "int4"):
             return run(query_embeddings, query_keys, self._corpus,
                        self._corpus_scales, self._keys)
         return run(query_embeddings, query_keys, self._corpus, self._keys)
@@ -731,16 +819,16 @@ class RetrievalIndex:
             if k <= 16 and sim_bytes > 4 * 1024**3:
                 from tpualign.ops.pallas_kernels import masked_sim_topk
 
-                # int8 corpora stream too (per-row scales dequantized in
-                # VMEM): the 4x capacity lever composed with the O(Q*k)
-                # streaming state — the configuration for corpora too big
-                # even for an fp32 HBM copy.
+                # quantized corpora stream too (int8: 4x capacity,
+                # packed int4: 8x — dispatched by corpus dtype) composed
+                # with the O(Q*k) streaming state: the configuration for
+                # corpora too big even for an fp32 HBM copy.
                 vals, idx = masked_sim_topk(
                     jnp.asarray(queries), jnp.asarray(qk, jnp.int32),
                     self._corpus, self._keys, k,
                     corpus_scales=(
                         self._corpus_scales
-                        if self.precision == "int8" else None
+                        if self.precision in ("int8", "int4") else None
                     ),
                     int8_mxu=_use_int8_mxu(),
                 )

@@ -422,6 +422,7 @@ class RetrievalService:
             "num_images": len(self._image_meta),
             "mesh": dict(self.index.mesh.shape) if self.index.mesh else None,
             "index": type(self.index).__name__,
+            "precision": self.index.precision,
         }
         if hasattr(self.index, "n_lists"):  # IVF geometry
             out["ivf"] = {
