@@ -16,6 +16,10 @@ Usage: python benchmarks/bench_capacity.py [Q] [k] [sizes_millions...]
 
 Env: CAPACITY_DEQUANT=1 pins the legacy VMEM-dequant kernel (default is
 the s8 x s8 -> s32 MXU variant, the TPU production route).
+CAPACITY_PRECISION=int4 benches the packed-nibble corpus instead
+(two 4-bit values per byte, D/2 bytes per row — 2x the int8 row
+capacity; the kernel unpacks per VMEM block and scores with two
+half-width s8 MXU dots).
 """
 
 from __future__ import annotations
@@ -42,10 +46,20 @@ def main() -> None:
 
     from functools import partial as _partial
 
+    import os
+
+    int4 = os.environ.get("CAPACITY_PRECISION", "int8") == "int4"
+
     @_partial(jax.jit, static_argnames=("n",))
     def _make_seg(key, n):
-        # generate int8 DIRECTLY — an int32 intermediate would be 4x the
-        # corpus (24 GB at 12M x 512) and OOM before the corpus exists
+        # generate quantized rows DIRECTLY — an int32 intermediate would
+        # be 4x the corpus (24 GB at 12M x 512) and OOM before the corpus
+        # exists. int4 rows are (n, d/2) packed bytes; nibble values in
+        # [1, 15] mirror the offset-8 encoding (throughput is value-blind
+        # but keep the decode in-range anyway).
+        if int4:
+            b = jax.random.randint(key, (n, d // 2, 2), 1, 16, jnp.uint8)
+            return b[..., 0] | (b[..., 1] << 4)
         return jax.random.randint(key, (n, d), -127, 128, jnp.int8)
 
     SEG = 4_000_000
@@ -60,7 +74,8 @@ def main() -> None:
             key, sub = jax.random.split(key)
             parts.append(_make_seg(sub, min(SEG, n - s0)))
         seg_meta = [
-            (jnp.full((len(p),), 1.0 / 127.0, jnp.float32),
+            (jnp.full((len(p),), 1.0 / (7.0 if int4 else 127.0),
+                      jnp.float32),
              jnp.zeros((len(p),), jnp.int32))
             for p in parts
         ]
@@ -71,8 +86,6 @@ def main() -> None:
         q = jax.random.normal(key, (q_n, d), jnp.float32)
         q = q / jnp.linalg.norm(q, axis=1, keepdims=True)
         return q, jnp.zeros((q_n,), jnp.int32)
-
-    import os
 
     mxu = os.environ.get("CAPACITY_DEQUANT", "") != "1"
 
@@ -113,9 +126,9 @@ def main() -> None:
             dt = time.perf_counter() - t0
             qps = q_n * iters / dt
             print(json.dumps({
-                "metric": "int8_streaming_qps",
+                "metric": ("int4" if int4 else "int8") + "_streaming_qps",
                 "corpus_millions": m,
-                "corpus_gb": round(n * d / 2**30, 2),
+                "corpus_gb": round(n * d // (4 if int4 else 2) * 2 / 2**30, 2),
                 "q": q_n, "k": k, "int8_mxu": mxu,
                 "value": round(qps, 1),
                 "unit": "queries/s",
@@ -124,7 +137,7 @@ def main() -> None:
             del parts, meta
         except Exception as e:  # OOM boundary is part of the result
             print(json.dumps({
-                "metric": "int8_streaming_qps",
+                "metric": ("int4" if int4 else "int8") + "_streaming_qps",
                 "corpus_millions": m,
                 "error": str(e)[:200],
             }), flush=True)
