@@ -545,3 +545,158 @@ def test_mxu_capacity_index_falls_back_off_kernel(monkeypatch):
         I.log, "warning", lambda msg, *a: warned.append(msg % a))
     assert index._kernel_path(False, 10) is False
     assert any("VMEM bound" in w for w in warned)
+
+
+# -- int4 (packed-nibble) layouts ---------------------------------------------
+
+
+def int4_dequant(packed: np.ndarray, scales: np.ndarray) -> np.ndarray:
+    """Host decode of the packed layout (low nibbles dims [0, D/2), high
+    [D/2, D), offset-8): the value grid every int4 scoring path ranks."""
+    lo = (packed.astype(np.int32) & 15) - 8
+    hi = (packed.astype(np.int32) >> 4) - 8
+    return (np.concatenate([lo, hi], axis=1).astype(np.float32)
+            * scales[:, None])
+
+
+def test_int4_full_probe_matches_dequant_oracle():
+    """precision="int4" at full probes ranks exactly like a dense exact
+    search over the DEQUANTIZED 4-bit corpus (fp32 queries, two-key
+    ties) — the quantization is the only deviation from fp32."""
+    from tpualign.parallel.retrieval import _quantize_rows_int4
+
+    rng = np.random.default_rng(31)
+    n, d = 512, 32
+    c = unit(rng.normal(size=(n, d)).astype(np.float32))
+    cman = [f"m{i % 3}" for i in range(n)]
+    cpage = [1 + i % 4 for i in range(n)]
+    index = IVFIndex(c, cman, cpage, n_lists=8, iters=4, precision="int4")
+    assert index.precision == "int4"
+    import jax.numpy as jnp
+    assert index._emb.dtype == jnp.uint8
+    assert index._emb.shape[1] == d // 2
+    q = c[:23]
+    vals, idx = index.search(q, cman[:23], cpage[:23], k=10,
+                             n_probes=index.n_lists)
+    pn, sn = _quantize_rows_int4(c)
+    cd = int4_dequant(pn, sn)
+    vocab = {}
+    ck, vocab = encode_keys(cman, cpage, vocab)
+    qk, _ = encode_keys(cman[:23], cpage[:23], vocab)
+    ovals, oidx = numpy_oracle(q, qk, cd, ck, 10)
+    np.testing.assert_array_equal(idx, oidx)
+    has = oidx >= 0
+    np.testing.assert_allclose(vals[has], ovals[has], rtol=0, atol=1e-5)
+
+
+def test_int4_prepacked_build_matches_quantize_at_build():
+    """Building from an already-packed (N, D/2) uint8 corpus (+ scales)
+    equals quantizing at build time at full probes — the 8x-capacity
+    path never materializes an fp32 corpus."""
+    from tpualign.parallel.retrieval import _quantize_rows_int4
+
+    rng = np.random.default_rng(33)
+    c, _ = make_clustered(rng, n=1024, d=32, g=8)
+    pn, sn = _quantize_rows_int4(c)
+    a = IVFIndex(c, n_lists=8, iters=4, precision="int4")
+    b = IVFIndex(pn, n_lists=8, iters=4, corpus_scales=sn)
+    assert b.precision == "int4" and b.dim == 32
+    q = unit(rng.normal(size=(40, 32)).astype(np.float32))
+    va, ia = a.search(q, k=5, n_probes=a.n_lists)
+    vb, ib = b.search(q, k=5, n_probes=b.n_lists)
+    np.testing.assert_array_equal(ia, ib)
+    np.testing.assert_allclose(va, vb, rtol=0, atol=1e-5)
+    with pytest.raises(ValueError):
+        IVFIndex(pn, n_lists=8)  # packed corpus requires scales
+
+
+def test_int4_kernel_recall_and_memory():
+    """The probed int4 nibble kernel (interpret mode) keeps recall vs the
+    fp32 index, and the layout really is ~8x smaller than fp32 / ~2x
+    smaller than int8."""
+    rng = np.random.default_rng(35)
+    c, _ = make_clustered(rng, n=2048, d=32, g=16)
+    q = unit(c[rng.integers(len(c), size=64)]
+             + 0.05 * rng.normal(size=(64, 32)).astype(np.float32))
+    fp = IVFIndex(c, n_lists=16, n_probes=4, iters=6)
+    i8 = IVFIndex(c, n_lists=16, n_probes=4, iters=6, precision="int8")
+    for use_kernel in (False, True):
+        i4 = IVFIndex(c, n_lists=16, n_probes=4, iters=6,
+                      precision="int4", use_kernel=use_kernel)
+        assert i4.memory_bytes < i8.memory_bytes
+        assert i4.memory_bytes < fp.memory_bytes / 3
+        _, fi = fp.search(q, k=10)
+        _, qi = i4.search(q, k=10)
+        hits = np.mean([
+            len(np.intersect1d(qi[r], fi[r])) / 10 for r in range(len(q))
+        ])
+        # d=32 is the WORST case for 4-bit rows (few dims -> coarse
+        # grid); production d>=512 embeddings land far higher
+        assert hits >= 0.8, f"int4 recall {hits:.3f} (kernel={use_kernel})"
+
+
+def test_int4_save_load_roundtrip(tmp_path):
+    """An int4 index persists/loads with an fp32 corpus (re-packed along
+    the layout) or the packed corpus + scales — identical results."""
+    from tpualign.parallel.retrieval import _quantize_rows_int4
+
+    rng = np.random.default_rng(37)
+    c, _ = make_clustered(rng, n=512, d=32, g=8)
+    q = unit(rng.normal(size=(16, 32)).astype(np.float32))
+    a = IVFIndex(c, n_lists=8, iters=4, precision="int4")
+    va, ia = a.search(q, k=5, n_probes=a.n_lists)
+    p = str(tmp_path / "ivf_int4.npz")
+    a.save(p)
+    b = IVFIndex.load(p, c)
+    assert b.precision == "int4"
+    vb, ib = b.search(q, k=5, n_probes=b.n_lists)
+    np.testing.assert_array_equal(ib, ia)
+    pn, sn = _quantize_rows_int4(c)
+    d2 = IVFIndex.load(p, pn, corpus_scales=sn)
+    vd, idd = d2.search(q, k=5, n_probes=d2.n_lists)
+    np.testing.assert_array_equal(idd, ia)
+    with pytest.raises(ValueError, match="scales"):
+        IVFIndex.load(p, pn)
+
+
+def test_sharded_int4_full_probe_matches_single_device():
+    """int4 composes with the mesh: per-shard full probes + the exact
+    merge equal the single-device full-probe ranking (both are exact
+    over the same 4-bit value grid)."""
+    rng = np.random.default_rng(39)
+    c, _ = make_clustered(rng, n=1024, d=32, g=8)
+    q = unit(rng.normal(size=(32, 32)).astype(np.float32))
+    a = IVFIndex(c, n_lists=64, iters=4, precision="int4")
+    va, ia = a.search(q, k=5, n_probes=a.n_lists)
+    m = IVFIndex(c, n_lists=64, iters=4, precision="int4", mesh=_mesh8())
+    vm, im = m.search(q, k=5, n_probes=m.n_lists_local)
+    np.testing.assert_array_equal(im, ia)
+    np.testing.assert_allclose(
+        vm[im >= 0], va[ia >= 0], rtol=0, atol=1e-5)
+
+
+def test_sharded_prequantized_scales_gather_per_shard():
+    """Regression: a sharded build from a PRE-quantized corpus must
+    gather each packed slot's scale from ITS OWN shard's rows — the old
+    global gather fetched shard 0's scales for every shard (wrong for
+    1792/2048 slots in this construction)."""
+    rng = np.random.default_rng(41)
+    n, d = 2048, 32
+    c = rng.normal(size=(n, d)).astype(np.float32)
+    # wildly different per-shard magnitudes make any cross-shard scale
+    # mixup visible in the stored scales directly
+    mult = np.repeat(np.logspace(-2, 2, 8), n // 8).astype(np.float32)
+    c = c * mult[:, None]
+    scale = np.maximum(np.abs(c).max(axis=1) / 127.0, 1e-12)
+    c_i8 = np.clip(np.rint(c / scale[:, None]), -127, 127).astype(np.int8)
+    ix = IVFIndex(c_i8, n_lists=64, iters=4, corpus_scales=scale,
+                  mesh=_mesh8())
+    ids = np.asarray(ix._ids)
+    got = np.asarray(ix._scales)
+    n_local = n // 8
+    total_local = len(ids) // 8
+    shard = np.arange(len(ids)) // total_local
+    gid = shard * n_local + np.maximum(ids, 0)
+    expect = scale[np.minimum(gid, n - 1)]
+    valid = ids >= 0
+    np.testing.assert_allclose(got[valid], expect[valid], rtol=1e-6)

@@ -985,12 +985,9 @@ def test_mesh_int4_gather_and_streaming(mesh8):
         )
 
 
-def test_int4_rejects_ivf_and_recall_target():
+def test_int4_rejects_recall_target():
     rng = np.random.default_rng(61)
     c = rng.normal(size=(64, 8)).astype(np.float32)
     with pytest.raises(ValueError, match="recall_target"):
         RetrievalIndex(c, ["m"] * 64, [1] * 64, precision="int4",
                        recall_target=0.9)
-    from tpualign.parallel.ivf import IVFIndex
-    with pytest.raises(ValueError, match="precision"):
-        IVFIndex(c, n_lists=4, precision="int4")

@@ -293,8 +293,8 @@ class PipelineConfig:
     # similarity perturbation; composes with exact, ivf, and the mesh
     # streaming strategies; sweeps run s8xs8->s32 on the TPU MXU), or
     # "int4" (packed two-per-byte: 8x capacity at coarser ~1e-2
-    # quantization — the extreme-capacity exact/streaming mode; not
-    # supported by the IVF index). Evaluation always uses exact fp32.
+    # quantization — the extreme-capacity mode; composes with exact,
+    # streaming, mesh, and IVF). Evaluation always uses exact fp32.
     retrieval_precision: str = "fp32"
     # Image feed: "host" (PIL bicubic, torchvision parity) or "device"
     # (host decodes only — 2.45x per-core feed rate — resize/crop/normalize

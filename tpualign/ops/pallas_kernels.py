@@ -643,6 +643,77 @@ def _ivf_topk_kernel_int8_mxu(
         idx_ref[:] = run_idx[:]
 
 
+def _ivf_topk_kernel_int4_mxu(
+    uids_ref, q_ref, qs_ref, qk_ref, probe_ref, c_ref, ck_ref, cs_ref,
+    vals_ref, idx_ref, run_vals, run_idx, *, k: int, capacity: int,
+    num_u: int, n_lists: int,
+):
+    """Packed-int4 cluster blocks: ``c_ref`` arrives as (C, D/2) uint8 —
+    two offset-8 nibbles per byte (low nibbles dims [0, D/2), high
+    [D/2, D)) — so the unpack is two VPU expressions and the score is two
+    half-width s8 x s8 -> s32 MXU dots, exactly like the exact-streaming
+    int4 variant (:func:`_sim_topk_kernel_int4_mxu`) but with the IVF
+    probe-membership mask. 8x less cluster HBM traffic than fp32."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _reset():
+        run_vals[:] = jnp.full_like(run_vals, NEG_INF)
+        run_idx[:] = jnp.full_like(run_idx, jnp.int32(SENTINEL_IDX))
+
+    uid = uids_ref[j]
+
+    @pl.when(uid != n_lists)  # n_lists = padding; > n_lists = spill blocks
+    def _score():
+        b = c_ref[:].astype(jnp.int32)          # (C, D/2) packed bytes
+        lo = ((b & 15) - 8).astype(jnp.int8)
+        hi = ((b >> 4) - 8).astype(jnp.int8)
+        q = q_ref[:]                            # (Qb, D) int8
+        half = b.shape[1]
+        acc = jax.lax.dot_general(
+            q[:, :half], lo,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ) + jax.lax.dot_general(
+            q[:, half:], hi,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        sims = acc.astype(jnp.float32) * qs_ref[:] * cs_ref[:]
+        qk = qk_ref[:]
+        ck = ck_ref[:]
+        mask = ((qk == ck) | (qk == WILDCARD_KEY)) & (ck >= 0)
+        member = (jnp.any(probe_ref[:] == uid, axis=1, keepdims=True)
+                  | (uid > n_lists))
+        sims = jnp.where(mask & member, sims, NEG_INF)
+        qb = sims.shape[0]
+        col = (jax.lax.broadcasted_iota(jnp.int32, (qb, capacity), 1)
+               + uid * capacity)
+
+        if _use_threshold_skip(num_u):
+            rv = run_vals[:]
+            beats = jnp.any(sims > rv[:, k - 1:k])
+
+            @pl.when(beats)
+            def _merge():
+                new_v, new_i = _merge_running_topk(
+                    run_vals[:], run_idx[:], sims, col, k
+                )
+                run_vals[:] = new_v
+                run_idx[:] = new_i
+        else:
+            new_v, new_i = _merge_running_topk(
+                run_vals[:], run_idx[:], sims, col, k
+            )
+            run_vals[:] = new_v
+            run_idx[:] = new_i
+
+    @pl.when(j == num_u - 1)
+    def _emit():
+        vals_ref[:] = run_vals[:]
+        idx_ref[:] = run_idx[:]
+
+
 def ivf_probe_topk(
     queries: jnp.ndarray,
     query_keys: jnp.ndarray,
@@ -676,7 +747,8 @@ def ivf_probe_topk(
         ``n_lists`` (the trailing all-masked zero block). U is static.
       packed_emb: ((n_lists+1)*capacity [+ spill], D) packed clusters; the
         kernel addresses blocks 0..n_lists only. fp32 — or int8 with
-        ``packed_scales``.
+        ``packed_scales``, or packed int4 ((rows, D/2) uint8 nibble
+        pairs, dispatched by dtype) with ``packed_scales``.
       packed_keys: (1, same) int32; -1 marks unused/padding slots.
       k: winners per query (k <= 16 uses the unrolled merge).
       capacity: rows per packed cluster block (multiple of 8; 32 for int8).
@@ -697,14 +769,41 @@ def ivf_probe_topk(
     num_q = q // block_q
     num_u = uids.shape[0]
 
+    # unsigned bytes + scales = the packed-int4 layout (two offset-8
+    # nibbles per byte, (rows, D/2)); int8/fp32 layouts keep their dtypes
+    int4 = packed_emb.dtype == jnp.uint8 and packed_scales is not None
+    if int4 and packed_emb.shape[1] * 2 != d:
+        raise ValueError(
+            f"packed int4 layout must be (rows, D/2); got "
+            f"{packed_emb.shape} for D={d}"
+        )
     q_spec = pl.BlockSpec((block_q, d), lambda i, j, u: (i, 0))
     common_specs = [
         pl.BlockSpec((block_q, 1), lambda i, j, u: (i, 0)),
         pl.BlockSpec((block_q, probes.shape[1]), lambda i, j, u: (i, 0)),
-        pl.BlockSpec((capacity, d), lambda i, j, u: (u[j], 0)),
+        pl.BlockSpec((capacity, d // 2 if int4 else d),
+                     lambda i, j, u: (u[j], 0)),
         pl.BlockSpec((1, capacity), lambda i, j, u: (0, u[j])),
     ]
-    if packed_scales is not None and int8_mxu:
+    if int4:
+        qs = jnp.maximum(
+            jnp.max(jnp.abs(queries), axis=1, keepdims=True) / 127.0,
+            1e-12,
+        )
+        qq = jnp.clip(jnp.rint(queries / qs), -127, 127).astype(jnp.int8)
+        in_specs = [
+            q_spec,
+            pl.BlockSpec((block_q, 1), lambda i, j, u: (i, 0)),  # qs
+            *common_specs,
+            pl.BlockSpec((1, capacity), lambda i, j, u: (0, u[j])),  # cs
+        ]
+        args = [qq, qs, query_keys, probes, packed_emb, packed_keys,
+                packed_scales[None, :]]
+        kernel = functools.partial(
+            _ivf_topk_kernel_int4_mxu, k=k, capacity=capacity,
+            num_u=num_u, n_lists=n_lists,
+        )
+    elif packed_scales is not None and int8_mxu:
         qs = jnp.maximum(
             jnp.max(jnp.abs(queries), axis=1, keepdims=True) / 127.0,
             1e-12,

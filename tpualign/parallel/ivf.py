@@ -46,6 +46,12 @@ runs on device with static shapes:
   kernel's int8 mode — or, with ``int8_mxu=True``, queries quantize too
   and the block matmul runs s8 x s8 -> s32 on the MXU (2x rate, no fp32
   dequant intermediate, ~1e-3 extra query-side noise).
+- **int4**: ``precision="int4"`` stores the layout as packed nibble
+  pairs ((rows, D/2) uint8, offset-8 encoding — 8x corpus HBM capacity
+  at coarser ~1e-2-level noise); the kernel unpacks per VMEM block and
+  scores with two half-width s8 x s8 -> s32 MXU dots. Builds accept
+  fp32 corpora (quantized along the packed layout) or pre-packed
+  ``(N, D/2)`` uint8 + per-row scales (no fp32 copy ever exists).
 
 Recall semantics match IVFFlat's: a query's true neighbors are found iff
 their clusters are probed (or they spilled). ``n_probes = n_lists`` is
@@ -81,6 +87,36 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+# packed-int4 helpers (layout contract shared with
+# retrieval._quantize_rows_int4: two offset-8 nibbles per byte, LOW
+# nibbles dims [0, D/2), HIGH nibbles [D/2, D)). A byte of 0x88 decodes
+# to (0.0, 0.0) — the all-zero padding row for packed corpora.
+INT4_ZERO_BYTE = 0x88
+
+
+def _unpack_int4(x):
+    """(..., D/2) uint8 nibble pairs -> (..., D) fp32 (unscaled)."""
+    b = x.astype(jnp.int32)
+    return jnp.concatenate(
+        [(b & 15) - 8, (b >> 4) - 8], axis=-1
+    ).astype(jnp.float32)
+
+
+def _pack_rows_int4(x):
+    """(rows, D) fp32 -> ((rows, D/2) uint8, (rows,) fp32 scales): the
+    jnp analogue of ``retrieval._quantize_rows_int4`` (per-row symmetric
+    4-bit in [-7, 7], offset-8 nibble encoding). Requires even D."""
+    d = x.shape[1]
+    if d % 2:
+        raise ValueError(f"int4 packing needs even embedding dim, got {d}")
+    scale = jnp.maximum(
+        jnp.max(jnp.abs(x), axis=1, keepdims=True) / 7.0, 1e-12
+    )
+    qv = jnp.clip(jnp.rint(x / scale), -7, 7).astype(jnp.int32) + 8
+    packed = (qv[:, : d // 2] | (qv[:, d // 2:] << 4)).astype(jnp.uint8)
+    return packed, scale.astype(jnp.float32)[:, 0]
+
+
 def _max_capacity(dim: int, itemsize: int, budget: int = 12 * 2**20,
                   int8_mxu: bool = False) -> int:
     """Largest packed-cluster capacity whose kernel block fits the ~16MB
@@ -94,7 +130,13 @@ def _max_capacity(dim: int, itemsize: int, budget: int = 12 * 2**20,
     d=512 compile-probed OK on v5e (2x the dequant bound — half the
     lists, half the spill, fewer per-block fixed costs). Multiples of
     128 (lane alignment)."""
-    if int8_mxu and itemsize == 1:
+    if itemsize == 0:
+        # packed int4 (the MXU nibble kernel): per row the double-
+        # buffered (D/2) packed block (D bytes) + the int32 unpack
+        # intermediate (2D) + the lo/hi int8 planes (D) + accumulator
+        # columns — conservative until compile-probed on real Mosaic
+        per_row = dim * 4 + 512
+    elif int8_mxu and itemsize == 1:
         per_row = dim * 2 + 512
     else:
         per_row = dim * (8 if itemsize == 4 else 6)
@@ -108,21 +150,25 @@ def _kmeans(corpus, scales, centroids, iters: int, block: int):
     ``corpus`` is ``(N, D)`` with N % block == 0 (caller pads); padding
     rows must be all-zero — they get weight 0 via their zero norm and
     cannot perturb centroids. With ``scales`` (an (N, 1) fp32 array) the
-    corpus is int8 and each block dequantizes in the scan body right
-    before its matmul — the build never materializes an fp32 corpus, so
-    int8 capacity extends to the index's packing peak, not 4x less.
-    ``centroids`` is the (L, D) fp32 init (caller picks real rows,
-    deterministically — build must be reproducible). Empty clusters keep
-    their previous centroid.
+    corpus is int8 — or packed int4 ((N, D/2) uint8 nibble pairs; the
+    zero padding row is 0x88 bytes) — and each block dequantizes in the
+    scan body right before its matmul — the build never materializes an
+    fp32 corpus, so quantized capacity extends to the index's packing
+    peak, not 4-8x less. ``centroids`` is the (L, D) fp32 init (caller
+    picks real rows, deterministically — build must be reproducible).
+    Empty clusters keep their previous centroid.
     """
-    n, d = corpus.shape
+    n, cols = corpus.shape
+    d = cols * 2 if corpus.dtype == jnp.uint8 else cols  # unpacked width
     n_lists = centroids.shape[0]
     n_blocks = n // block
-    blocks = corpus.reshape(n_blocks, block, d)
+    blocks = corpus.reshape(n_blocks, block, cols)
     sblocks = (None if scales is None
                else scales.reshape(n_blocks, block, 1))
 
     def deq(xb, sb):
+        if xb.dtype == jnp.uint8:  # packed int4 rows
+            return _unpack_int4(xb) * sb
         if sb is None:
             return xb
         return xb.astype(jnp.float32) * sb
@@ -251,8 +297,10 @@ class IVFIndex:
         int8_mxu: Optional[bool] = None,
         mesh=None,
     ):
-        if precision not in ("fp32", "int8"):
-            raise ValueError(f"precision must be fp32|int8, got {precision}")
+        if precision not in ("fp32", "int8", "int4"):
+            raise ValueError(
+                f"precision must be fp32|int8|int4, got {precision}"
+            )
         self.vocab: Dict[str, int] = {}
         # mesh (data axis > 1): rows shard across devices; every shard
         # k-means its LOCAL rows into n_lists/n_devices lists, searches
@@ -286,11 +334,21 @@ class IVFIndex:
                 raise ValueError("int8 corpus needs corpus_scales")
             precision = "int8"
             scales_in = jnp.asarray(corpus_scales, jnp.float32).reshape(-1, 1)
+        elif corpus.dtype == jnp.uint8:
+            # pre-quantized PACKED int4 corpus ((N, D/2) offset-8 nibble
+            # pairs, see retrieval._quantize_rows_int4): k-means unpacks
+            # blockwise in its scan body; the layout packs nibble rows
+            # directly — the 8x-capacity build never holds fp32 rows
+            if corpus_scales is None:
+                raise ValueError("packed int4 corpus needs corpus_scales")
+            precision = "int4"
+            scales_in = jnp.asarray(corpus_scales, jnp.float32).reshape(-1, 1)
         else:
             corpus = corpus.astype(jnp.float32)
             scales_in = None
         self.precision = precision
-        self.n, self.dim = corpus.shape
+        self.n, d_cols = corpus.shape
+        self.dim = d_cols * 2 if corpus.dtype == jnp.uint8 else d_cols
         if self.n == 0:
             raise ValueError("IVFIndex needs a non-empty corpus")
         if keys is not None:
@@ -316,7 +374,8 @@ class IVFIndex:
         # lists would either blow the scoped-vmem compile (measured) or
         # dump whole clusters into the everyone-scans spill tail
         max_cap = _max_capacity(
-            self.dim, 1 if precision == "int8" else 4,
+            self.dim,
+            {"int8": 1, "int4": 0}.get(precision, 4),
             int8_mxu=self.int8_mxu and precision == "int8",
         )
         min_lists = -(-int(np.ceil(capacity_factor * self.n)) // max_cap)
@@ -355,9 +414,14 @@ class IVFIndex:
         n_pad = _round_up(self.n, block)
         scales_p = scales_in
         if n_pad > self.n:
+            # packed int4 padding decodes to 0.0 via 0x88, so the
+            # zero-norm validity check in k-means still drops it
+            pad_fill = (INT4_ZERO_BYTE if corpus.dtype == jnp.uint8
+                        else 0)
             corpus_p = jnp.concatenate(
                 [corpus,
-                 jnp.zeros((n_pad - self.n, self.dim), corpus.dtype)]
+                 jnp.full((n_pad - self.n, corpus.shape[1]), pad_fill,
+                          corpus.dtype)]
             )
             keys_p = jnp.concatenate(
                 [keys, jnp.full((n_pad - self.n,), -1, jnp.int32)]
@@ -376,7 +440,10 @@ class IVFIndex:
         init_idx = (np.arange(self.n_lists, dtype=np.int64) * self.n
                     ) // self.n_lists
         init_idx = jnp.asarray(init_idx)
-        init_cent = corpus_p[init_idx].astype(jnp.float32)
+        init_rows = corpus_p[init_idx]
+        init_cent = (_unpack_int4(init_rows)
+                     if init_rows.dtype == jnp.uint8
+                     else init_rows.astype(jnp.float32))
         if scales_p is not None:
             init_cent = init_cent * scales_p[init_idx]
         centroids, assign, sizes = _kmeans(
@@ -420,6 +487,9 @@ class IVFIndex:
             ).astype(jnp.int8)
             self._scales = scales.astype(jnp.float32)[:, 0]
             del pemb
+        elif precision == "int4":
+            self._emb, self._scales = _pack_rows_int4(pemb)
+            del pemb
         else:
             self._emb = pemb
             self._scales = None
@@ -443,7 +513,7 @@ class IVFIndex:
 
         mesh = self.mesh
         ndev = int(dict(mesh.shape)["data"])
-        itemsize = 1 if self.precision == "int8" else 4
+        itemsize = {"int8": 1, "int4": 0}.get(self.precision, 4)
         max_cap = _max_capacity(
             self.dim, itemsize,
             int8_mxu=self.int8_mxu and self.precision == "int8",
@@ -459,9 +529,12 @@ class IVFIndex:
         n_pad = n_local * ndev
         self._n_local = n_local
         if n_pad > self.n:
+            pad_fill = (INT4_ZERO_BYTE if corpus.dtype == jnp.uint8
+                        else 0)
             corpus = jnp.concatenate(
                 [corpus,
-                 jnp.zeros((n_pad - self.n, self.dim), corpus.dtype)]
+                 jnp.full((n_pad - self.n, corpus.shape[1]), pad_fill,
+                          corpus.dtype)]
             )
             keys = jnp.concatenate(
                 [keys, jnp.full((n_pad - self.n,), -1, jnp.int32)]
@@ -502,7 +575,9 @@ class IVFIndex:
         def kmeans_body(c_l, s_l):
             if not has_sc:
                 s_l = None  # dummy arg: shard_map args must be arrays
-            init = c_l[init_idx].astype(jnp.float32)
+            rows = c_l[init_idx]
+            init = (_unpack_int4(rows) if rows.dtype == jnp.uint8
+                    else rows.astype(jnp.float32))
             if s_l is not None:
                 init = init * s_l[init_idx]
             return _kmeans(c_l, s_l, init, iters, block)
@@ -544,7 +619,15 @@ class IVFIndex:
         del corpus, keys, assign
         if scales_in is not None:
             self._emb = pemb
-            self._scales = scales_in[jnp.maximum(self._ids, 0), 0]
+            # the packed ids are SHARD-LOCAL: gather each shard's scales
+            # from its own rows inside shard_map (a plain global gather
+            # here would fetch shard 0's scales for every shard — r3
+            # regression test pins this)
+            self._scales = jax.jit(jax.shard_map(
+                lambda s_l, i_l: s_l[jnp.maximum(i_l, 0), 0],
+                mesh=mesh, in_specs=(P("data", None), P("data")),
+                out_specs=P("data"), check_vma=False,
+            ))(scales_in, self._ids)
         elif self.precision == "int8":
             scales = jnp.maximum(
                 jnp.max(jnp.abs(pemb), axis=1, keepdims=True) / 127.0,
@@ -554,6 +637,9 @@ class IVFIndex:
                 jnp.rint(pemb / scales), -127, 127
             ).astype(jnp.int8)
             self._scales = scales.astype(jnp.float32)[:, 0]
+            del pemb
+        elif self.precision == "int4":
+            self._emb, self._scales = _pack_rows_int4(pemb)
             del pemb
         else:
             self._emb = pemb
@@ -752,9 +838,9 @@ class IVFIndex:
         )
         # sample queries straight from the packed layout (device gather)
         pos = np.asarray(self._positions_of(sel))
-        q = self._emb[pos].astype(jnp.float32)
-        if self._scales is not None:
-            q = q * self._scales[pos][:, None]
+        q = _dequant(self._emb[pos],
+                     None if self._scales is None
+                     else self._scales[pos][:, None])
         qk = jnp.full((s,), WILDCARD_KEY, jnp.int32)
         _, nbr = self.search_encoded(np.asarray(q), np.asarray(qk), k,
                                      n_probes=self.n_lists)
@@ -872,10 +958,12 @@ class IVFIndex:
         z = np.load(path)
         meta = _json.loads(bytes(z["meta"]).decode())
         corpus = jnp.asarray(corpus_embeddings)
-        if corpus.shape != (meta["n"], meta["dim"]):
+        want_cols = (meta["dim"] // 2 if corpus.dtype == jnp.uint8
+                     else meta["dim"])  # packed int4 rows are D/2 bytes
+        if corpus.shape != (meta["n"], want_cols):
             raise ValueError(
                 f"corpus shape {corpus.shape} does not match saved index "
-                f"({meta['n']}, {meta['dim']})"
+                f"({meta['n']}, {want_cols})"
             )
         from tpualign.parallel.retrieval import _use_int8_mxu
 
@@ -908,6 +996,21 @@ class IVFIndex:
             self._emb = corpus[gather]
             self._scales = jnp.asarray(
                 corpus_scales, jnp.float32).reshape(-1)[gather]
+        elif corpus.dtype == jnp.uint8:
+            if corpus_scales is None:
+                raise ValueError("packed int4 corpus needs corpus_scales")
+            if self.precision != "int4":
+                raise ValueError(
+                    f"{self.precision} index cannot load a packed int4 "
+                    "corpus"
+                )
+            self._emb = corpus[gather]
+            self._scales = jnp.asarray(
+                corpus_scales, jnp.float32).reshape(-1)[gather]
+        elif self.precision == "int4":
+            self._emb, self._scales = _pack_rows_int4(
+                corpus.astype(jnp.float32)[gather]
+            )
         elif self.precision == "int8":
             pemb = corpus.astype(jnp.float32)[gather]
             scales = jnp.maximum(
@@ -927,9 +1030,10 @@ class IVFIndex:
     def memory_bytes(self) -> int:
         """Resident bytes: packed corpus + keys + ids + centroids."""
         total = self._emb.shape[0]
-        item = 1 if self.precision == "int8" else 4
-        scale = 4 if self.precision == "int8" else 0
-        return (total * (self.dim * item + 8 + scale)
+        row = {"int8": self.dim, "int4": self.dim // 2}.get(
+            self.precision, self.dim * 4)
+        scale = 0 if self.precision == "fp32" else 4
+        return (total * (row + 8 + scale)
                 + self.n_lists * self.dim * 4)
 
 
@@ -977,6 +1081,8 @@ def _probe_depths_sharded(q, nbr, centroids, positions, ndev: int,
 
 
 def _dequant(emb, scales):
+    if emb.dtype == jnp.uint8:  # packed int4 rows
+        return _unpack_int4(emb) * scales
     if scales is None:
         return emb
     return emb.astype(jnp.float32) * scales
@@ -1084,7 +1190,8 @@ def _ivf_kernel_search(q, qk, centroids, pemb, pkeys, pids, pscales,
     never routed with exact_ties). ``int8_mxu`` runs int8 layouts as
     s8 x s8 -> s32 MXU matmuls (queries quantized in the prologue)."""
     b, d = q.shape
-    block_q = min(64, _round_up(b, 32 if int8_mxu else 8))
+    int4 = pemb.dtype == jnp.uint8 and pscales is not None
+    block_q = min(64, _round_up(b, 32 if (int8_mxu or int4) else 8))
     bp = _round_up(b, block_q)
     if bp > b:
         q = jnp.pad(q, ((0, bp - b), (0, 0)))
