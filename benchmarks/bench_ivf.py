@@ -11,7 +11,9 @@ the production beyond-fp32-HBM build path), and the exact baseline runs
 the int8 streaming kernel. ``precision=int8_mxu`` is the same int8
 layout served through the s8 x s8 -> s32 MXU kernel variant (queries
 quantized per dispatch, no fp32 dequant intermediate in VMEM) — the
-A/B for the dequant-vs-MXU int8 serving path.
+A/B for the dequant-vs-MXU int8 serving path. ``precision=int4`` packs
+two offset-8 nibbles per byte on device (8x fp32 capacity) and serves
+through the nibble-unpack MXU kernel.
 
 Usage: python benchmarks/bench_ivf.py [n] [n_lists] [d] [n_queries]
                                       [precision] [probes,csv]
@@ -71,6 +73,13 @@ def main() -> None:
             )
             x = jnp.clip(jnp.rint(x / s), -127, 127).astype(jnp.int8)
             return x, s[:, 0], q
+        if precision == "int4":
+            s = jnp.maximum(
+                jnp.max(jnp.abs(x), axis=1, keepdims=True) / 7.0, 1e-12
+            )
+            qv = jnp.clip(jnp.rint(x / s), -7, 7).astype(jnp.int32) + 8
+            x = (qv[:, : d // 2] | (qv[:, d // 2:] << 4)).astype(jnp.uint8)
+            return x, s[:, 0], q
         return x, None, q
 
     # root key is split per segment; queries come from segment 0
@@ -86,7 +95,7 @@ def main() -> None:
         float(jnp.sum(x[0].astype(jnp.float32)))  # sync before next seg
     corpus = segs[0] if len(segs) == 1 else jnp.concatenate(segs)
     del segs
-    cscales = (None if precision != "int8"
+    cscales = (None if precision not in ("int8", "int4")
                else (scales[0] if len(scales) == 1
                      else jnp.concatenate(scales)))
     del scales
