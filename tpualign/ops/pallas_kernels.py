@@ -77,6 +77,13 @@ def _merge_running_topk(run_vals, run_idx, sims, col, k: int):
     Candidate order [old winners (smaller global idx), block cols
     ascending] + argmax's first-occurrence rule = ascending-index
     tie-break across the whole sweep. Returns (new_vals, new_idx).
+
+    NOTE a per-lane variant — (Qb, k, 128) state, every reduction on the
+    sublane axis instead of these cross-lane argmax trees, exact by the
+    at-most-k-1-above-per-lane union argument — was measured and
+    REJECTED on v5e: bit-identical results but 0.56-0.73x across fp32/
+    int8/int4 regimes (3D candidate relayouts cost more than the lane
+    shuffles they remove). See benchmarks/exp_lane_merge.py.
     """
     qb = sims.shape[0]
     cand_vals = jnp.concatenate([run_vals, sims], axis=1)
