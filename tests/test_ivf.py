@@ -700,3 +700,73 @@ def test_sharded_prequantized_scales_gather_per_shard():
     expect = scale[np.minimum(gid, n - 1)]
     valid = ids >= 0
     np.testing.assert_allclose(got[valid], expect[valid], rtol=1e-6)
+
+
+# -- incremental inserts --------------------------------------------------------
+
+
+def test_ivf_add_full_probe_matches_fresh_rebuild():
+    """IVFIndex.add (classic IVFFlat insert: nearest list, spill on
+    overflow, no retraining): full-probe search after adds must equal a
+    FRESH build over the combined corpus — full probing is
+    assignment-independent and the per-row quantization grid is
+    identical — for every precision."""
+    rng = np.random.default_rng(81)
+    n, extra, d = 600, 300, 32
+    c = rng.normal(size=(n + extra, d)).astype(np.float32)
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    man = [f"m{i % 3}" for i in range(n + extra)]
+    page = [1 + i % 4 for i in range(n + extra)]
+    q, qm, qp = c[::11][:40], man[::11][:40], page[::11][:40]
+    for prec in ("fp32", "int8", "int4"):
+        ix = IVFIndex(c[:n], man[:n], page[:n], n_lists=8, iters=4,
+                      precision=prec)
+        ix.add(c[n:n + 100], man[n:n + 100], page[n:n + 100])
+        ix.add(c[n + 100:], man[n + 100:], page[n + 100:])
+        assert ix.n == n + extra
+        fresh = IVFIndex(c, man, page, n_lists=8, iters=4, precision=prec)
+        v1, i1 = ix.search(q, qm, qp, k=8, n_probes=ix.n_lists)
+        v2, i2 = fresh.search(q, qm, qp, k=8, n_probes=fresh.n_lists)
+        np.testing.assert_array_equal(i1, i2, err_msg=prec)
+        has = i2 >= 0
+        np.testing.assert_allclose(v1[has], v2[has], rtol=0, atol=2e-5,
+                                   err_msg=prec)
+
+
+def test_ivf_add_grows_spill_and_stays_exact():
+    """Adds into full clusters overflow to the spill tail; a full tail
+    grows by whole blocks. Full probes stay exact vs the dense oracle,
+    probed search finds the added rows, and calibrate still runs."""
+    rng = np.random.default_rng(83)
+    c, _ = make_clustered(rng, n=2348, d=16, g=4)
+    n = 2048
+    small = IVFIndex(c[:n], n_lists=16, iters=4, capacity_factor=0.05)
+    assert small.spill > 0  # genuinely overfull lists
+    tot0 = small._ids.shape[0]
+    small.add(c[n:])
+    assert small._ids.shape[0] > tot0, "spill tail must have grown"
+    assert small.n == len(c)
+    q = c[::13][:40]
+    from tpualign.parallel.retrieval import RetrievalIndex
+    ex = RetrievalIndex(c, ["m"] * len(c), [1] * len(c))
+    _, i1 = small.search(q, k=8, n_probes=small.n_lists,
+                         global_search=True)
+    _, i2 = ex.search(q, k=8, global_search=True)
+    np.testing.assert_array_equal(i1, i2)
+    # probed search (default probes) finds the freshly added rows
+    small.calibrate(0.9, k=5, sample=64)
+    _, iq = small.search(c[n:n + 16], k=1, global_search=True)
+    assert (np.asarray(iq)[:, 0] == np.arange(n, n + 16)).mean() >= 0.9
+
+
+def test_ivf_add_rejects_mesh_and_bad_shapes():
+    rng = np.random.default_rng(87)
+    c, _ = make_clustered(rng, n=512, d=16, g=4)
+    ix = IVFIndex(c, n_lists=8, iters=2, mesh=_mesh8())
+    with pytest.raises(NotImplementedError, match="rebuild"):
+        ix.add(c[:2])
+    sx = IVFIndex(c, n_lists=8, iters=2)
+    with pytest.raises(ValueError, match="must be"):
+        sx.add(np.zeros((2, 8), np.float32))
+    sx.add(np.zeros((0, 16), np.float32))  # no-op
+    assert sx.n == 512

@@ -991,3 +991,61 @@ def test_int4_rejects_recall_target():
     with pytest.raises(ValueError, match="recall_target"):
         RetrievalIndex(c, ["m"] * 64, [1] * 64, precision="int4",
                        recall_target=0.9)
+
+
+# -- incremental inserts --------------------------------------------------------
+
+
+def test_add_matches_fresh_build_all_precisions():
+    """RetrievalIndex.add (pgvector INSERT parity): adds in several
+    chunks — crossing a capacity growth — must rank bit-identically to
+    an index built with the combined corpus in one shot, keyed and
+    wildcard, for every precision (per-row quantization is row-local)."""
+    rng = np.random.default_rng(71)
+    n, extra, d = 300, 200, 32
+    c = rng.normal(size=(n + extra, d)).astype(np.float32)
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    man = [f"m{i % 4}" for i in range(n + extra)]
+    page = [1 + i % 3 for i in range(n + extra)]
+    q, qm, qp = c[::7][:40], man[::7][:40], page[::7][:40]
+    for prec in ("fp32", "int8", "int4"):
+        ix = RetrievalIndex(c[:n], man[:n], page[:n], precision=prec)
+        for s0, s1 in ((n, n + 50), (n + 50, n + 120), (n + 120, n + extra)):
+            ix.add(c[s0:s1], man[s0:s1], page[s0:s1])
+        assert ix.n == n + extra and ix._n_cap >= ix.n
+        full = RetrievalIndex(c, man, page, precision=prec)
+        v1, i1 = ix.search(q, qm, qp, k=8)
+        v2, i2 = full.search(q, qm, qp, k=8)
+        np.testing.assert_array_equal(i1, i2, err_msg=prec)
+        np.testing.assert_array_equal(v1, v2, err_msg=prec)
+        g1 = ix.search(q, k=8, global_search=True)
+        g2 = full.search(q, k=8, global_search=True)
+        np.testing.assert_array_equal(np.asarray(g1[1]), np.asarray(g2[1]),
+                                      err_msg=prec)
+
+
+def test_add_empty_start_and_new_manual_vocab():
+    """add() on an empty index builds it; new manual ids extend the
+    vocab so keyed searches find them."""
+    rng = np.random.default_rng(73)
+    d = 16
+    c = rng.normal(size=(64, d)).astype(np.float32)
+    ix = RetrievalIndex(np.zeros((0, d), np.float32), [], [],
+                        precision="int8")
+    ix.add(c, ["newman"] * 64, [1] * 64)
+    assert ix.n == 64 and "newman" in ix.vocab
+    _, i = ix.search(c[:4], ["newman"] * 4, [1] * 4, k=3)
+    assert (np.asarray(i)[:, 0] == np.arange(4)).all()
+    ix.add(np.zeros((0, d), np.float32), [], [])  # no-op
+    assert ix.n == 64
+
+
+def test_add_rejects_mesh_and_bad_dim(mesh8):
+    rng = np.random.default_rng(79)
+    c = rng.normal(size=(64, 16)).astype(np.float32)
+    ix = RetrievalIndex(c, ["m"] * 64, [1] * 64, mesh=mesh8)
+    with pytest.raises(NotImplementedError, match="rebuild"):
+        ix.add(c[:2], ["m"] * 2, [1] * 2)
+    sx = RetrievalIndex(c, ["m"] * 64, [1] * 64)
+    with pytest.raises(ValueError, match="dim"):
+        sx.add(np.zeros((2, 8), np.float32), ["m"] * 2, [1] * 2)

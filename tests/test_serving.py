@@ -725,3 +725,54 @@ def test_cli_index_builds_artifact(tmp_path, capsys):
         ivf_mod._kmeans = orig
     res = svc.search_embeddings(emb[3:4], ["m"], [1], k=2)
     assert res[0][0]["chunk_id"] == "c3"
+
+
+def test_add_chunks_and_http_add(service):
+    """POST /add (pgvector INSERT parity): inserted chunks become
+    retrievable without a /reload, stats track the new corpus size, and
+    bad payloads 400."""
+    svc, emb, ids, manuals, pages = service
+    rng = np.random.default_rng(11)
+    new = rng.normal(size=(8, emb.shape[1])).astype(np.float32)
+    new /= np.linalg.norm(new, axis=1, keepdims=True)
+    new_ids = [f"new{i}" for i in range(8)]
+    out = svc.add_chunks(new_ids, ["m9"] * 8, [1] * 8, new)
+    assert out == {"added": 8, "corpus_size": len(emb) + 8}
+    res = svc.search_embeddings(new[:2], ["m9"] * 2, [1] * 2, k=3)
+    assert [r[0]["chunk_id"] for r in res] == new_ids[:2]
+    assert svc.stats()["corpus_size"] == len(emb) + 8
+
+    srv = serve(svc, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = srv.server_address[1]
+
+        def post(path, payload, expect=200):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}{path}",
+                json.dumps(payload).encode(),
+                {"Content-Type": "application/json"},
+            )
+            try:
+                resp = urllib.request.urlopen(req, timeout=30)
+                assert expect == 200
+                return json.loads(resp.read())
+            except urllib.error.HTTPError as e:
+                assert e.code == expect, (e.code, expect)
+                return json.loads(e.read())
+
+        out = post("/add", {
+            "chunk_ids": ["h1", "h2"], "manuals": ["m9", "m9"],
+            "pages": [2, 2],
+            "embeddings": new[2:4].tolist(),
+        })
+        assert out["added"] == 2 and out["corpus_size"] == len(emb) + 10
+        res = post("/search", {"embeddings": new[2:3].tolist(), "k": 2,
+                               "manuals": ["m9"], "pages": [2]})
+        assert res["results"][0][0]["chunk_id"] == "h1"
+        err = post("/add", {"chunk_ids": ["x"], "manuals": ["m"],
+                            "embeddings": new[:2].tolist()}, expect=400)
+        assert "error" in err
+    finally:
+        srv.shutdown()

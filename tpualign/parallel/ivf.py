@@ -699,6 +699,134 @@ class IVFIndex:
         self._sharded_cache[key] = run
         return run
 
+    # -- incremental inserts -----------------------------------------------------
+
+    def add(
+        self,
+        embeddings,
+        manuals: Optional[Sequence[str]] = None,
+        pages: Optional[Sequence[Optional[int]]] = None,
+    ) -> None:
+        """Incremental insert, classic IVFFlat semantics (pgvector
+        absorbs ``INSERT``s into existing lists without retraining,
+        ref:src/setup_vector_db.py:155-190): each new row joins its
+        nearest centroid's packed block (appended after the block's used
+        slots — intra-cluster ascending-id order is preserved), rows
+        that land in a FULL block go to the spill tail (scanned exactly
+        by every query, so full-probe search stays bit-exact over the
+        combined corpus), and a full spill tail grows by whole blocks
+        (one-time kernel recompile, logged). Centroids are NOT
+        retrained — standard IVF insert behavior; recall drifts only as
+        the data distribution does (recalibrate with
+        :meth:`calibrate` after bulk drift). Single-device only; sharded
+        serves rebuild from the store."""
+        if self.mesh is not None:
+            raise NotImplementedError(
+                "sharded IVF indexes rebuild from the store; incremental "
+                "add is single-device"
+            )
+        rows = np.asarray(embeddings, np.float32)
+        if rows.ndim != 2 or rows.shape[1] != self.dim:
+            raise ValueError(
+                f"embeddings must be (M, {self.dim}); got {rows.shape}"
+            )
+        m = len(rows)
+        if m == 0:
+            return
+        if manuals is not None:
+            new_keys, _ = encode_keys(manuals, pages, self.vocab)
+        else:
+            new_keys = np.zeros((m,), np.int32)
+
+        # nearest centroid per new row (one device matmul)
+        assign = np.asarray(jnp.argmax(
+            jnp.dot(jnp.asarray(rows), self.centroids.T,
+                    preferred_element_type=jnp.float32), axis=1,
+        ))
+        cap, L = self.capacity, self.n_lists
+        used = np.asarray(jnp.sum(
+            self._keys.reshape(-1, cap) != -1, axis=1,
+        ))  # per packed block; used slots are contiguous from slot 0
+
+        order = np.argsort(assign, kind="stable")
+        a_sorted = assign[order]
+        starts = np.searchsorted(a_sorted, np.arange(L), side="left")
+        rank = np.arange(m) - starts[a_sorted]
+        slot = used[a_sorted] + rank
+        in_main = slot < cap
+        dest_sorted = a_sorted.astype(np.int64) * cap + slot
+
+        emb, keys_arr = self._emb, self._keys
+        ids_arr, scales_arr = self._ids, self._scales
+        spill_blocks = self.spill_blocks
+        n_over = int((~in_main).sum())
+        if n_over:
+            spill_start = (L + 1) * cap
+            spill_used = int(used[L + 1:].sum())  # tail fills contiguously
+            need = spill_start + spill_used + n_over
+            total = ids_arr.shape[0]
+            if need > total:
+                add_blocks = -(-(need - total) // cap)
+                grow = add_blocks * cap
+                pad_fill = (INT4_ZERO_BYTE
+                            if emb.dtype == jnp.uint8 else 0)
+                emb = jnp.concatenate(
+                    [emb, jnp.full((grow, emb.shape[1]), pad_fill,
+                                   emb.dtype)]
+                )
+                keys_arr = jnp.concatenate(
+                    [keys_arr, jnp.full((grow,), -1, jnp.int32)]
+                )
+                ids_arr = jnp.concatenate(
+                    [ids_arr, jnp.full((grow,), -1, jnp.int32)]
+                )
+                if scales_arr is not None:
+                    scales_arr = jnp.concatenate(
+                        [scales_arr, jnp.ones((grow,), jnp.float32)]
+                    )
+                spill_blocks += add_blocks
+                log.info(
+                    "IVF add: spill tail grew by %d block(s) to hold %d "
+                    "overflow row(s) — searches recompile once",
+                    add_blocks, n_over,
+                )
+            dest_sorted[~in_main] = (spill_start + spill_used
+                                     + np.arange(n_over))
+        dest = np.empty(m, np.int64)
+        dest[order] = dest_sorted
+
+        if self.precision == "int8":
+            s = np.maximum(np.abs(rows).max(axis=1, keepdims=True) / 127.0,
+                           1e-12)
+            new_rows = np.clip(np.rint(rows / s), -127, 127).astype(np.int8)
+            new_scales = s.astype(np.float32)[:, 0]
+        elif self.precision == "int4":
+            packed, new_scales = _pack_rows_int4(jnp.asarray(rows))
+            new_rows = packed
+        else:
+            new_rows, new_scales = rows, None
+
+        d_dev = jnp.asarray(dest)
+        emb = emb.at[d_dev].set(jnp.asarray(new_rows))
+        keys_arr = keys_arr.at[d_dev].set(jnp.asarray(new_keys, jnp.int32))
+        ids_arr = ids_arr.at[d_dev].set(
+            jnp.asarray(np.arange(self.n, self.n + m), jnp.int32)
+        )
+        if scales_arr is not None:
+            scales_arr = scales_arr.at[d_dev].set(
+                jnp.asarray(new_scales, jnp.float32)
+            )
+        # one C-level swap: racing searches see the old or the new field
+        # set, never a shape-mismatched mix; the lazy positions cache
+        # drops with the same swap
+        state = {
+            "_emb": emb, "_keys": keys_arr, "_ids": ids_arr,
+            "_scales": scales_arr, "n": self.n + m,
+            "spill": self.spill + n_over, "spill_blocks": spill_blocks,
+        }
+        self.__dict__.pop("_positions_cache", None)
+        self.__dict__.update(state)
+
     # -- search ----------------------------------------------------------------
 
     def _kernel_path(self, exact_ties: bool, k: int) -> bool:

@@ -44,6 +44,10 @@ from tpualign.utils.logging import get_logger
 
 log = get_logger("parallel.retrieval")
 
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
 __all__ = ["RetrievalIndex", "build_index", "sharded_topk_search",
            "encode_keys"]
 
@@ -597,6 +601,96 @@ class RetrievalIndex:
             self._n_local = self.n
             self._corpus = jax.device_put(corpus)
             self._keys = jax.device_put(keys)
+
+    # -- incremental inserts -----------------------------------------------------
+
+    # Growth slack: adds past the allocated capacity reallocate to
+    # GROWTH x the needed rows (rounded to 1024). Slack rows carry key -1
+    # (masked by every scoring path, exactly like kernel padding), so a
+    # typical add is a pure device data update — the search executables'
+    # shapes are unchanged and NOTHING recompiles until slack runs out.
+    GROWTH = 1.25
+
+    def add(
+        self,
+        embeddings: np.ndarray,
+        manuals: Optional[Sequence[str]] = None,
+        pages: Optional[Sequence[Optional[int]]] = None,
+    ) -> None:
+        """Incremental insert — pgvector's ``INSERT`` parity
+        (ref:src/setup_vector_db.py:155-190: the reference's index
+        absorbs inserts without a rebuild; this index previously only
+        rebuilt). New rows get corpus indices ``n..n+m-1`` and per-row
+        quantization, so results are IDENTICAL (ties included) to an
+        index built with the combined corpus in one shot.
+
+        Single-device only: sharded adds would re-balance shards —
+        rebuild from the store on a mesh (``tpualign serve`` /reload).
+        New manual ids extend the index vocab. All-new-array swap makes
+        racing searches see either the old or the new corpus, never a
+        mix (growth reallocations included)."""
+        if self.mesh is not None:
+            raise NotImplementedError(
+                "sharded indexes rebuild from the store (POST /reload); "
+                "incremental add is single-device"
+            )
+        rows = np.asarray(embeddings, np.float32)
+        if rows.ndim != 2:
+            raise ValueError(f"embeddings must be (M, D); got {rows.shape}")
+        m = len(rows)
+        if m == 0:
+            return
+        if manuals is not None:
+            keys, _ = encode_keys(manuals, pages, self.vocab)  # extends
+        else:
+            keys = np.zeros((m,), np.int32)
+        if self.n == 0:
+            self._init_from_arrays(rows.shape[1], rows, keys, None,
+                                   self.precision, self.recall_target)
+            self._n_cap = self.n
+            return
+        if rows.shape[1] != self.dim:
+            raise ValueError(
+                f"embedding dim {rows.shape[1]} != index dim {self.dim}"
+            )
+
+        if self.precision == "int8":
+            new_rows, new_scales = _quantize_rows(rows)
+        elif self.precision == "int4":
+            new_rows, new_scales = _quantize_rows_int4(rows)
+        else:
+            new_rows, new_scales = rows, None
+
+        cap = getattr(self, "_n_cap", self.n)
+        total = self.n + m
+        corpus, ckeys = self._corpus, self._keys
+        scales = self._corpus_scales
+        if total > cap:
+            new_cap = _round_up(max(total, int(cap * self.GROWTH)), 1024)
+            grow = new_cap - cap
+            # grow ON DEVICE (concat of device array + fresh padding):
+            # the resident corpus never crosses the host link
+            corpus = jnp.concatenate(
+                [corpus, jnp.zeros((grow, corpus.shape[1]), corpus.dtype)]
+            )
+            ckeys = jnp.concatenate(
+                [ckeys, jnp.full((grow,), -1, jnp.int32)]
+            )
+            if scales is not None:
+                scales = jnp.concatenate(
+                    [scales, jnp.ones((grow,), jnp.float32)]
+                )
+            cap = new_cap
+        corpus = corpus.at[self.n: total].set(jnp.asarray(new_rows))
+        ckeys = ckeys.at[self.n: total].set(jnp.asarray(keys, jnp.int32))
+        if scales is not None:
+            scales = scales.at[self.n: total].set(jnp.asarray(new_scales))
+        # single C-level swap: concurrent searches observe the old or the
+        # new field SET, never a shape-mismatched mix
+        self.__dict__.update({
+            "_corpus": corpus, "_keys": ckeys, "_corpus_scales": scales,
+            "n": total, "_n_local": total, "_n_cap": cap,
+        })
 
     # -- search ------------------------------------------------------------------
 

@@ -316,6 +316,43 @@ class RetrievalService:
             if image_embeddings is not None else None
         )
         self.weak_lookup = weak_lookup or {}
+        self._add_lock = threading.Lock()
+
+    # -- incremental inserts -------------------------------------------------------
+
+    def add_chunks(
+        self,
+        chunk_ids: Sequence[str],
+        manuals: Sequence[str],
+        pages: Sequence[Optional[int]],
+        embeddings: np.ndarray,
+    ) -> dict:
+        """Incremental corpus inserts without a rebuild — the pgvector
+        ``INSERT`` parity path (ref:src/setup_vector_db.py:155-190: the
+        reference's served index absorbs inserts; ours previously only
+        rebuilt via POST /reload). Routes to ``RetrievalIndex.add`` /
+        ``IVFIndex.add``; new manual ids extend the index vocab. The
+        serving corpus is append-only between reloads — the store's
+        upsert dedups at ingest time, so duplicate chunk ids here mean
+        the caller skipped the store (allowed, but both copies serve
+        until the next /reload)."""
+        emb = np.asarray(embeddings, np.float32)
+        if emb.ndim != 2:
+            raise ValueError(f"embeddings must be (M, D); got {emb.shape}")
+        if not (len(chunk_ids) == len(manuals) == len(emb)) or (
+                pages is not None and len(pages) != len(emb)):
+            raise ValueError(
+                "chunk_ids, manuals, pages and embeddings must have "
+                "matching lengths"
+            )
+        with self._add_lock:
+            # ids first: a search racing the index add can see the OLD
+            # corpus (no new indices) with extra ids — harmless — but
+            # never a new index without its id
+            self.chunk_ids.extend(str(c) for c in chunk_ids)
+            self.index.add(emb, list(manuals),
+                           list(pages) if pages is not None else None)
+        return {"added": len(emb), "corpus_size": self.index.n}
 
     # -- queries -----------------------------------------------------------------
 
@@ -581,6 +618,16 @@ def _make_handler(box: "_ServiceBox"):
                 length = int(self.headers.get("Content-Length", "0"))
                 req = json.loads(self.rfile.read(length) or b"{}")
                 k = int(req.get("k", 10))
+                if self.path == "/add":
+                    out = service.add_chunks(
+                        req["chunk_ids"], req["manuals"], req.get("pages"),
+                        np.asarray(req["embeddings"], np.float32),
+                    )
+                    service.metrics.record(
+                        self.path, out["added"], time.perf_counter() - t0
+                    )
+                    self._reply(200, out)
+                    return
                 if self.path == "/search":
                     results = service.search_embeddings(
                         np.asarray(req["embeddings"], np.float32),
