@@ -770,3 +770,22 @@ def test_ivf_add_rejects_mesh_and_bad_shapes():
         sx.add(np.zeros((2, 8), np.float32))
     sx.add(np.zeros((0, 16), np.float32))  # no-op
     assert sx.n == 512
+
+
+def test_ivf_remove_and_readd():
+    """IVF remove tombstones the packed slot (used-slot contiguity for
+    later adds is preserved); a removed id re-added later serves the NEW
+    copy while the old slot stays dead."""
+    rng = np.random.default_rng(95)
+    n, d = 400, 32
+    c = unit(rng.normal(size=(n, d)).astype(np.float32))
+    man = [f"m{i % 3}" for i in range(n)]
+    page = [1 + i % 4 for i in range(n)]
+    iv = IVFIndex(c, man, page, n_lists=8, iters=4)
+    assert iv.remove([0, 1, 2, 999999, -5]) == 3
+    assert iv.remove([0]) == 0
+    _, i1 = iv.search(c[:3], man[:3], page[:3], k=3, n_probes=iv.n_lists)
+    assert not np.isin(np.asarray(i1), [0, 1, 2]).any()
+    iv.add(c[:1], man[:1], page[:1])
+    _, i2 = iv.search(c[:1], man[:1], page[:1], k=2, n_probes=iv.n_lists)
+    assert np.asarray(i2)[0, 0] == n  # the re-added copy's new id

@@ -1049,3 +1049,37 @@ def test_add_rejects_mesh_and_bad_dim(mesh8):
     sx = RetrievalIndex(c, ["m"] * 64, [1] * 64)
     with pytest.raises(ValueError, match="dim"):
         sx.add(np.zeros((2, 8), np.float32), ["m"] * 2, [1] * 2)
+
+
+def test_remove_tombstones_rows():
+    """remove() (pgvector DELETE parity): tombstoned rows can never be
+    returned, repeat removes are no-ops, and the surviving ranking
+    matches a fresh build without those rows — every precision."""
+    rng = np.random.default_rng(91)
+    n, d = 400, 32
+    c = rng.normal(size=(n, d)).astype(np.float32)
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    man = [f"m{i % 3}" for i in range(n)]
+    page = [1 + i % 4 for i in range(n)]
+    for prec in ("fp32", "int8", "int4"):
+        ix = RetrievalIndex(c, man, page, precision=prec)
+        assert ix.remove(range(8)) == 8
+        assert ix.remove(range(8)) == 0
+        assert ix.remove([-3, n + 5]) == 0
+        _, i1 = ix.search(c[:8], man[:8], page[:8], k=3)
+        assert not np.isin(np.asarray(i1), np.arange(8)).any(), prec
+        rest = RetrievalIndex(c[8:], man[8:], page[8:], precision=prec)
+        _, ia = ix.search(c[50:70], man[50:70], page[50:70], k=5)
+        _, ib = rest.search(c[50:70], man[50:70], page[50:70], k=5)
+        np.testing.assert_array_equal(
+            np.where(np.asarray(ia) >= 0, np.asarray(ia) - 8, -1), ib,
+            err_msg=prec,
+        )
+
+
+def test_remove_rejects_mesh(mesh8):
+    rng = np.random.default_rng(93)
+    c = rng.normal(size=(64, 16)).astype(np.float32)
+    ix = RetrievalIndex(c, ["m"] * 64, [1] * 64, mesh=mesh8)
+    with pytest.raises(NotImplementedError, match="rebuild"):
+        ix.remove([0])

@@ -776,3 +776,24 @@ def test_add_chunks_and_http_add(service):
         assert "error" in err
     finally:
         srv.shutdown()
+
+
+def test_remove_chunks_http(service):
+    """POST /remove: tombstoned chunks stop matching immediately;
+    unknown ids are reported, not errors."""
+    svc, emb, ids, manuals, pages = service
+    srv = serve(svc, port=0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        port = srv.server_address[1]
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/remove",
+            json.dumps({"chunk_ids": [ids[5], "nope"]}).encode(),
+            {"Content-Type": "application/json"},
+        )
+        out = json.loads(urllib.request.urlopen(req, timeout=30).read())
+        assert out["removed"] == 1 and out["unknown"] == ["nope"]
+        res = svc.search_embeddings(emb[5:6], [manuals[5]], [pages[5]], k=5)
+        assert all(h["chunk_id"] != ids[5] for h in res[0])
+    finally:
+        srv.shutdown()

@@ -827,6 +827,37 @@ class IVFIndex:
         self.__dict__.pop("_positions_cache", None)
         self.__dict__.update(state)
 
+    def remove(self, corpus_ids) -> int:
+        """Tombstone rows by corpus id (pgvector ``DELETE`` parity):
+        the packed slot's key becomes -2 — a reserved query-padding
+        value no query key can equal — so the row can never be returned,
+        while the slot stays allocated (``!= -1``), preserving the
+        used-slots-are-contiguous invariant :meth:`add` relies on.
+        Slots are reclaimed at the next rebuild, like pgvector's dead
+        tuples before VACUUM. Returns the number of rows newly
+        tombstoned; unknown / already-removed ids are ignored.
+        Single-device only."""
+        if self.mesh is not None:
+            raise NotImplementedError(
+                "sharded IVF indexes rebuild from the store; incremental "
+                "remove is single-device"
+            )
+        ids = np.unique(np.asarray(corpus_ids, np.int64))
+        ids = ids[(ids >= 0) & (ids < self.n)]
+        if ids.size == 0:
+            return 0
+        pos = jnp.asarray(self._positions_of(ids))
+        # guard against a stale position (id re-added after a remove maps
+        # ambiguously): only tombstone slots that actually hold the id
+        live = self._ids[pos] == jnp.asarray(ids, jnp.int32)
+        before = self._keys[pos]
+        keys = self._keys.at[jnp.where(live, pos, self._keys.shape[0])].set(
+            -2, mode="drop"
+        )
+        removed = int(jnp.sum(live & (before != -2)))
+        self.__dict__.update({"_keys": keys})
+        return removed
+
     # -- search ----------------------------------------------------------------
 
     def _kernel_path(self, exact_ties: bool, k: int) -> bool:

@@ -692,6 +692,31 @@ class RetrievalIndex:
             "n": total, "_n_local": total, "_n_cap": cap,
         })
 
+    def remove(self, corpus_indices) -> int:
+        """Tombstone rows (pgvector ``DELETE`` parity): removed rows'
+        keys become -2 — a reserved query-padding value no query key can
+        equal (real keys are non-negative, the wildcard is -3), so they
+        can never be returned — while the slot itself stays allocated
+        (reclaimed at the next rebuild, like pgvector's dead tuples
+        before VACUUM). Returns the number of rows newly tombstoned;
+        out-of-range and already-removed indices are ignored. Exact at
+        every precision; single-device only."""
+        if self.mesh is not None:
+            raise NotImplementedError(
+                "sharded indexes rebuild from the store (POST /reload); "
+                "incremental remove is single-device"
+            )
+        idx = np.unique(np.asarray(corpus_indices, np.int64))
+        idx = idx[(idx >= 0) & (idx < self.n)]
+        if idx.size == 0 or self.n == 0:
+            return 0
+        d_idx = jnp.asarray(idx)
+        before = self._keys[d_idx]
+        keys = self._keys.at[d_idx].set(-2)
+        removed = int(jnp.sum(before != -2))
+        self.__dict__.update({"_keys": keys})
+        return removed
+
     # -- search ------------------------------------------------------------------
 
     # Per-device similarity-matrix budget above which the "auto" strategy

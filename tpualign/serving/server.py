@@ -354,6 +354,21 @@ class RetrievalService:
                            list(pages) if pages is not None else None)
         return {"added": len(emb), "corpus_size": self.index.n}
 
+    def remove_chunks(self, chunk_ids: Sequence[str]) -> dict:
+        """Tombstone chunks by id (pgvector ``DELETE`` parity): removed
+        chunks stop matching immediately; their slots are reclaimed at
+        the next /reload (pgvector's VACUUM analogue). Unknown ids are
+        ignored and reported. If a chunk id was added more than once,
+        the LATEST copy is the one removed."""
+        wanted = [str(c) for c in chunk_ids]
+        pos_of = {cid: i for i, cid in enumerate(self.chunk_ids)}
+        found = [pos_of[c] for c in wanted if c in pos_of]
+        missing = [c for c in wanted if c not in pos_of]
+        with self._add_lock:
+            removed = self.index.remove(found) if found else 0
+        return {"removed": removed, "unknown": missing,
+                "corpus_size": self.index.n}
+
     # -- queries -----------------------------------------------------------------
 
     def _format(self, vals, idx) -> List[List[dict]]:
@@ -625,6 +640,13 @@ def _make_handler(box: "_ServiceBox"):
                     )
                     service.metrics.record(
                         self.path, out["added"], time.perf_counter() - t0
+                    )
+                    self._reply(200, out)
+                    return
+                if self.path == "/remove":
+                    out = service.remove_chunks(req["chunk_ids"])
+                    service.metrics.record(
+                        self.path, out["removed"], time.perf_counter() - t0
                     )
                     self._reply(200, out)
                     return
