@@ -797,3 +797,119 @@ def test_remove_chunks_http(service):
         assert all(h["chunk_id"] != ids[5] for h in res[0])
     finally:
         srv.shutdown()
+
+
+def test_concurrent_adds_and_searches():
+    """Adds racing searches (the ThreadingHTTPServer reality): every
+    search sees a consistent snapshot (old or new corpus, never a
+    shape-mismatched mix — growth reallocations included), and after the
+    dust settles every added chunk is retrievable."""
+    import concurrent.futures
+
+    rng = np.random.default_rng(17)
+    n, d = 64, 16
+    emb = rng.normal(size=(n + 160, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    svc = RetrievalService(
+        emb[:n], [f"c{i}" for i in range(n)], ["m0"] * n, [1] * n,
+        coalesce_window_ms=None,  # direct index path: the racy one
+    )
+
+    def adder(j):
+        s = n + j * 16
+        svc.add_chunks([f"c{i}" for i in range(s, s + 16)],
+                       ["m0"] * 16, [1] * 16, emb[s: s + 16])
+        return "a"
+
+    def searcher(j):
+        res = svc.search_embeddings(emb[j % n: j % n + 1], ["m0"], [1], k=3)
+        assert res[0][0]["chunk_id"] == f"c{j % n}"
+        return "s"
+
+    jobs = [(adder, j) for j in range(10)] + [(searcher, j) for j in range(40)]
+    rng.shuffle(jobs)
+    with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
+        futs = [ex.submit(f, j) for f, j in jobs]
+        for f in futs:
+            f.result()  # raises on any inconsistency
+    assert svc.index.n == n + 160
+    for s in range(n, n + 160, 40):
+        res = svc.search_embeddings(emb[s: s + 1], ["m0"], [1], k=1)
+        assert res[0][0]["chunk_id"] == f"c{s}"
+
+
+def test_sync_applies_store_delta(tmp_path):
+    """POST /sync: after the store gains chunks (an ingest cycle), sync
+    makes them searchable through the insert path — no index rebuild —
+    and tombstones chunks that left the store. /reload stays the full
+    rebuild."""
+    from tpualign.serving import build_service
+    from tpualign.serving.server import fetch_chunks
+    from tpualign.config import load_config
+    from tpualign.store import EmbeddingStore
+
+    rng = np.random.default_rng(21)
+    d = 512
+    emb = rng.normal(size=(8, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+
+    def chunk_rows(lo, hi):
+        return [{"chunk_id": f"c{k}", "manual_id": "m", "page": 1,
+                 "bbox": [0, 0, 1, 1], "text": f"t{k}"}
+                for k in range(lo, hi)]
+
+    store = EmbeddingStore(tmp_path / "store", embed_dim=d)
+    store.setup(["vanilla_clip"])
+    store.insert_chunks("vanilla_clip", chunk_rows(0, 5), emb[:5])
+    store.insert_images("vanilla_clip", [
+        {"image_id": "i0", "manual_id": "m", "page": 1, "bbox": [0, 0, 1, 1],
+         "bbox_source": "native", "caption": None, "filename": None,
+         "image_type": "raster_image"}], emb[:1])
+    store.save(["vanilla_clip"])
+
+    cfg = load_config(env_file=None,
+                      overrides={"STORE_DIR": str(tmp_path / "store")})
+    svc = build_service(cfg, "vanilla_clip", text_tower=False)
+    srv = serve(svc, port=0, fetch=lambda: fetch_chunks(cfg, "vanilla_clip"))
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        port = srv.server_address[1]
+
+        def post(path, payload=None):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}{path}",
+                json.dumps(payload or {}).encode(),
+                {"Content-Type": "application/json"},
+            )
+            return json.loads(urllib.request.urlopen(req, timeout=60).read())
+
+        # simulate an ingest cycle: three new chunks land in the store
+        store2 = EmbeddingStore(tmp_path / "store", embed_dim=d)
+        store2.setup(["vanilla_clip"])
+        store2.insert_chunks("vanilla_clip", chunk_rows(0, 8), emb)
+        store2.save(["vanilla_clip"])
+
+        out = post("/sync")
+        assert out["synced"] and out["added"] == 3 and out["removed"] == 0
+        res = post("/search", {"embeddings": emb[6:7].tolist(), "k": 2,
+                               "manuals": ["m"], "pages": [1]})
+        assert res["results"][0][0]["chunk_id"] == "c6"
+        # idempotent
+        out = post("/sync")
+        assert out["added"] == 0 and out["removed"] == 0
+
+    finally:
+        srv.shutdown()
+
+    # the removal leg, against a deterministic snapshot (the store API
+    # upserts, so "a chunk left the store" is easiest to pin directly)
+    from tpualign.serving.server import _ServiceBox
+
+    box = _ServiceBox(svc, fetch=lambda: (
+        [f"c{k}" for k in range(1, 8)],  # c0 left the snapshot
+        ["m"] * 7, [1] * 7, emb[1:],
+    ))
+    out = box.sync()
+    assert out["removed"] == 1 and out["added"] == 0
+    res = svc.search_embeddings(emb[0:1], ["m"], [1], k=8)
+    assert all(h["chunk_id"] != "c0" for h in res[0])

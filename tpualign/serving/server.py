@@ -317,6 +317,7 @@ class RetrievalService:
         )
         self.weak_lookup = weak_lookup or {}
         self._add_lock = threading.Lock()
+        self._removed_ids: set = set()
 
     # -- incremental inserts -------------------------------------------------------
 
@@ -352,7 +353,13 @@ class RetrievalService:
             self.chunk_ids.extend(str(c) for c in chunk_ids)
             self.index.add(emb, list(manuals),
                            list(pages) if pages is not None else None)
+            self._removed_ids.difference_update(
+                str(c) for c in chunk_ids)  # re-adds resurrect the id
         return {"added": len(emb), "corpus_size": self.index.n}
+
+    def live_chunk_ids(self) -> set:
+        """Currently-servable chunk ids (added minus tombstoned)."""
+        return set(self.chunk_ids) - self._removed_ids
 
     def remove_chunks(self, chunk_ids: Sequence[str]) -> dict:
         """Tombstone chunks by id (pgvector ``DELETE`` parity): removed
@@ -366,6 +373,7 @@ class RetrievalService:
         missing = [c for c in wanted if c not in pos_of]
         with self._add_lock:
             removed = self.index.remove(found) if found else 0
+            self._removed_ids.update(c for c in wanted if c in pos_of)
         return {"removed": removed, "unknown": missing,
                 "corpus_size": self.index.n}
 
@@ -575,9 +583,11 @@ class _ServiceBox:
     in-flight requests finish against the old snapshot."""
 
     def __init__(self, service: RetrievalService,
-                 rebuild: Optional[Callable[[], RetrievalService]] = None):
+                 rebuild: Optional[Callable[[], RetrievalService]] = None,
+                 fetch: Optional[Callable[[], tuple]] = None):
         self.service = service
         self.rebuild = rebuild
+        self.fetch = fetch
         self._lock = threading.Lock()
 
     def reload(self) -> dict:
@@ -591,6 +601,40 @@ class _ServiceBox:
             fresh.metrics = self.service.metrics  # counters survive reloads
             self.service = fresh
         return self.service.stats()
+
+    def sync(self) -> dict:
+        """Incremental reload: diff the store's current chunk snapshot
+        against the served corpus and apply the delta through the
+        tombstone-aware insert/delete paths — new chunks become
+        searchable WITHOUT a rebuild (after a ``tpualign ingest`` cycle,
+        this is the cheap way to pick it up; POST /reload remains the
+        full-rebuild path and also refreshes images/weak scores).
+        Needs the ``fetch`` callable serve() was built with."""
+        if self.fetch is None:
+            raise RuntimeError(
+                "sync not configured (serve() was built without a "
+                "fetch callable)"
+            )
+        with self._lock:
+            ids, manuals, pages, emb = self.fetch()
+            svc = self.service
+            live = svc.live_chunk_ids()
+            fresh = set(ids)
+            pos = [i for i, cid in enumerate(ids) if cid not in live]
+            gone = sorted(live - fresh)
+            out = {"added": 0, "removed": 0}
+            if pos:
+                added = svc.add_chunks(
+                    [ids[i] for i in pos],
+                    [manuals[i] for i in pos],
+                    [pages[i] for i in pos],
+                    np.asarray(emb, np.float32)[pos],
+                )
+                out["added"] = added["added"]
+            if gone:
+                out["removed"] = svc.remove_chunks(gone)["removed"]
+            out["corpus_size"] = svc.index.n
+            return out
 
 
 def _make_handler(box: "_ServiceBox"):
@@ -628,6 +672,15 @@ def _make_handler(box: "_ServiceBox"):
                     box.service.metrics.record_error()
                     log.exception("reload failed; serving old snapshot")
                     self._reply(500, {"reloaded": False, "error": str(e)})
+                return
+            if self.path == "/sync":
+                try:
+                    out = box.sync()
+                    self._reply(200, {"synced": True, **out})
+                except Exception as e:
+                    box.service.metrics.record_error()
+                    log.exception("sync failed; serving old snapshot")
+                    self._reply(500, {"synced": False, "error": str(e)})
                 return
             try:
                 length = int(self.headers.get("Content-Length", "0"))
@@ -705,6 +758,7 @@ class _Server(ThreadingHTTPServer):
 def serve(
     service: RetrievalService, host: str = "127.0.0.1", port: int = 8321,
     rebuild: Optional[Callable[[], RetrievalService]] = None,
+    fetch: Optional[Callable[[], tuple]] = None,
 ) -> ThreadingHTTPServer:
     """Create (but do not start) the HTTP server; call ``serve_forever`` on
     the result, or use it with a thread in tests.
@@ -712,5 +766,28 @@ def serve(
     ``rebuild``: zero-arg callable returning a fresh RetrievalService —
     enables ``POST /reload`` (pick up a re-ingested store or a newly
     fine-tuned checkpoint without restarting; metrics survive the swap).
+    ``fetch``: zero-arg callable returning the store's current chunk
+    snapshot ``(chunk_ids, manuals, pages, embeddings)`` — enables
+    ``POST /sync`` (incremental reload through the insert/delete paths;
+    see :func:`fetch_chunks`).
     """
-    return _Server((host, port), _make_handler(_ServiceBox(service, rebuild)))
+    return _Server(
+        (host, port), _make_handler(_ServiceBox(service, rebuild, fetch))
+    )
+
+
+def fetch_chunks(config, schema: str):
+    """Store-snapshot fetch for ``POST /sync`` (CLI serve wires this):
+    returns (chunk_ids, manuals, pages, embeddings) in embedding-matrix
+    row order."""
+    store = EmbeddingStore(config.store.root,
+                           embed_dim=config.model.embed_dim)
+    chunks = store.chunks(schema)
+    ids, emb = store.embedding_matrix(schema, "text_chunks")
+    by_id = {c["chunk_id"]: c for c in chunks}
+    return (
+        list(ids),
+        [by_id[i]["manual_id"] for i in ids],
+        [by_id[i].get("page") for i in ids],
+        emb,
+    )
