@@ -913,3 +913,20 @@ def test_sync_applies_store_delta(tmp_path):
     assert out["removed"] == 1 and out["added"] == 0
     res = svc.search_embeddings(emb[0:1], ["m"], [1], k=8)
     assert all(h["chunk_id"] != "c0" for h in res[0])
+
+
+def test_notify_sync_helper(service, tmp_path):
+    """pipeline.notify_sync POSTs /sync to a live server and survives a
+    dead one (ingestion must never die because serving is down)."""
+    from tpualign.pipeline import notify_sync
+
+    svc, emb, ids, manuals, pages = service
+    snap = (list(ids), list(manuals), list(pages), emb)
+    srv = serve(svc, port=0, fetch=lambda: snap)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        out = notify_sync(f"http://127.0.0.1:{srv.server_address[1]}")
+        assert out and out["synced"] and out["added"] == 0
+    finally:
+        srv.shutdown()
+    assert notify_sync("http://127.0.0.1:1/", timeout=2) is None

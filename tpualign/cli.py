@@ -121,6 +121,9 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     _add_common(p_ingest)
     p_ingest.add_argument("--evaluate", action="store_true",
                           help="re-run evaluation after ingesting")
+    p_ingest.add_argument("--notify", metavar="URL", default=None,
+                          help="POST /sync to a running tpualign serve "
+                               "after ingesting (incremental pickup)")
 
     p_watch = sub.add_parser(
         "watch", help="watchdog: poll the input dir and ingest on change"
@@ -129,6 +132,9 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     p_watch.add_argument("--interval", type=float, default=30.0,
                          help="poll interval in seconds")
     p_watch.add_argument("--evaluate", action="store_true")
+    p_watch.add_argument("--notify", metavar="URL", default=None,
+                         help="POST /sync to a running tpualign serve "
+                              "after each ingesting cycle")
     p_watch.add_argument("--max-cycles", type=int, default=None,
                          help="stop after N cycles (default: run forever)")
 
@@ -260,6 +266,10 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         pipe = _build_pipeline(args)
         summary = pipe.ingest_cycle(evaluate=args.evaluate)
         ingested = summary.get("ingested", [])
+        if ingested and args.notify:
+            from tpualign.pipeline import notify_sync
+
+            notify_sync(args.notify)
         print(f"ingested {len(ingested)} file(s); "
               f"{summary.get('skipped_unchanged', 0)} unchanged")
         return 0
@@ -268,7 +278,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         pipe = _build_pipeline(args)
         try:
             pipe.watch(interval_seconds=args.interval, evaluate=args.evaluate,
-                       max_cycles=args.max_cycles)
+                       max_cycles=args.max_cycles, notify=args.notify)
         except KeyboardInterrupt:
             pass
         return 0

@@ -41,6 +41,27 @@ from tpualign.weaksup import compute_alignments
 
 log = get_logger("pipeline")
 
+
+def notify_sync(base_url: str, timeout: float = 60.0) -> Optional[dict]:
+    """POST ``/sync`` to a running ``tpualign serve`` so it picks up the
+    store delta incrementally (no rebuild). Failures log and return
+    None — ingestion must never die because the server is down."""
+    import json as _json
+    import urllib.request
+
+    url = base_url.rstrip("/") + "/sync"
+    try:
+        req = urllib.request.Request(url, b"{}",
+                                     {"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=timeout) as r:
+            out = _json.loads(r.read())
+        log.info("serve sync: +%s -%s (corpus %s)", out.get("added"),
+                 out.get("removed"), out.get("corpus_size"))
+        return out
+    except Exception as e:
+        log.warning("serve sync against %s failed: %s", url, e)
+        return None
+
 SCHEMA_FLAGS: Dict[str, tuple] = {
     # schema -> (use_lexical, use_positional)  (ref:src/insert_clip_embeddings.py:444-471)
     "vanilla_clip": (False, False),
@@ -362,12 +383,15 @@ class Pipeline:
 
     def watch(
         self, interval_seconds: float = 30.0, evaluate: bool = False,
-        max_cycles: Optional[int] = None,
+        max_cycles: Optional[int] = None, notify: Optional[str] = None,
     ) -> None:
         """Watchdog mode: poll the input directory and ingest on change.
 
         Polling (not inotify) keeps this dependency-free and NFS-safe.
-        ``max_cycles`` bounds the loop for tests/one-shot use.
+        ``max_cycles`` bounds the loop for tests/one-shot use. ``notify``
+        (a serving base URL) POSTs ``/sync`` after each cycle that
+        ingested something, so a running ``tpualign serve`` picks up new
+        chunks incrementally without a rebuild.
         """
         import time as _time
 
@@ -381,6 +405,8 @@ class Pipeline:
                 summary = self.ingest_cycle(evaluate=evaluate)
                 if summary.get("ingested"):
                     log.info("Ingested: %s", ", ".join(summary["ingested"]))
+                    if notify:
+                        notify_sync(notify)
             except KeyboardInterrupt:
                 raise
             except Exception as e:
