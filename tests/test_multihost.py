@@ -230,3 +230,74 @@ class TestHybridDeviceOrder:
 
         mesh = hybrid_mesh(model_parallel=2)
         assert mesh.shape == {"data": len(jax.devices()) // 2, "model": 2}
+
+
+_RETRIEVAL_WORKER = r"""
+import os
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from tpualign.parallel.multihost import initialize_distributed, hybrid_mesh
+from tpualign.parallel.retrieval import RetrievalIndex, encode_keys
+
+assert initialize_distributed() is True
+pid = jax.process_index()
+mesh = hybrid_mesh(model_parallel=1)  # data axis = 4, spanning 2 processes
+
+# identical corpus on both processes (single seed): the standard
+# multi-controller SPMD contract
+rng = np.random.default_rng(0)
+n, d = 64, 16
+c = rng.normal(size=(n, d)).astype(np.float32)
+c /= np.linalg.norm(c, axis=1, keepdims=True)
+man = [f"m{i % 2}" for i in range(n)]
+page = [1 + i % 3 for i in range(n)]
+
+for prec in ("fp32", "int8"):
+    index = RetrievalIndex(c, man, page, mesh=mesh, precision=prec)
+    q = c[:8]
+    qk, _ = encode_keys(man[:8], page[:8], dict(index.vocab))
+    qg = jax.device_put(jnp.asarray(q), NamedSharding(mesh, P()))
+    qkg = jax.device_put(jnp.asarray(qk, jnp.int32),
+                         NamedSharding(mesh, P()))
+    from jax.experimental import multihost_utils
+
+    for strat in ("gather", "streaming"):
+        vals, idx = index.search_device(qg, qkg, 4, strategy=strat)
+        # the jitted merge's output sharding may span processes; gather
+        # the global value (the standard multi-controller fetch)
+        idx = np.asarray(multihost_utils.process_allgather(idx,
+                                                           tiled=True))
+        assert (idx[:, 0] == np.arange(8)).all(), (prec, strat, idx[:, 0])
+print(f"worker {pid} retrieval ok")
+"""
+
+
+def test_two_process_sharded_retrieval(tmp_path):
+    """Sharded retrieval (gather + streaming, fp32 + int8) across two
+    real OS processes: the corpus shards over a data axis that spans the
+    process boundary, winners merge with cross-process collectives, and
+    self-queries rank themselves first on both controllers."""
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    procs = []
+    for pid in range(2):
+        env = {k: v for k, v in os.environ.items()
+               if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+        env.update(COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+                   NUM_PROCESSES="2", PROCESS_ID=str(pid))
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", _RETRIEVAL_WORKER], cwd=repo, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        ))
+    outs = [p.communicate(timeout=600) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err[-3000:]}"
+        assert "retrieval ok" in out
