@@ -8,7 +8,12 @@ RetrievalService over a DEVICE-GENERATED corpus (the relay cannot upload
 a 100k x 512 corpus at 64 KB/s) and fires concurrent /search requests,
 printing one JSON line per mode with p50/p95 latency and achieved RPS.
 
-Usage: python benchmarks/bench_serving.py [n_corpus] [clients] [requests_per_client]
+Usage: python benchmarks/bench_serving.py [n_corpus] [clients]
+       [requests_per_client] [precision]
+
+``precision`` (fp32 | int8 | int4) serves the corpus through the
+quantized index layouts — the production capacity modes under real
+HTTP load.
 """
 
 from __future__ import annotations
@@ -33,14 +38,27 @@ def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     clients = int(sys.argv[2]) if len(sys.argv) > 2 else 32
     reqs = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+    prec = sys.argv[4] if len(sys.argv) > 4 else "fp32"
     d = 512
 
     @jax.jit
     def make_corpus(key):
         c = jax.random.normal(key, (n, d), jnp.float32)
-        return c / jnp.linalg.norm(c, axis=1, keepdims=True)
+        c = c / jnp.linalg.norm(c, axis=1, keepdims=True)
+        if prec == "int8":
+            sc = jnp.maximum(
+                jnp.max(jnp.abs(c), axis=1, keepdims=True) / 127.0, 1e-12)
+            return (jnp.clip(jnp.rint(c / sc), -127, 127).astype(jnp.int8),
+                    sc[:, 0])
+        if prec == "int4":
+            sc = jnp.maximum(
+                jnp.max(jnp.abs(c), axis=1, keepdims=True) / 7.0, 1e-12)
+            qv = jnp.clip(jnp.rint(c / sc), -7, 7).astype(jnp.int32) + 8
+            return ((qv[:, : d // 2] | (qv[:, d // 2:] << 4)
+                     ).astype(jnp.uint8), sc[:, 0])
+        return c, None
 
-    corpus = make_corpus(jax.random.PRNGKey(0))
+    corpus, cscales = make_corpus(jax.random.PRNGKey(0))
     keys_dev = jnp.zeros((n,), jnp.int32)
 
     def make_index() -> RetrievalIndex:
@@ -50,10 +68,10 @@ def main() -> None:
         index.n = n
         index.dim = d
         index.mesh = None
-        index.precision = "fp32"
+        index.precision = prec
         index.recall_target = None
         index.vocab = {}
-        index._corpus_scales = None
+        index._corpus_scales = cscales
         index._approx_warned = set()
         index._n_local = n
         index._corpus = corpus
@@ -147,6 +165,7 @@ def main() -> None:
 
         print(json.dumps({
             "metric": "serving_concurrent_search",
+            "precision": prec,
             "mode": (f"coalesced_p{pipeline}" if window_ms is not None
                      else "per_request"),
             "corpus": n, "clients": clients, "requests": len(lats),
