@@ -844,7 +844,7 @@ def test_sync_applies_store_delta(tmp_path):
     and tombstones chunks that left the store. /reload stays the full
     rebuild."""
     from tpualign.serving import build_service
-    from tpualign.serving.server import fetch_chunks
+    from tpualign.serving.server import fetch_snapshot
     from tpualign.config import load_config
     from tpualign.store import EmbeddingStore
 
@@ -870,7 +870,8 @@ def test_sync_applies_store_delta(tmp_path):
     cfg = load_config(env_file=None,
                       overrides={"STORE_DIR": str(tmp_path / "store")})
     svc = build_service(cfg, "vanilla_clip", text_tower=False)
-    srv = serve(svc, port=0, fetch=lambda: fetch_chunks(cfg, "vanilla_clip"))
+    srv = serve(svc, port=0,
+                fetch=lambda: fetch_snapshot(cfg, "vanilla_clip"))
     threading.Thread(target=srv.serve_forever, daemon=True).start()
     try:
         port = srv.server_address[1]
@@ -883,20 +884,29 @@ def test_sync_applies_store_delta(tmp_path):
             )
             return json.loads(urllib.request.urlopen(req, timeout=60).read())
 
-        # simulate an ingest cycle: three new chunks land in the store
+        # simulate an ingest cycle: three new chunks AND a new image
         store2 = EmbeddingStore(tmp_path / "store", embed_dim=d)
         store2.setup(["vanilla_clip"])
         store2.insert_chunks("vanilla_clip", chunk_rows(0, 8), emb)
+        store2.insert_images("vanilla_clip", [
+            {"image_id": "i1", "manual_id": "m", "page": 1,
+             "bbox": [0, 0, 1, 1], "bbox_source": "native", "caption": None,
+             "filename": None, "image_type": "raster_image"}], emb[1:2])
         store2.save(["vanilla_clip"])
 
         out = post("/sync")
         assert out["synced"] and out["added"] == 3 and out["removed"] == 0
+        assert out["images_added"] == 1
         res = post("/search", {"embeddings": emb[6:7].tolist(), "k": 2,
                                "manuals": ["m"], "pages": [1]})
         assert res["results"][0][0]["chunk_id"] == "c6"
+        # the synced image serves /search_image immediately
+        res = post("/search_image", {"image_ids": ["i1"], "k": 2})
+        assert res["results"][0], res
         # idempotent
         out = post("/sync")
         assert out["added"] == 0 and out["removed"] == 0
+        assert out["images_added"] == 0
 
     finally:
         srv.shutdown()

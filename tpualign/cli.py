@@ -316,7 +316,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             config, args.schema, mesh=mesh,
             text_tower=not args.no_text_tower,
         )
-        from tpualign.serving.server import fetch_chunks
+        from tpualign.serving.server import fetch_snapshot
 
         httpd = make_server(
             service, host=args.host, port=args.port,
@@ -325,7 +325,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
                 text_tower=not args.no_text_tower,
             ),
             fetch=(None if mesh is not None
-                   else lambda: fetch_chunks(config, args.schema)),
+                   else lambda: fetch_snapshot(config, args.schema)),
         )
         print(f"tpualign serve: {service.stats()} on "
               f"http://{args.host}:{httpd.server_address[1]}")

@@ -361,6 +361,28 @@ class RetrievalService:
         """Currently-servable chunk ids (added minus tombstoned)."""
         return set(self.chunk_ids) - self._removed_ids
 
+    def add_images(self, metas: Sequence[dict], embeddings) -> int:
+        """Register new stored images for ``/search_image`` (the image
+        side of an ingest cycle; already-known image ids are skipped).
+        Image state is host-side (metadata + an embedding matrix row per
+        image), so this is a plain append."""
+        embs = np.asarray(embeddings, np.float32)
+        new = [(m, e) for m, e in zip(metas, embs)
+               if m["image_id"] not in self._images]
+        if not new:
+            return 0
+        with self._add_lock:
+            base = len(self._image_meta)
+            self._image_meta.extend(m for m, _ in new)
+            for j, (m, _) in enumerate(new):
+                self._images[m["image_id"]] = base + j
+            rows = np.stack([e for _, e in new])
+            self._image_embs = (
+                rows if self._image_embs is None
+                else np.concatenate([self._image_embs, rows])
+            )
+        return len(new)
+
     def remove_chunks(self, chunk_ids: Sequence[str]) -> dict:
         """Tombstone chunks by id (pgvector ``DELETE`` parity): removed
         chunks stop matching immediately; their slots are reclaimed at
@@ -609,30 +631,43 @@ class _ServiceBox:
         searchable WITHOUT a rebuild (after a ``tpualign ingest`` cycle,
         this is the cheap way to pick it up; POST /reload remains the
         full-rebuild path and also refreshes images/weak scores).
-        Needs the ``fetch`` callable serve() was built with."""
+        Needs the ``fetch`` callable serve() was built with. A tuple
+        fetch covers chunks only; a dict fetch (``fetch_snapshot``) also
+        syncs images and weak scores."""
         if self.fetch is None:
             raise RuntimeError(
                 "sync not configured (serve() was built without a "
                 "fetch callable)"
             )
         with self._lock:
-            ids, manuals, pages, emb = self.fetch()
+            snap = self.fetch()
+            if not isinstance(snap, dict):
+                ids, manuals, pages, emb = snap
+                snap = {"chunk_ids": ids, "manuals": manuals,
+                        "pages": pages, "embeddings": emb}
+            ids = snap["chunk_ids"]
             svc = self.service
             live = svc.live_chunk_ids()
             fresh = set(ids)
             pos = [i for i, cid in enumerate(ids) if cid not in live]
             gone = sorted(live - fresh)
-            out = {"added": 0, "removed": 0}
+            out = {"added": 0, "removed": 0, "images_added": 0}
             if pos:
                 added = svc.add_chunks(
                     [ids[i] for i in pos],
-                    [manuals[i] for i in pos],
-                    [pages[i] for i in pos],
-                    np.asarray(emb, np.float32)[pos],
+                    [snap["manuals"][i] for i in pos],
+                    [snap["pages"][i] for i in pos],
+                    np.asarray(snap["embeddings"], np.float32)[pos],
                 )
                 out["added"] = added["added"]
             if gone:
                 out["removed"] = svc.remove_chunks(gone)["removed"]
+            if snap.get("images") is not None:
+                out["images_added"] = svc.add_images(
+                    snap["images"], snap["image_embeddings"]
+                )
+            if snap.get("weak_lookup") is not None:
+                svc.weak_lookup = snap["weak_lookup"]  # dict swap: atomic
             out["corpus_size"] = svc.index.n
             return out
 
@@ -777,9 +812,9 @@ def serve(
 
 
 def fetch_chunks(config, schema: str):
-    """Store-snapshot fetch for ``POST /sync`` (CLI serve wires this):
-    returns (chunk_ids, manuals, pages, embeddings) in embedding-matrix
-    row order."""
+    """Store-snapshot fetch for ``POST /sync`` (chunks only): returns
+    (chunk_ids, manuals, pages, embeddings) in embedding-matrix row
+    order."""
     store = EmbeddingStore(config.store.root,
                            embed_dim=config.model.embed_dim)
     chunks = store.chunks(schema)
@@ -791,3 +826,24 @@ def fetch_chunks(config, schema: str):
         [by_id[i].get("page") for i in ids],
         emb,
     )
+
+
+def fetch_snapshot(config, schema: str) -> dict:
+    """Full store-snapshot fetch for ``POST /sync`` (CLI serve wires
+    this): chunks PLUS stored-image metadata/embeddings and the weak
+    lookup, so one sync covers everything short of a checkpoint swap."""
+    from tpualign.weaksup.rerank import build_weak_lookup
+
+    store = EmbeddingStore(config.store.root,
+                           embed_dim=config.model.embed_dim)
+    ids, manuals, pages, emb = fetch_chunks(config, schema)
+    images = store.images(schema)
+    img_ids, img_emb = store.embedding_matrix(schema, "images")
+    by_id = {im["image_id"]: im for im in images}
+    return {
+        "chunk_ids": ids, "manuals": manuals, "pages": pages,
+        "embeddings": emb,
+        "images": [by_id[i] for i in img_ids],
+        "image_embeddings": img_emb,
+        "weak_lookup": build_weak_lookup(store.alignments(schema)),
+    }
