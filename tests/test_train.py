@@ -710,3 +710,146 @@ def test_truncate_to_bucket_helper():
     toks[1, 30] = 49407  # len 31 -> 32 bucket
     assert truncate_to_bucket(toks, (16, 32, 77)).shape == (3, 32)
     assert truncate_to_bucket(np.zeros((0, 77), np.int32), (16,)).shape == (0, 77)
+
+
+class TestFSDP:
+    """ZeRO-3 fully-sharded data parallelism: params/moments/EMA shard over
+    the ``data`` axis too; the update itself must be the replicated step's."""
+
+    def _mesh_model(self):
+        from tpualign.config import ClipVariant
+        from tpualign.models.clip import CLIP, init_clip_params
+        from tpualign.parallel.mesh import create_mesh
+
+        variant = ClipVariant(
+            name="fs", embed_dim=64, image_size=32, patch_size=8,
+            vision_width=128, vision_layers=2, vision_heads=4,
+            context_length=16, vocab_size=512, text_width=128,
+            text_layers=2, text_heads=4,
+        )
+        model = CLIP(variant=variant, use_quick_gelu=True,
+                     compute_dtype=jnp.float32)
+        return create_mesh(4, 2), model, init_clip_params(model, seed=3)
+
+    def test_fsdp_param_specs(self):
+        """Every >=2-D param gains a ``data`` dim on a TP-free, divisible
+        axis; scalars/vectors keep their TP spec."""
+        from jax.sharding import PartitionSpec as P
+        from tests.test_models import tiny_model
+        from tpualign.models.clip import init_clip_params
+        from tpualign.parallel.sharding import clip_param_specs
+
+        params = init_clip_params(tiny_model(), seed=0)
+        specs = clip_param_specs(params, fsdp=4)
+        blk = specs["visual"]["transformer"]["resblock_0"]
+        assert blk["attn"]["in_proj_kernel"] == P("data", "model")
+        assert blk["mlp"]["c_proj_kernel"] == P("model", "data")
+        assert blk["attn"]["in_proj_bias"] == P("model")  # 1-D: TP only
+        assert blk["ln_1"]["scale"] == P()
+        assert specs["logit_scale"] == P()
+        # token_embedding (1000, 64): largest divisible dim shards
+        assert specs["text"]["token_embedding"] == P("data", None)
+        # visual positional_embedding (17, 64): dim0 indivisible by 4 ->
+        # the other dim takes the axis
+        assert specs["visual"]["positional_embedding"] == P(None, "data")
+        # fsdp=1 collapses to the plain TP specs
+        plain = clip_param_specs(params, fsdp=1)
+        assert (plain["visual"]["transformer"]["resblock_0"]["attn"]
+                ["in_proj_kernel"] == P(None, "model"))
+
+    def test_fsdp_step_matches_replicated(self):
+        """One FSDP step == one replicated-param sharded step (same batch),
+        with params AND AdamW moments materially sharded over ``data``."""
+        from tpualign.config import TrainConfig
+        from tpualign.train.step import (
+            create_train_state, make_sharded_train_step,
+        )
+
+        mesh, model, params = self._mesh_model()
+        rng = np.random.default_rng(7)
+        images = rng.normal(size=(8, 32, 32, 3)).astype(np.float32)
+        tokens = np.zeros((8, 16), np.int32)
+        tokens[:, 0] = 510
+        tokens[:, 1] = rng.integers(1, 500, size=8).astype(np.int32)
+        tokens[:, 2] = 511
+        weak = rng.random(8).astype(np.float32)
+
+        def run(fsdp):
+            cfg = TrainConfig(learning_rate=1e-3, warmup_steps=0,
+                              total_steps=10, ema_decay=0.9, fsdp=fsdp)
+            step_fn, shard_state = make_sharded_train_step(model, mesh, cfg)
+            state = shard_state(create_train_state(model, params, cfg))
+            for _ in range(2):
+                state, metrics = step_fn(state, images, tokens, weak)
+            return state, metrics
+
+        s_rep, m_rep = run(False)
+        s_fs, m_fs = run(True)
+
+        np.testing.assert_allclose(
+            float(m_rep["loss"]), float(m_fs["loss"]), rtol=1e-5
+        )
+        kern_path = lambda p: (p["visual"]["transformer"]["resblock_0"]
+                               ["attn"]["in_proj_kernel"])
+        k_rep, k_fs = kern_path(s_rep.params), kern_path(s_fs.params)
+        np.testing.assert_allclose(
+            jax.device_get(k_rep), jax.device_get(k_fs), atol=2e-6
+        )
+        # layout: (128, 384) kernel shards 4x over data on dim0 AND 2x over
+        # model on dim1 -> per-device shard is 1/8 of the param
+        assert k_fs.sharding.shard_shape(k_fs.shape) == (32, 192)
+        assert k_rep.sharding.shard_shape(k_rep.shape) == (128, 192)
+
+        def find_mu(t):
+            if hasattr(t, "mu"):
+                return t.mu
+            if isinstance(t, (tuple, list)):
+                for x in t:
+                    r = find_mu(x)
+                    if r is not None:
+                        return r
+            return None
+
+        mu = kern_path(find_mu(s_fs.opt_state))
+        assert mu.sharding.shard_shape(mu.shape) == (32, 192)
+        ema = kern_path(s_fs.ema_params)
+        assert ema.sharding.shard_shape(ema.shape) == (32, 192)
+
+    def test_fsdp_checkpoint_roundtrip(self, tmp_path):
+        """Orbax save/restore lands directly in the FSDP layout."""
+        from tpualign.config import TrainConfig
+        from tpualign.train.checkpoint import (
+            restore_checkpoint, save_checkpoint,
+        )
+        from tpualign.models.clip import init_clip_params
+        from tpualign.train.step import (
+            create_train_state, make_sharded_train_step,
+        )
+
+        mesh, model, params = self._mesh_model()
+        cfg = TrainConfig(batch_size=8, warmup_steps=1, total_steps=4,
+                          fsdp=True)
+        step_fn, shard_state = make_sharded_train_step(model, mesh, cfg)
+        state = shard_state(create_train_state(model, params, cfg))
+        rng = np.random.default_rng(0)
+        images = rng.normal(size=(8, 32, 32, 3)).astype(np.float32)
+        tokens = np.zeros((8, 16), np.int32)
+        tokens[:, 0] = 510
+        tokens[:, 2] = 511
+        state, _ = step_fn(state, images, tokens,
+                           rng.random(8).astype(np.float32))
+
+        save_checkpoint(tmp_path / "ckpt", state)
+        fresh = shard_state(create_train_state(
+            model, init_clip_params(model, seed=99), cfg))
+        restored = restore_checkpoint(tmp_path / "ckpt", fresh)
+        assert restored is not None
+        kern = (restored.params["visual"]["transformer"]["resblock_0"]
+                ["attn"]["in_proj_kernel"])
+        assert kern.sharding.shard_shape(kern.shape) == (32, 192)
+        np.testing.assert_allclose(
+            jax.device_get(kern),
+            jax.device_get(state.params["visual"]["transformer"]
+                           ["resblock_0"]["attn"]["in_proj_kernel"]),
+            atol=0,
+        )

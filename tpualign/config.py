@@ -255,6 +255,14 @@ class TrainConfig:
     # halves mu's memory (nu stays fp32 — it needs the range); with TP
     # sharding this is the other half of the H-14 memory story.
     moments_dtype: str = "float32"
+    # Fully-sharded data parallelism (ZeRO-3): shard every parameter
+    # matrix (plus grads, AdamW moments, and the EMA tree) over the
+    # ``data`` mesh axis as well as ``model``, for 1/(data*model) state
+    # per device. GSPMD inserts the per-layer weight all-gathers and
+    # gradient reduce-scatters. Off by default — it trades ICI traffic
+    # for memory, the right trade only when the optimizer state would
+    # not otherwise fit (pretrain-scale towers or tiny meshes).
+    fsdp: bool = False
 
 
 @dataclass(frozen=True)
@@ -431,6 +439,7 @@ def load_config(
         grad_accum_steps=int(_env(env, "GRAD_ACCUM_STEPS", "1")),
         ema_decay=float(_env(env, "EMA_DECAY", "0.0")),
         moments_dtype=_env(env, "MOMENTS_DTYPE", "float32"),
+        fsdp=_env_bool(env, "TRAIN_FSDP", False),
     )
     return PipelineConfig(
         model=model,

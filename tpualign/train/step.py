@@ -259,15 +259,23 @@ def make_sharded_train_step(
 ):
     """jit the step over a mesh: batch over ``data``, params per TP specs.
 
+    With ``config.fsdp`` the param specs additionally shard over ``data``
+    (ZeRO-3): params, grads, moments, and EMA all live at
+    1/(data*model) per device and GSPMD inserts the weight all-gathers /
+    gradient reduce-scatters. The update itself is unchanged — FSDP is
+    purely a layout choice here, pinned equal to the replicated step by
+    test (tests/test_train.py::test_fsdp_step_matches_replicated).
+
     Returns (step_fn, shard_state_fn). ``shard_state_fn`` places a host
     TrainState onto the mesh.
     """
     from tpualign.parallel.sharding import clip_param_specs
 
     _reject_quantized_model(model)
+    fsdp = mesh.shape["data"] if config.fsdp else 1
 
     def param_sharding(params):
-        specs = clip_param_specs(params)
+        specs = clip_param_specs(params, fsdp=fsdp)
         return jax.tree.map(lambda s: NamedSharding(mesh, s), specs)
 
     batch_img = NamedSharding(mesh, P("data", None, None, None))
