@@ -10,8 +10,12 @@ ViT-H-14 is ~1.0B params: fp32 params 4 GB + fp32 grads 4 GB + bf16 mu
 activations fit in the remainder, which is exactly what the accumulation
 schedule provides.
 
-Usage: python benchmarks/bench_train_large.py [model] [batch] [accum] [steps] [remat]
-Defaults: ViT-H-14 16 8 3 0. Prints one JSON line per step plus a summary.
+Usage: python benchmarks/bench_train_large.py [model] [batch] [accum] [steps] [remat] [lora_rank]
+Defaults: ViT-H-14 16 8 3 0 0. Prints one JSON line per step plus a summary.
+
+lora_rank > 0 measures the LoRA arm: the base tree freezes (no base
+grads, no moments), only rank-r adapters + logit_scale train — the
+memory ladder above mostly stops mattering.
 """
 
 from __future__ import annotations
@@ -36,6 +40,7 @@ def main() -> None:
     accum = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     steps = int(sys.argv[4]) if len(sys.argv) > 4 else 3
     remat = bool(int(sys.argv[5])) if len(sys.argv) > 5 else False
+    lora_rank = int(sys.argv[6]) if len(sys.argv) > 6 else 0
 
     mcfg = ModelConfig(model_name=model_name, compute_dtype="bfloat16",
                        remat=remat)
@@ -44,7 +49,7 @@ def main() -> None:
     tcfg = TrainConfig(
         learning_rate=1e-5, warmup_steps=1, total_steps=100,
         grad_accum_steps=accum, moments_dtype="bfloat16",
-        patch_mask_ratio=0.5,
+        patch_mask_ratio=0.5, lora_rank=lora_rank,
     )
 
     params = init_clip_params(model, seed=0)  # on-device init
@@ -98,6 +103,10 @@ def main() -> None:
         "batch": batch, "grad_accum_steps": accum,
         "patch_mask_ratio": tcfg.patch_mask_ratio,
         "moments_dtype": "bfloat16", "remat": remat,
+        "lora_rank": lora_rank,
+        "trainable_millions": round(sum(
+            int(np.prod(p.shape)) for p in jax.tree.leaves(state.params)
+        ) / 1e6, 2),
         "steady_step_seconds": round(steady, 3),
         "pairs_per_sec": round(batch / steady, 2),
         **stats,

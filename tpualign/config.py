@@ -255,6 +255,13 @@ class TrainConfig:
     # halves mu's memory (nu stays fp32 — it needs the range); with TP
     # sharding this is the other half of the H-14 memory story.
     moments_dtype: str = "float32"
+    # LoRA (arXiv:2106.09685): rank > 0 freezes the base tree and trains
+    # low-rank adapters on every block kernel (plus logit_scale), applied
+    # as W + (alpha/rank) * A @ B. The trainable state (and with it the
+    # AdamW moments and EMA) drops to a few million params — large-tower
+    # fine-tuning fits wherever the frozen forward pass does.
+    lora_rank: int = 0
+    lora_alpha: float = 16.0
     # Fully-sharded data parallelism (ZeRO-3): shard every parameter
     # matrix (plus grads, AdamW moments, and the EMA tree) over the
     # ``data`` mesh axis as well as ``model``, for 1/(data*model) state
@@ -440,6 +447,8 @@ def load_config(
         ema_decay=float(_env(env, "EMA_DECAY", "0.0")),
         moments_dtype=_env(env, "MOMENTS_DTYPE", "float32"),
         fsdp=_env_bool(env, "TRAIN_FSDP", False),
+        lora_rank=int(_env(env, "LORA_RANK", "0")),
+        lora_alpha=float(_env(env, "LORA_ALPHA", "16.0")),
     )
     return PipelineConfig(
         model=model,

@@ -50,6 +50,12 @@ def save_checkpoint(directory: str | Path, state, step: Optional[int] = None) ->
     }
     if getattr(state, "ema_params", None) is not None:
         payload["ema_params"] = state.ema_params
+    if getattr(state, "frozen_params", None) is not None:
+        # LoRA: params above is the adapter tree; persist the frozen base
+        # and the merge scale so the checkpoint stays self-contained for
+        # params-only loading (embed/serve)
+        payload["frozen_params"] = state.frozen_params
+        payload["lora_scale"] = float(state.lora_scale)
     mgr = _manager(directory)
     mgr.save(step, args=ocp.args.StandardSave(payload))
     mgr.wait_until_finished()
@@ -82,9 +88,17 @@ def load_trained_params(directory: str | Path, step: Optional[int] = None):
         raise FileNotFoundError(f"no orbax checkpoint steps in {directory}")
     restored = mgr.restore(step)
     params = restored.get("ema_params") or restored["params"]
-    log.info("loaded trained params (step=%d, ema=%s) from %s",
+    if restored.get("frozen_params") is not None:
+        from tpualign.train.lora import lora_apply
+
+        params = lora_apply(
+            restored["frozen_params"], params,
+            float(restored["lora_scale"]),
+        )
+    log.info("loaded trained params (step=%d, ema=%s, lora=%s) from %s",
              step, "ema_params" in restored and restored["ema_params"]
-             is not None, directory)
+             is not None, restored.get("frozen_params") is not None,
+             directory)
     return params
 
 
@@ -140,6 +154,9 @@ def restore_checkpoint(directory: str | Path, state, step: Optional[int] = None)
     has_ema = _checkpoint_has_key(mgr, step, "ema_params")
     if want_ema and has_ema in (True, None):
         template["ema_params"] = state.ema_params
+    if getattr(state, "frozen_params", None) is not None:
+        template["frozen_params"] = state.frozen_params
+        template["lora_scale"] = 0.0
     try:
         restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
     except ValueError as e:
@@ -162,6 +179,17 @@ def restore_checkpoint(directory: str | Path, state, step: Optional[int] = None)
         ema_params=restored.get(
             "ema_params", getattr(state, "ema_params", None)
         ),
+        frozen_params=restored.get(
+            "frozen_params", getattr(state, "frozen_params", None)
+        ),
     )
+    saved_scale = restored.get("lora_scale")
+    if (saved_scale is not None
+            and abs(float(saved_scale) - float(state.lora_scale)) > 1e-9):
+        log.warning(
+            "checkpoint lora scale %.4f != configured %.4f "
+            "(LORA_RANK/LORA_ALPHA changed since save); the configured "
+            "value applies", float(saved_scale), float(state.lora_scale),
+        )
     log.info("restored checkpoint step=%d from %s", step, directory)
     return new_state

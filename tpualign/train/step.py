@@ -37,11 +37,17 @@ class TrainState(struct.PyTreeNode):
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
     # EMA of params (None = disabled); export/eval should prefer this tree
     ema_params: Any = None
+    # LoRA: when set, ``params`` is the small adapter tree and this holds
+    # the frozen base; the forward pass runs on
+    # lora_apply(frozen_params, params, lora_scale)
+    frozen_params: Any = None
+    lora_scale: float = struct.field(pytree_node=False, default=0.0)
 
     def apply_gradients(self, grads) -> "TrainState":
         updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
         new_params = optax.apply_updates(self.params, updates)
-        # clamp the learned temperature (CLIP standard)
+        # clamp the learned temperature (CLIP standard); lives in the
+        # trainable tree under both full fine-tuning and LoRA
         new_params = dict(new_params)
         new_params["logit_scale"] = jnp.minimum(
             new_params["logit_scale"], MAX_LOGIT_SCALE
@@ -49,6 +55,16 @@ class TrainState(struct.PyTreeNode):
         return self.replace(
             step=self.step + 1, params=new_params, opt_state=new_opt_state
         )
+
+    def effective_params(self, trainable=None):
+        """The full param tree the towers run on: the trainable tree
+        itself, or (LoRA) the frozen base merged with the adapters."""
+        trainable = self.params if trainable is None else trainable
+        if self.frozen_params is None:
+            return trainable
+        from tpualign.train.lora import lora_apply
+
+        return lora_apply(self.frozen_params, trainable, self.lora_scale)
 
 
 def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
@@ -85,6 +101,19 @@ def create_train_state(
     # trainer paths refuse silently-dead int8 training
     _reject_quantized_model(model)
     tx = make_optimizer(config)
+    frozen = None
+    lora_scale = 0.0
+    if config.lora_rank > 0:
+        from tpualign.train.lora import lora_init, lora_param_count
+        from tpualign.utils.logging import get_logger
+
+        frozen = params
+        params = lora_init(params, config.lora_rank)
+        lora_scale = config.lora_alpha / config.lora_rank
+        get_logger("train.step").info(
+            "LoRA rank=%d alpha=%.1f: %d trainable params (base frozen)",
+            config.lora_rank, config.lora_alpha, lora_param_count(params),
+        )
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
@@ -92,6 +121,8 @@ def create_train_state(
         tx=tx,
         ema_params=(jax.tree.map(jnp.asarray, params)
                     if config.ema_decay > 0.0 else None),
+        frozen_params=frozen,
+        lora_scale=lora_scale,
     )
 
 
@@ -108,8 +139,12 @@ def _update_ema(new_state: TrainState, old_state: TrainState,
 
 
 def export_params(state: TrainState):
-    """The tree to embed/serve with: the EMA when tracked, else params."""
-    return state.ema_params if state.ema_params is not None else state.params
+    """The tree to embed/serve with: the EMA when tracked, else params;
+    under LoRA the adapters are merged into the frozen base so the result
+    drops into embed/serve unchanged."""
+    trainable = (state.ema_params if state.ema_params is not None
+                 else state.params)
+    return state.effective_params(trainable)
 
 
 def train_step(
@@ -139,7 +174,8 @@ def train_step(
 
     def loss_fn(params):
         img, txt, scale = model.apply(
-            {"params": params}, images, token_ids, patch_indices
+            {"params": state.effective_params(params)},
+            images, token_ids, patch_indices,
         )
         if config.loss_type == "siglip":
             return siglip_loss(
@@ -200,7 +236,9 @@ def _accum_train_step(
     imgs, toks, pidx = split(images), split(token_ids), split(patch_indices)
 
     def encode(params, im, tk, pi):
-        return model.apply({"params": params}, im, tk, pi)
+        return model.apply(
+            {"params": state.effective_params(params)}, im, tk, pi
+        )
 
     def unpack(xs):
         return xs if pidx is not None else (*xs, None)
@@ -274,8 +312,8 @@ def make_sharded_train_step(
     _reject_quantized_model(model)
     fsdp = mesh.shape["data"] if config.fsdp else 1
 
-    def param_sharding(params):
-        specs = clip_param_specs(params, fsdp=fsdp)
+    def param_sharding(params, use_fsdp=True):
+        specs = clip_param_specs(params, fsdp=fsdp if use_fsdp else 1)
         return jax.tree.map(lambda s: NamedSharding(mesh, s), specs)
 
     batch_img = NamedSharding(mesh, P("data", None, None, None))
@@ -291,7 +329,13 @@ def make_sharded_train_step(
         return jax.jit(lambda a: a, out_shardings=sharding)(x)
 
     def shard_state(state: TrainState) -> TrainState:
-        pshard = param_sharding(state.params)
+        # under LoRA the trainable tree is the tiny adapter set — always
+        # replicated (its leaves match no TP rule and FSDP would only add
+        # collectives for negligible memory); the frozen base below gets
+        # the full layout
+        pshard = param_sharding(
+            state.params, use_fsdp=state.frozen_params is None
+        )
         params = jax.tree.map(_place, state.params, pshard)
         replicated = NamedSharding(mesh, P())
         param_struct = jax.tree.structure(state.params)
@@ -317,11 +361,17 @@ def make_sharded_train_step(
         ema = state.ema_params
         if ema is not None:
             ema = jax.tree.map(_place, ema, pshard)
+        frozen = state.frozen_params
+        if frozen is not None:
+            # LoRA: the frozen base gets the full TP(+FSDP) tower layout;
+            # the trainable adapter tree above is tiny and replicates
+            frozen = jax.tree.map(_place, frozen, param_sharding(frozen))
         return state.replace(
             step=_place(state.step, replicated),
             params=params,
             opt_state=opt_state,
             ema_params=ema,
+            frozen_params=frozen,
         )
 
     step = partial(train_step, model=model, config=config)
