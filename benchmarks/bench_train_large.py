@@ -21,6 +21,7 @@ memory ladder above mostly stops mattering.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -50,11 +51,18 @@ def main() -> None:
         learning_rate=1e-5, warmup_steps=1, total_steps=100,
         grad_accum_steps=accum, moments_dtype="bfloat16",
         patch_mask_ratio=0.5, lora_rank=lora_rank,
+        # LORA_BASE_DTYPE=bfloat16 halves the frozen-base bytes — the
+        # knob that fits ViT-bigG-14 (2.54B params) on one 16 GB chip
+        lora_base_dtype=os.environ.get("LORA_BASE_DTYPE", "float32"),
     )
 
     params = init_clip_params(model, seed=0)  # on-device init
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
     state = create_train_state(model, params, tcfg)
+    # drop the host reference: under LORA_BASE_DTYPE=bfloat16 the state
+    # holds a CAST COPY, and keeping the fp32 init alive too would pin
+    # 1.5x the base bytes (10+5 GB at bigG scale) for the whole run
+    del params
 
     num_patches = (v.image_size // v.patch_size) ** 2
     rng = np.random.default_rng(0)
@@ -104,6 +112,7 @@ def main() -> None:
         "patch_mask_ratio": tcfg.patch_mask_ratio,
         "moments_dtype": "bfloat16", "remat": remat,
         "lora_rank": lora_rank,
+        "lora_base_dtype": tcfg.lora_base_dtype,
         "trainable_millions": round(sum(
             int(np.prod(p.shape)) for p in jax.tree.leaves(state.params)
         ) / 1e6, 2),

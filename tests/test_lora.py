@@ -66,6 +66,43 @@ def test_lora_init_structure(tiny_setup):
     assert lora_param_count(lora) < 0.25 * base_count
 
 
+def test_lora_logit_scale_does_not_alias_base(tiny_setup):
+    """The adapter tree's logit_scale must be a fresh buffer: if it
+    aliases params (jnp.asarray is a no-op on device arrays), a donated
+    train step donates the same buffer via BOTH state.params and
+    state.frozen_params — a TPU-runtime INVALID_ARGUMENT (r3 regression,
+    reproduced on chip)."""
+    model, params = tiny_setup
+    lora = lora_init(params, rank=4)
+    assert lora["logit_scale"] is not params["logit_scale"]
+    # and the donated jit actually runs
+    config = TrainConfig(warmup_steps=0, total_steps=10, lora_rank=4)
+    state = create_train_state(model, params, config)
+    import jax as _jax
+
+    f = _jax.jit(
+        lambda s, i, t, w: train_step(s, model, i, t, w, config),
+        donate_argnums=(0,),
+    )
+    from tests.test_models import TINY
+
+    images, tokens, weak = _batch(TINY, 4, np.random.default_rng(9))
+    _, m = f(state, jnp.asarray(images), jnp.asarray(tokens),
+             jnp.asarray(weak))
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_ema_tree_does_not_alias_params(tiny_setup):
+    """Same aliasing hazard for the EMA tree (created from params at
+    state init): every leaf must be a distinct buffer."""
+    model, params = tiny_setup
+    config = TrainConfig(warmup_steps=0, total_steps=10, ema_decay=0.99)
+    state = create_train_state(model, params, config)
+    for a, b in zip(jax.tree.leaves(state.params),
+                    jax.tree.leaves(state.ema_params)):
+        assert a is not b
+
+
 def test_zero_b_merge_is_identity(tiny_setup):
     model, params = tiny_setup
     lora = lora_init(params, rank=4)
@@ -209,6 +246,55 @@ def test_lora_checkpoint_roundtrip_and_params_load(tiny_setup, tmp_path):
         atol=1e-7,
     )
     assert set(loaded) == set(params)
+
+
+def test_lora_bf16_base(tiny_setup):
+    """LORA_BASE_DTYPE=bfloat16 stores the frozen kernels/embeddings in
+    bf16 (halving the dominant memory term) while vectors/scalars stay
+    fp32; training still runs and the loss tracks the fp32-base arm."""
+    from tests.test_models import TINY
+
+    model, params = tiny_setup
+    cfg32 = TrainConfig(learning_rate=1e-3, warmup_steps=0, total_steps=10,
+                        lora_rank=4, lora_alpha=8.0)
+    cfg16 = TrainConfig(learning_rate=1e-3, warmup_steps=0, total_steps=10,
+                        lora_rank=4, lora_alpha=8.0,
+                        lora_base_dtype="bfloat16")
+    s16 = create_train_state(model, params, cfg16)
+    k = (s16.frozen_params["visual"]["transformer"]["resblock_0"]["attn"]
+         ["in_proj_kernel"])
+    assert k.dtype == jnp.bfloat16
+    assert s16.frozen_params["logit_scale"].dtype == jnp.float32
+    ln = (s16.frozen_params["visual"]["transformer"]["resblock_0"]["ln_1"]
+          ["scale"])
+    assert ln.dtype == jnp.float32
+    # adapters themselves stay fp32 (they DO take updates)
+    a = (s16.params["visual"]["transformer"]["resblock_0"]["attn"]
+         ["in_proj_kernel"]["a"])
+    assert a.dtype == jnp.float32
+
+    rng = np.random.default_rng(4)
+    images, tokens, weak = _batch(TINY, 8, rng)
+    s32 = create_train_state(model, params, cfg32)
+    s32, m32 = train_step(s32, model, jnp.asarray(images),
+                          jnp.asarray(tokens), jnp.asarray(weak), cfg32)
+    s16, m16 = train_step(s16, model, jnp.asarray(images),
+                          jnp.asarray(tokens), jnp.asarray(weak), cfg16)
+    assert np.isfinite(float(m16["loss"]))
+    # bf16 base rounds the frozen weights (~1e-2 relative); the losses
+    # must agree to that order, not bitwise
+    assert abs(float(m16["loss"]) - float(m32["loss"])) < 0.05
+    # export stays drop-in: merged kernels come back in the base dtype
+    merged = export_params(s16)
+    km = merged["visual"]["transformer"]["resblock_0"]["attn"]["in_proj_kernel"]
+    assert km.dtype == jnp.bfloat16
+
+
+def test_lora_base_dtype_rejects_unknown(tiny_setup):
+    model, params = tiny_setup
+    cfg = TrainConfig(lora_rank=4, lora_base_dtype="int8")
+    with pytest.raises(ValueError, match="LORA_BASE_DTYPE"):
+        create_train_state(model, params, cfg)
 
 
 def test_lora_composes_with_grad_accum(tiny_setup):

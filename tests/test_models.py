@@ -125,13 +125,61 @@ def test_parity_vs_torch_hf(tower):
 
 
 def test_build_clip_variants():
-    for name in ["ViT-B-32", "ViT-L-14", "ViT-H-14"]:
+    for name in ["ViT-B-32", "ViT-L-14", "ViT-H-14", "ViT-g-14",
+                 "ViT-bigG-14"]:
         cfg = ModelConfig(model_name=name)
         m = build_clip(cfg)
         assert m.variant.embed_dim == cfg.embed_dim
     assert ModelConfig(model_name="ViT-B/32").variant.name == "ViT-B-32"
     assert ModelConfig(pretrained="openai").use_quick_gelu
     assert not ModelConfig(pretrained="laion2b_s34b_b79k").use_quick_gelu
+
+
+def test_variant_mlp_dim_override():
+    """vision_mlp_dim/text_mlp_dim override the 4x rule (the OpenCLIP
+    g/bigG towers need non-4x MLP ratios); None keeps 4x."""
+    import dataclasses
+
+    v = dataclasses.replace(TINY, vision_mlp_dim=96, text_mlp_dim=80)
+    model = CLIP(variant=v, use_quick_gelu=False, compute_dtype=jnp.float32)
+    params = init_clip_params(model, seed=0)
+    vb = params["visual"]["transformer"]["resblock_0"]["mlp"]
+    tb = params["text"]["transformer"]["resblock_0"]["mlp"]
+    assert vb["c_fc_kernel"].shape == (64, 96)
+    assert vb["c_proj_kernel"].shape == (96, 64)
+    assert tb["c_fc_kernel"].shape == (64, 80)
+    # default variant keeps the 4x rule
+    base = init_clip_params(tiny_model(), seed=0)
+    assert (base["visual"]["transformer"]["resblock_0"]["mlp"]
+            ["c_fc_kernel"].shape == (64, 256))
+    # forward pass runs with the overridden dims
+    img, txt, _ = model.apply(
+        {"params": params}, jnp.ones((2, 32, 32, 3), jnp.float32),
+        jnp.zeros((2, 16), jnp.int32).at[:, 0].set(999),
+    )
+    assert img.shape == (2, 64) and txt.shape == (2, 64)
+
+
+@pytest.mark.parametrize("name,total_m", [
+    # published OpenCLIP parameter totals (open_clip model profiles):
+    # ViT-g-14 1366.68M, ViT-bigG-14 2539.57M
+    ("ViT-g-14", 1366.68),
+    ("ViT-bigG-14", 2539.57),
+])
+def test_large_variant_param_counts(name, total_m):
+    """The g/bigG configurations reproduce OpenCLIP's published parameter
+    counts (within 1%) — pins the non-4x MLP dims, depths, and widths.
+    Shape-only (jax.eval_shape): no multi-GB trees are allocated."""
+    cfg = ModelConfig(model_name=name, pretrained="laion2b_s34b_b79k")
+    model = build_clip(cfg)
+    v = model.variant
+    images = jnp.zeros((1, v.image_size, v.image_size, 3), jnp.float32)
+    tokens = jnp.zeros((1, v.context_length), jnp.int32)
+    shapes = jax.eval_shape(
+        lambda k: model.init(k, images, tokens), jax.random.PRNGKey(0)
+    )["params"]
+    total = sum(int(np.prod(s.shape)) for s in jax.tree.leaves(shapes))
+    assert abs(total / 1e6 - total_m) / total_m < 0.01, total / 1e6
 
 
 class TestVariableLengthText:

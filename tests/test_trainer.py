@@ -124,10 +124,12 @@ def test_trainer_empty_schema_raises(small_store, tmp_path):
         trainer.train(schema="clip_lexical", steps=1)
 
 
-def test_training_improves_heldout_retrieval(tmp_path):
+@pytest.mark.parametrize("lora", [False, True], ids=["full-ft", "lora"])
+def test_training_improves_heldout_retrieval(tmp_path, lora):
     """The loop the repo's title promises: weak-supervised contrastive
     fine-tuning must improve retrieval of the aligned chunk on HELD-OUT
-    pages vs the frozen tower.
+    pages vs the frozen tower. The LoRA arm trains only the adapters
+    (base provably frozen) and must clear the same bar.
 
     Uses the alignment ground-truth mode — the reference's cartesian GT is
     provably model-independent (Top-K = k/C, MRR = H(C)/C; see
@@ -176,14 +178,18 @@ def test_training_improves_heldout_retrieval(tmp_path):
     store.insert_alignments("clip_combined", aligns)
 
     # -- trainer around the tiny variant
-    cfg = load_config(env_file=None, overrides={
+    overrides = {
         "STORE_DIR": str(store.root),
         "OUTPUT_DIR": str(images_dir.parent),
         "BATCH_SIZE": "4",
         "LEARNING_RATE": "2e-3",
         "TOTAL_STEPS": "150",
         "WARMUP_STEPS": "10",
-    })
+    }
+    if lora:
+        # adapters see an alpha/rank = 4x scaled update; same LR works
+        overrides.update({"LORA_RANK": "4", "LORA_ALPHA": "16.0"})
+    cfg = load_config(env_file=None, overrides=overrides)
     model = CLIP(variant=TINY, use_quick_gelu=True, compute_dtype=jnp.float32)
     tokenizer = ClipTokenizer(context_length=TINY.context_length)
     params0 = init_clip_params(model, seed=0)
@@ -251,8 +257,16 @@ def test_training_improves_heldout_retrieval(tmp_path):
     top1_0, mrr_0, cart_top1_0, cart_mrr_0 = heldout_metrics(params0)
 
     trainer.train(schema="clip_combined", steps=150, batch_size=4, log_every=50)
-    params1 = jax.device_get(trainer.state.params)
+    from tpualign.train.step import export_params
+
+    # under LoRA state.params is the adapter tree; export merges it into
+    # the frozen base (the same tree embed/serve would load)
+    params1 = jax.device_get(export_params(trainer.state))
     top1_1, mrr_1, cart_top1_1, cart_mrr_1 = heldout_metrics(params1)
+    if lora:
+        for a, b in zip(jax.tree.leaves(params0),
+                        jax.tree.leaves(trainer.state.frozen_params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
     # training must move alignment-GT retrieval decisively
     assert mrr_1 > mrr_0 + 0.15, (mrr_0, mrr_1)

@@ -40,6 +40,8 @@ def _config_from(args) -> "PipelineConfig":
         "batch_size": "BATCH_SIZE",
         "mesh_data": "MESH_DATA",
         "mesh_model": "MESH_MODEL",
+        "lora_rank": "LORA_RANK",
+        "lora_alpha": "LORA_ALPHA",
     }
     for attr, env in mapping.items():
         v = getattr(args, attr, None)
@@ -114,6 +116,10 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     p_train.add_argument("--steps", type=int, default=100)
     p_train.add_argument("--train-batch-size", type=int, default=None)
     p_train.add_argument("--ckpt-dir", default=None)
+    p_train.add_argument("--lora-rank", type=int, default=None,
+                         help="LoRA rank (>0: freeze base, train adapters)")
+    p_train.add_argument("--lora-alpha", type=float, default=None,
+                         help="LoRA merge strength (scale = alpha/rank)")
 
     p_ingest = sub.add_parser(
         "ingest", help="incremental ingestion: process new/changed files only"

@@ -62,6 +62,10 @@ class ClipVariant:
     text_width: int
     text_layers: int
     text_heads: int
+    # MLP hidden dims; None = the standard 4x width. The OpenCLIP g/bigG
+    # towers use non-4x ratios (g-14: 6144/1408, bigG-14: 8192/1664).
+    vision_mlp_dim: Optional[int] = None
+    text_mlp_dim: Optional[int] = None
 
     @property
     def grid_size(self) -> int:
@@ -92,6 +96,20 @@ CLIP_VARIANTS: Mapping[str, ClipVariant] = {
         name="ViT-H-14", embed_dim=1024,
         image_size=224, patch_size=14, vision_width=1280, vision_layers=32, vision_heads=16,
         context_length=77, vocab_size=49408, text_width=1024, text_layers=24, text_heads=16,
+    ),
+    # OpenCLIP's two largest released CLIP towers (LAION weights only; no
+    # OpenAI counterparts). Non-4x vision MLP ratios.
+    "ViT-g-14": ClipVariant(
+        name="ViT-g-14", embed_dim=1024,
+        image_size=224, patch_size=14, vision_width=1408, vision_layers=40, vision_heads=16,
+        context_length=77, vocab_size=49408, text_width=1024, text_layers=24, text_heads=16,
+        vision_mlp_dim=6144,
+    ),
+    "ViT-bigG-14": ClipVariant(
+        name="ViT-bigG-14", embed_dim=1280,
+        image_size=224, patch_size=14, vision_width=1664, vision_layers=48, vision_heads=16,
+        context_length=77, vocab_size=49408, text_width=1280, text_layers=32, text_heads=20,
+        vision_mlp_dim=8192,
     ),
 }
 
@@ -262,6 +280,12 @@ class TrainConfig:
     # fine-tuning fits wherever the frozen forward pass does.
     lora_rank: int = 0
     lora_alpha: float = 16.0
+    # Storage dtype for the FROZEN base under LoRA: "bfloat16" halves the
+    # dominant memory term (the base never receives updates, so it needs
+    # no fp32 accumulation; matmuls already run in bf16). Vectors/scalars
+    # (layernorms, biases, logit_scale) stay fp32. fp32 default = exact
+    # parity with the checkpoint.
+    lora_base_dtype: str = "float32"
     # Fully-sharded data parallelism (ZeRO-3): shard every parameter
     # matrix (plus grads, AdamW moments, and the EMA tree) over the
     # ``data`` mesh axis as well as ``model``, for 1/(data*model) state
@@ -449,6 +473,7 @@ def load_config(
         fsdp=_env_bool(env, "TRAIN_FSDP", False),
         lora_rank=int(_env(env, "LORA_RANK", "0")),
         lora_alpha=float(_env(env, "LORA_ALPHA", "16.0")),
+        lora_base_dtype=_env(env, "LORA_BASE_DTYPE", "float32"),
     )
     return PipelineConfig(
         model=model,

@@ -49,6 +49,7 @@ class CLIP(nn.Module):
             remat=self.remat,
             use_fused_attention=self.use_fused_attention,
             quant=self.quant,
+            mlp_hidden=v.vision_mlp_dim,
         )
         self.text = TextTransformer(
             context_length=v.context_length,
@@ -62,6 +63,7 @@ class CLIP(nn.Module):
             remat=self.remat,
             use_fused_attention=self.use_fused_attention,
             quant=self.quant,
+            mlp_hidden=v.text_mlp_dim,
         )
         self.logit_scale = self.param(
             "logit_scale",

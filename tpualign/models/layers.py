@@ -143,9 +143,14 @@ class MultiHeadAttention(nn.Module):
 
 
 class MLP(nn.Module):
-    """CLIP MLP: c_fc (4x width) -> activation -> c_proj."""
+    """CLIP MLP: c_fc (4x width by default) -> activation -> c_proj.
+
+    ``hidden_dim`` overrides the 4x rule for the OpenCLIP variants whose
+    MLP ratio is not 4 (ViT-g-14: 6144/1408, ViT-bigG-14: 8192/1664).
+    """
 
     hidden_mult: int = 4
+    hidden_dim: Optional[int] = None
     use_quick_gelu: bool = True
     compute_dtype: Dtype = jnp.bfloat16
     quant: str = "none"  # "int8": both GEMMs on the int8 MXU path
@@ -153,7 +158,7 @@ class MLP(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         d = x.shape[-1]
-        hidden = d * self.hidden_mult
+        hidden = self.hidden_dim or d * self.hidden_mult
         fc_kernel = self.param(
             "c_fc_kernel", nn.initializers.xavier_uniform(), (d, hidden), jnp.float32
         )
@@ -190,6 +195,7 @@ class ResidualBlock(nn.Module):
     compute_dtype: Dtype = jnp.bfloat16
     use_fused_attention: bool = False
     quant: str = "none"
+    mlp_hidden: Optional[int] = None  # None = 4x width
 
     @nn.compact
     def __call__(
@@ -201,6 +207,7 @@ class ResidualBlock(nn.Module):
             name="attn"
         )(LayerNorm(name="ln_1")(x), mask)
         x = x + MLP(
+            hidden_dim=self.mlp_hidden,
             use_quick_gelu=self.use_quick_gelu,
             compute_dtype=self.compute_dtype,
             quant=self.quant,
@@ -223,6 +230,7 @@ class Transformer(nn.Module):
     remat: bool = False
     use_fused_attention: bool = False
     quant: str = "none"
+    mlp_hidden: Optional[int] = None  # None = 4x width
 
     @nn.compact
     def __call__(
@@ -238,6 +246,7 @@ class Transformer(nn.Module):
                 compute_dtype=self.compute_dtype,
                 use_fused_attention=self.use_fused_attention,
                 quant=self.quant,
+                mlp_hidden=self.mlp_hidden,
                 name=f"resblock_{i}",
             )(x, mask)
         return x

@@ -39,6 +39,7 @@ class TextTransformer(nn.Module):
     remat: bool = False
     use_fused_attention: bool = False
     quant: str = "none"
+    mlp_hidden: int | None = None  # None = 4x width
 
     @nn.compact
     def __call__(self, token_ids: jnp.ndarray) -> jnp.ndarray:
@@ -81,6 +82,7 @@ class TextTransformer(nn.Module):
             remat=self.remat,
             use_fused_attention=self.use_fused_attention,
             quant=self.quant,
+            mlp_hidden=self.mlp_hidden,
             name="transformer",
         )(x, mask)
         x = LayerNorm(name="ln_final")(x)

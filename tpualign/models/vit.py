@@ -36,6 +36,7 @@ class VisionTransformer(nn.Module):
     remat: bool = False
     use_fused_attention: bool = False
     quant: str = "none"
+    mlp_hidden: int | None = None  # None = 4x width (g/bigG use more)
 
     @nn.compact
     def __call__(
@@ -103,6 +104,7 @@ class VisionTransformer(nn.Module):
             remat=self.remat,
             use_fused_attention=self.use_fused_attention,
             quant=self.quant,
+            mlp_hidden=self.mlp_hidden,
             name="transformer",
         )(x)
         x = LayerNorm(name="ln_post")(x[:, 0, :])

@@ -24,7 +24,6 @@ from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 __all__ = ["lora_init", "lora_apply", "lora_param_count",
            "LORA_TARGET_SUFFIXES"]
@@ -57,7 +56,11 @@ def lora_init(
     """
     if rank <= 0:
         raise ValueError(f"lora rank must be positive, got {rank}")
-    rng = np.random.default_rng(seed)
+    # adapters are generated ON DEVICE (jax.random, one fold_in per
+    # kernel): at H-14 scale the A tree is ~34 MB, which host-side numpy
+    # would push through the relay at ~64 KB/s (minutes of dead time)
+    key = jax.random.PRNGKey(seed)
+    counter = [0]
 
     def walk(tree, prefix=""):
         if isinstance(tree, dict):
@@ -69,15 +72,22 @@ def lora_init(
             return out or None
         if _is_target(prefix, tree):
             d_in, d_out = tree.shape
-            a = (rng.standard_normal((d_in, rank)) / rank).astype(np.float32)
+            counter[0] += 1
+            a = jax.random.normal(
+                jax.random.fold_in(key, counter[0]), (d_in, rank),
+                jnp.float32,
+            ) / rank
             return {
-                "a": jnp.asarray(a),
+                "a": a,
                 "b": jnp.zeros((rank, d_out), jnp.float32),
             }
         return None
 
     lora = walk(params) or {}
-    lora["logit_scale"] = jnp.asarray(params["logit_scale"])
+    # a REAL copy, not jnp.asarray (a no-op on device arrays): the scale
+    # must not alias the frozen tree's buffer, or a donated train step
+    # donates the same buffer twice (TPU runtime INVALID_ARGUMENT)
+    lora["logit_scale"] = jnp.array(params["logit_scale"], copy=True)
     return lora
 
 

@@ -108,6 +108,19 @@ def create_train_state(
         from tpualign.utils.logging import get_logger
 
         frozen = params
+        if config.lora_base_dtype == "bfloat16":
+            # the frozen base takes no updates, so it needs no fp32
+            # accumulation; kernels/embeddings (ndim>=2, ~all the bytes)
+            # store in bf16, vectors/scalars (LNs, biases) stay fp32
+            frozen = jax.tree.map(
+                lambda p: p.astype(jnp.bfloat16) if p.ndim >= 2 else p,
+                frozen,
+            )
+        elif config.lora_base_dtype != "float32":
+            raise ValueError(
+                f"LORA_BASE_DTYPE must be float32 or bfloat16, "
+                f"got {config.lora_base_dtype!r}"
+            )
         params = lora_init(params, config.lora_rank)
         lora_scale = config.lora_alpha / config.lora_rank
         get_logger("train.step").info(
@@ -119,7 +132,10 @@ def create_train_state(
         params=params,
         opt_state=tx.init(params),
         tx=tx,
-        ema_params=(jax.tree.map(jnp.asarray, params)
+        # real copies (jnp.asarray is a no-op on device arrays): the EMA
+        # tree must not alias params, or a donated train step donates the
+        # same buffers twice (TPU runtime INVALID_ARGUMENT)
+        ema_params=(jax.tree.map(lambda p: jnp.array(p, copy=True), params)
                     if config.ema_decay > 0.0 else None),
         frozen_params=frozen,
         lora_scale=lora_scale,

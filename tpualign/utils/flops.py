@@ -21,15 +21,20 @@ __all__ = [
 ]
 
 
-def _transformer_flops(seq: int, width: int, layers: int, mlp_ratio: int = 4) -> int:
-    """Per-item forward FLOPs of a pre-LN transformer stack."""
+def _transformer_flops(seq: int, width: int, layers: int,
+                       mlp_hidden: Optional[int] = None) -> int:
+    """Per-item forward FLOPs of a pre-LN transformer stack.
+
+    ``mlp_hidden``: MLP hidden dim; None = the standard 4x width (the
+    g/bigG towers use non-4x ratios).
+    """
     qkv = 2 * seq * width * (3 * width)
     attn_out = 2 * seq * width * width
     # scores (S, W) x (W, S) per head sums to 2*S*S*W across heads; same for
     # the attention-weighted value combine.
     scores = 2 * seq * seq * width
     combine = 2 * seq * seq * width
-    mlp = 2 * (2 * seq * width * (mlp_ratio * width))
+    mlp = 2 * (2 * seq * width * (mlp_hidden or 4 * width))
     return layers * (qkv + attn_out + scores + combine + mlp)
 
 
@@ -40,13 +45,15 @@ def vision_tower_flops(v: ClipVariant) -> int:
     patch_dim = v.patch_size * v.patch_size * 3
     patch_embed = 2 * (grid * grid) * patch_dim * v.vision_width
     proj = 2 * v.vision_width * v.embed_dim  # CLS token -> embed dim
-    return patch_embed + _transformer_flops(seq, v.vision_width, v.vision_layers) + proj
+    return patch_embed + _transformer_flops(
+        seq, v.vision_width, v.vision_layers, v.vision_mlp_dim) + proj
 
 
 def text_tower_flops(v: ClipVariant) -> int:
     """Forward FLOPs for one text through the transformer tower."""
     proj = 2 * v.text_width * v.embed_dim  # EOT token -> embed dim
-    return _transformer_flops(v.context_length, v.text_width, v.text_layers) + proj
+    return _transformer_flops(
+        v.context_length, v.text_width, v.text_layers, v.text_mlp_dim) + proj
 
 
 def clip_pair_flops(v: ClipVariant) -> int:
