@@ -466,7 +466,9 @@ def test_dryrun_multichip_clean_subprocess():
     proc = subprocess.run(
         [sys.executable, "-c",
          "import __graft_entry__ as g; g.dryrun_multichip(8)"],
-        cwd=repo, env=env, capture_output=True, text=True, timeout=600,
+        # generous: the dryrun jit-compiles ~10 programs on ONE throttled
+        # CPU core, and competing processes have pushed it past 600 s
+        cwd=repo, env=env, capture_output=True, text=True, timeout=1200,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "dryrun_multichip ok" in proc.stdout
@@ -492,7 +494,10 @@ def test_dryrun_multichip_after_backend_init_subprocess():
     )
     proc = subprocess.run(
         [sys.executable, "-c", code],
-        cwd=repo, env=env, capture_output=True, text=True, timeout=600,
+        # jax.devices() here initializes the REAL axon backend, which can
+        # stall for minutes when another process holds the chip; plus the
+        # dryrun's compile cost on one throttled core (flaked at 600 s)
+        cwd=repo, env=env, capture_output=True, text=True, timeout=1200,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "dryrun_multichip ok" in proc.stdout
