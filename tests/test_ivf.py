@@ -789,3 +789,95 @@ def test_ivf_remove_and_readd():
     iv.add(c[:1], man[:1], page[:1])
     _, i2 = iv.search(c[:1], man[:1], page[:1], k=2, n_probes=iv.n_lists)
     assert np.asarray(i2)[0, 0] == n  # the re-added copy's new id
+
+
+# ---------------------------------------------------------------------------
+# Refine stage over IVF (exact fp32 rescore of quantized probed candidates)
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_refine_full_probe_matches_fp64_oracle():
+    """int8 IVF at full probes + full-coverage refine returns the EXACT
+    ranking: the probed sweep visits every row, refine rescores every
+    candidate in fp64 — quantization noise cannot survive."""
+    from test_parallel import near_tie_problem, oracle64
+
+    rng = np.random.default_rng(31)
+    q, c, man, page = near_tie_problem(rng, n=256)
+    k = 8
+    ix = IVFIndex(c, man, page, n_lists=8, iters=4, precision="int8",
+                  refine=len(c) // k + 1)
+    vals, idx = ix.search(q, ["m"] * len(q), [1] * len(q), k,
+                          n_probes=ix.n_lists)
+    ovals, oidx = oracle64(q, c, k)
+    np.testing.assert_array_equal(idx, oidx)
+    np.testing.assert_allclose(vals, ovals, rtol=0, atol=2e-6)
+
+
+def test_ivf_refine_improves_probed_recall():
+    from test_parallel import near_tie_problem
+
+    rng = np.random.default_rng(37)
+    q, c, man, page = near_tie_problem(rng, n=512)
+    k = 10
+    nq = len(q)
+    exact = IVFIndex(c, man, page, n_lists=8, iters=4)
+    _, ie = exact.search(q, ["m"] * nq, [1] * nq, k, n_probes=8)
+    plain = IVFIndex(c, man, page, n_lists=8, iters=4, precision="int8")
+    refined = IVFIndex(c, man, page, n_lists=8, iters=4, precision="int8",
+                       refine=4)
+    _, ip = plain.search(q, ["m"] * nq, [1] * nq, k, n_probes=8)
+    _, ir = refined.search(q, ["m"] * nq, [1] * nq, k, n_probes=8)
+
+    def recall(i):
+        return np.mean([len(set(ie[r]) & set(i[r])) / k for r in range(nq)])
+
+    assert recall(ir) >= recall(ip)
+    assert recall(ir) >= 0.9, recall(ir)
+
+
+def test_ivf_refine_rejects_prequantized():
+    rng = np.random.default_rng(41)
+    c, _ = make_clustered(rng, n=256, d=16, g=8)
+    scale = np.abs(c).max(axis=1, keepdims=True) / 127.0
+    qc = np.clip(np.rint(c / scale), -127, 127).astype(np.int8)
+    with pytest.raises(ValueError, match="refine"):
+        IVFIndex(qc, ["m"] * 256, [1] * 256, n_lists=8,
+                 corpus_scales=scale[:, 0], refine=4)
+
+
+def test_ivf_refine_save_load(tmp_path):
+    """load(refine=...) re-arms the refine stage around the saved
+    structure; results match the original refined index."""
+    from test_parallel import near_tie_problem
+
+    rng = np.random.default_rng(43)
+    q, c, man, page = near_tie_problem(rng, n=256)
+    k = 8
+    ix = IVFIndex(c, man, page, n_lists=8, iters=4, precision="int8",
+                  refine=4)
+    path = str(tmp_path / "ivf_refine.npz")
+    ix.save(path)
+    back = IVFIndex.load(path, c, refine=4)
+    assert back.refine == 4 and back._refine_corpus is not None
+    v1, i1 = ix.search(q, ["m"] * len(q), [1] * len(q), k)
+    v2, i2 = back.search(q, ["m"] * len(q), [1] * len(q), k)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(v1, v2, rtol=0, atol=1e-6)
+
+
+def test_ivf_refine_add_extends_host_copy():
+    from test_parallel import near_tie_problem, oracle64
+
+    rng = np.random.default_rng(47)
+    q, c, man, page = near_tie_problem(rng, n=192)
+    k = 6
+    ix = IVFIndex(c[:160], man[:160], page[:160], n_lists=8, iters=4,
+                  precision="int8", refine=192 // k + 1)
+    ix.add(c[160:], man[160:], page[160:])
+    assert len(ix._refine_corpus) == 192
+    vals, idx = ix.search(q, ["m"] * len(q), [1] * len(q), k,
+                          n_probes=ix.n_lists)
+    ovals, oidx = oracle64(q, c, k)
+    np.testing.assert_array_equal(idx, oidx)
+    np.testing.assert_allclose(vals, ovals, rtol=0, atol=2e-6)

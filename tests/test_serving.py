@@ -940,3 +940,39 @@ def test_notify_sync_helper(service, tmp_path):
     finally:
         srv.shutdown()
     assert notify_sync("http://127.0.0.1:1/", timeout=2) is None
+
+
+def test_service_refine_knob():
+    """RETRIEVAL_REFINE through the service: the index carries the
+    factor, /stats reports it, and refined searches return exact fp32
+    scores for quantized corpora."""
+    from tpualign.config import load_config
+    from tpualign.parallel.retrieval import build_index
+
+    cfg = load_config(env_file=None,
+                      overrides={"RETRIEVAL_REFINE": "4",
+                                 "RETRIEVAL_PRECISION": "int8"})
+    assert cfg.retrieval_refine == 4
+
+    rng = np.random.default_rng(9)
+    n, d = 256, 16
+    emb = rng.normal(size=(n, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    ids = [f"c{i}" for i in range(n)]
+    manuals = ["m0"] * n
+    pages = [1 + i % 4 for i in range(n)]
+    svc = RetrievalService(emb, ids, manuals, pages, precision="int8",
+                           refine=4)
+    assert svc.stats()["refine"] == 4
+    res = svc.search_embeddings(emb[:3], manuals[:3], pages[:3], k=4)
+    assert [r[0]["chunk_id"] for r in res] == ids[:3]
+    # refined self-match score is the exact fp32 value (1.0),
+    # not the quantized approximation
+    assert abs(res[0][0]["score"] - 1.0) < 1e-5
+
+    # factory pass-through, both index types
+    iv = build_index(emb, manuals, pages, index_type="ivf", ivf_lists=8,
+                     precision="int8", refine=4)
+    assert iv.refine == 4
+    ex = build_index(emb, manuals, pages, precision="int4", refine=4)
+    assert ex.refine == 4

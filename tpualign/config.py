@@ -335,6 +335,13 @@ class PipelineConfig:
     # quantization — the extreme-capacity mode; composes with exact,
     # streaming, mesh, and IVF). Evaluation always uses exact fp32.
     retrieval_precision: str = "fp32"
+    # Refine stage (FAISS refine / rescore-after-quantization parity):
+    # with a quantized precision (or a recall_target), each search
+    # over-fetches k*refine candidates from the fast first stage, then
+    # exactly rescores + re-ranks them in fp32 on host (from a host-RAM
+    # fp32 copy — zero HBM cost) before returning k. Quantized capacity
+    # with exact final rankings; recall@k rises with the factor. 0 = off.
+    retrieval_refine: int = 0
     # Image feed: "host" (PIL bicubic, torchvision parity) or "device"
     # (host decodes only — 2.45x per-core feed rate — resize/crop/normalize
     # fused on TPU as matmul bicubic+antialias matching PIL's uint8
@@ -491,6 +498,7 @@ def load_config(
         ),
         retrieval_index=_env(env, "RETRIEVAL_INDEX", "exact"),
         retrieval_precision=_env(env, "RETRIEVAL_PRECISION", "fp32"),
+        retrieval_refine=int(_env(env, "RETRIEVAL_REFINE", "0")),
         ivf_lists=(
             int(_env(env, "IVF_LISTS", ""))
             if _env(env, "IVF_LISTS", "") else None

@@ -72,6 +72,7 @@ from tpualign.ops.pallas_kernels import SENTINEL_IDX, ivf_probe_topk
 from tpualign.ops.similarity import NEG_INF, WILDCARD_KEY
 from tpualign.parallel.retrieval import (
     _pad_results,
+    _refine_rescore,
     _sentinel,
     _two_key_topk,
     encode_keys,
@@ -296,6 +297,7 @@ class IVFIndex:
         corpus_scales=None,
         int8_mxu: Optional[bool] = None,
         mesh=None,
+        refine: int = 0,
     ):
         if precision not in ("fp32", "int8", "int4"):
             raise ValueError(
@@ -351,6 +353,31 @@ class IVFIndex:
         self.dim = d_cols * 2 if corpus.dtype == jnp.uint8 else d_cols
         if self.n == 0:
             raise ValueError("IVFIndex needs a non-empty corpus")
+        if refine < 0:
+            raise ValueError(f"refine must be a factor >= 0, got {refine}")
+        self.refine = int(refine)
+        # host fp32 copy for the exact-rescore refine stage (see
+        # retrieval._refine_rescore); only a quantized first stage needs
+        # its candidate scores corrected
+        self._refine_corpus = None
+        if self.refine > 1:
+            if scales_in is not None:
+                raise ValueError(
+                    "refine needs fp32 build rows for the exact rescore; "
+                    "this build received a pre-quantized corpus — build "
+                    "from fp32 rows or drop refine"
+                )
+            if precision == "fp32":
+                log.warning(
+                    "refine=%d on an fp32 IVF index is a no-op (probed "
+                    "candidates already carry exact fp32 scores); "
+                    "disabling", refine,
+                )
+                self.refine = 0
+            else:
+                self._refine_corpus = np.asarray(
+                    corpus_embeddings, np.float32
+                )
         if keys is not None:
             keys = jnp.asarray(keys, jnp.int32)
         elif corpus_manuals is not None:
@@ -824,6 +851,10 @@ class IVFIndex:
             "_scales": scales_arr, "n": self.n + m,
             "spill": self.spill + n_over, "spill_blocks": spill_blocks,
         }
+        if self._refine_corpus is not None:
+            state["_refine_corpus"] = np.concatenate(
+                [self._refine_corpus, rows]
+            )
         self.__dict__.pop("_positions_cache", None)
         self.__dict__.update(state)
 
@@ -900,6 +931,21 @@ class IVFIndex:
         return self.search_encoded(queries, qk, k, n_probes)
 
     def search_encoded(
+        self, queries: np.ndarray, qk: np.ndarray, k: int,
+        n_probes: Optional[int] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        if self.refine > 1 and k > 0 and len(queries):
+            # refine: over-fetch k*refine candidates from the quantized
+            # probed sweep, exact fp32 rescore + trim on host (see
+            # retrieval._refine_rescore). Recall stays bounded by the
+            # probe set; ranking inside it becomes exact.
+            kf = min(max(k, k * self.refine), self.n)
+            vals, idx = self._search_encoded_raw(queries, qk, kf, n_probes)
+            return _refine_rescore(queries, vals, idx,
+                                   self._refine_corpus, k)
+        return self._search_encoded_raw(queries, qk, k, n_probes)
+
+    def _search_encoded_raw(
         self, queries: np.ndarray, qk: np.ndarray, k: int,
         n_probes: Optional[int] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
@@ -1107,7 +1153,8 @@ class IVFIndex:
     @classmethod
     def load(cls, path, corpus_embeddings, corpus_scales=None,
              use_kernel: Optional[bool] = None,
-             int8_mxu: Optional[bool] = None) -> "IVFIndex":
+             int8_mxu: Optional[bool] = None,
+             refine: int = 0) -> "IVFIndex":
         """Rebuild a saved index around the SAME corpus (row order must
         match the build — ids index into it). One device gather replaces
         the k-means build; precision follows the saved index (an fp32
@@ -1143,6 +1190,26 @@ class IVFIndex:
         self.cluster_chunk = meta["cluster_chunk"]
         if meta.get("calibrated_target") is not None:
             self.calibrated_target = meta["calibrated_target"]
+        if refine < 0:
+            raise ValueError(f"refine must be a factor >= 0, got {refine}")
+        self.refine = int(refine)
+        self._refine_corpus = None
+        if self.refine > 1:
+            if corpus.dtype in (jnp.int8, jnp.uint8):
+                raise ValueError(
+                    "refine needs fp32 corpus rows for the exact rescore; "
+                    "this load received a pre-quantized corpus"
+                )
+            if self.precision == "fp32":
+                log.warning(
+                    "refine=%d on an fp32 IVF index is a no-op; disabling",
+                    refine,
+                )
+                self.refine = 0
+            else:
+                self._refine_corpus = np.asarray(
+                    corpus_embeddings, np.float32
+                )
         self.centroids = jnp.asarray(z["centroids"], jnp.float32)
         self._ids = jnp.asarray(z["pids"], jnp.int32)
         self._keys = jnp.asarray(z["pkeys"], jnp.int32)

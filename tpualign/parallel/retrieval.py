@@ -500,6 +500,58 @@ def _sentinel(vals: np.ndarray, idx: np.ndarray):
     return vals, idx
 
 
+def _refine_rescore(
+    queries: np.ndarray,
+    vals: np.ndarray,
+    idx: np.ndarray,
+    host_corpus: Optional[np.ndarray],
+    k: int,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact fp32 rescoring of first-stage candidates (FAISS's refine
+    stage; the standard rescore-after-quantization pattern for quantized
+    vector indexes — pgvector users do the same over its `<=>` results).
+
+    ``idx`` is (Q, C >= k) candidate corpus positions from a fast first
+    stage (quantized scores or approximate top-k); when ``host_corpus``
+    (an (N, D) fp32 array in HOST memory — zero HBM cost) is given, every
+    valid candidate is re-scored with the exact fp32 dot product, then
+    candidates re-rank by the exact two-key order (value desc, index asc
+    — the same deterministic tie-break as the exact device paths) and
+    trim to ``k``. The (Q, C, D) gather+einsum runs on host numpy: C is
+    tens of rows per query, so this costs microseconds next to the device
+    sweep it refines, and it never touches the host->device link.
+
+    Recall stays bounded by the first stage (a true neighbor missing from
+    the C candidates stays missing) but the RANKING of returned results
+    becomes exact — quantization can no longer flip near-ties inside the
+    candidate set.
+    """
+    if host_corpus is not None and idx.size:
+        safe = np.clip(idx, 0, len(host_corpus) - 1).astype(np.int64)
+        rows = host_corpus[safe]  # (Q, C, D) fp32
+        # rescore in float64: near-tie candidates can sit within fp32
+        # summation-order noise (~1e-7) of each other, and the refine
+        # contract is that the returned ORDER is the true one — fp64
+        # accumulation makes the order independent of reduction order
+        # for anything wider than ~1e-16 gaps
+        exact = np.einsum(
+            "qd,qcd->qc", np.asarray(queries, np.float64),
+            rows.astype(np.float64),
+        ).astype(np.float32)
+        vals = np.where(idx >= 0, exact, NEG_INF).astype(np.float32)
+    # two stable argsorts = lexicographic (value desc, index asc); invalid
+    # slots carry NEG_INF values so they sort last regardless of index
+    key_idx = np.where(idx >= 0, idx, np.iinfo(np.int64).max)
+    o1 = np.argsort(key_idx, axis=1, kind="stable")
+    v1 = np.take_along_axis(vals, o1, axis=1)
+    i1 = np.take_along_axis(idx, o1, axis=1)
+    o2 = np.argsort(-v1, axis=1, kind="stable")
+    v2 = np.take_along_axis(v1, o2, axis=1)[:, :k]
+    i2 = np.take_along_axis(i1, o2, axis=1)[:, :k]
+    v2, i2 = _pad_results(v2, i2, k)
+    return _sentinel(v2, i2)
+
+
 class RetrievalIndex:
     """Resident sharded index over a chunk corpus.
 
@@ -522,19 +574,20 @@ class RetrievalIndex:
         mesh: Optional[Mesh] = None,
         precision: str = "fp32",
         recall_target: Optional[float] = None,
+        refine: int = 0,
     ):
         corpus = np.asarray(corpus_embeddings, np.float32)
         self.vocab: Dict[str, int] = {}
         keys, self.vocab = encode_keys(corpus_manuals, corpus_pages, self.vocab)
         self._init_from_arrays(
             corpus.shape[1] if corpus.ndim == 2 else 0, corpus, keys, mesh,
-            precision, recall_target,
+            precision, recall_target, refine,
         )
 
     def _init_from_arrays(
         self, dim: int, corpus: np.ndarray, keys: np.ndarray,
         mesh: Optional[Mesh], precision: str = "fp32",
-        recall_target: Optional[float] = None,
+        recall_target: Optional[float] = None, refine: int = 0,
     ) -> None:
         self.n = len(corpus)
         self.dim = dim
@@ -555,6 +608,24 @@ class RetrievalIndex:
                 "— pick one"
             )
         self.recall_target = recall_target
+        if refine < 0:
+            raise ValueError(f"refine must be a factor >= 0, got {refine}")
+        self.refine = int(refine)
+        # Exact-rescore corpus for the refine stage: a HOST fp32 copy
+        # (numpy — zero HBM cost; the EmbeddingStore holds these rows on
+        # host anyway). Only kept when a quantized first stage needs its
+        # scores corrected; fp32+recall_target refines by over-fetching
+        # alone (its candidate scores are already exact).
+        self._refine_corpus = None
+        if self.refine > 1:
+            if precision in ("int8", "int4"):
+                self._refine_corpus = np.array(corpus, np.float32)
+            elif recall_target is None:
+                log.warning(
+                    "refine=%d on an exact fp32 index is a no-op (the "
+                    "first stage is already exact); disabling", refine,
+                )
+                self.refine = 0
         if not hasattr(self, "vocab"):
             self.vocab = {}
         self._corpus_scales = None
@@ -646,7 +717,8 @@ class RetrievalIndex:
             keys = np.zeros((m,), np.int32)
         if self.n == 0:
             self._init_from_arrays(rows.shape[1], rows, keys, None,
-                                   self.precision, self.recall_target)
+                                   self.precision, self.recall_target,
+                                   self.refine)
             self._n_cap = self.n
             return
         if rows.shape[1] != self.dim:
@@ -685,12 +757,17 @@ class RetrievalIndex:
         ckeys = ckeys.at[self.n: total].set(jnp.asarray(keys, jnp.int32))
         if scales is not None:
             scales = scales.at[self.n: total].set(jnp.asarray(new_scales))
-        # single C-level swap: concurrent searches observe the old or the
-        # new field SET, never a shape-mismatched mix
-        self.__dict__.update({
+        new_fields = {
             "_corpus": corpus, "_keys": ckeys, "_corpus_scales": scales,
             "n": total, "_n_local": total, "_n_cap": cap,
-        })
+        }
+        if self._refine_corpus is not None:
+            new_fields["_refine_corpus"] = np.concatenate(
+                [self._refine_corpus, rows]
+            )
+        # single C-level swap: concurrent searches observe the old or the
+        # new field SET, never a shape-mismatched mix
+        self.__dict__.update(new_fields)
 
     def remove(self, corpus_indices) -> int:
         """Tombstone rows (pgvector ``DELETE`` parity): removed rows'
@@ -903,6 +980,21 @@ class RetrievalIndex:
         self, queries: np.ndarray, qk: np.ndarray, k: int,
         strategy: str = "auto",
     ) -> Tuple[np.ndarray, np.ndarray]:
+        if self.refine > 1 and self.n > 0 and k > 0:
+            # refine stage: over-fetch k*refine candidates from the fast
+            # first stage (quantized sweep or approximate top-k), then
+            # exact fp32 rescore + trim on host. Recall@k rises with the
+            # candidate multiple; ranking inside the candidates is exact.
+            kf = min(max(k, k * self.refine), self.n)
+            vals, idx = self._search_encoded_raw(queries, qk, kf, strategy)
+            return _refine_rescore(queries, vals, idx,
+                                   self._refine_corpus, k)
+        return self._search_encoded_raw(queries, qk, k, strategy)
+
+    def _search_encoded_raw(
+        self, queries: np.ndarray, qk: np.ndarray, k: int,
+        strategy: str = "auto",
+    ) -> Tuple[np.ndarray, np.ndarray]:
         nq = len(queries)
         if nq == 0 or self.n == 0:
             return (
@@ -935,7 +1027,11 @@ class RetrievalIndex:
             # kernel exists for the regime where that matrix does NOT fit —
             # it streams corpus blocks with O(Q*k) state instead of O(Q*N).
             sim_bytes = 4 * nq * self.n
-            if k <= 16 and sim_bytes > 4 * 1024**3:
+            # k <= 64: past the unrolled-merge bound (16) the kernel's
+            # fori merge is slower per block but still O(Q*k) memory —
+            # in the beyond-HBM regime that is the only path that fits
+            # (refine over-fetch lands here with k*refine up to ~64)
+            if k <= 64 and sim_bytes > 4 * 1024**3:
                 from tpualign.ops.pallas_kernels import masked_sim_topk
 
                 # quantized corpora stream too (int8: 4x capacity,
@@ -976,8 +1072,15 @@ def build_index(
     ivf_lists: Optional[int] = None,
     ivf_probes: Optional[int] = None,
     ivf_cache: Optional[str] = None,
+    refine: int = 0,
 ):
     """Index factory honoring the ``RETRIEVAL_INDEX`` config knob.
+
+    ``refine`` (the ``RETRIEVAL_REFINE`` knob, FAISS's refine stage): with
+    a quantized ``precision`` (or ``recall_target``), fetch ``k*refine``
+    candidates from the fast first stage and exactly rescore + re-rank
+    them in fp32 on host before returning ``k`` — quantized capacity with
+    exact final rankings. 0/1 = off.
 
     "exact" (default) -> :class:`RetrievalIndex` — brute-force MXU search,
     the right call whenever query batches are large (the corpus read
@@ -1012,7 +1115,7 @@ def build_index(
             index = IVFIndex(
                 corpus_embeddings, corpus_manuals, corpus_pages,
                 n_lists=ivf_lists, n_probes=ivf_probes,
-                precision=precision, mesh=mesh,
+                precision=precision, mesh=mesh, refine=refine,
             )
             if recall_target is not None and ivf_probes is None:
                 index.calibrate(recall_target)
@@ -1024,7 +1127,8 @@ def build_index(
 
             if ivf_cache and os.path.exists(ivf_cache):
                 try:
-                    loaded = IVFIndex.load(ivf_cache, corpus_embeddings)
+                    loaded = IVFIndex.load(ivf_cache, corpus_embeddings,
+                                           refine=refine)
                     if loaded.precision != precision:
                         raise ValueError(
                             f"cache precision {loaded.precision} != "
@@ -1045,7 +1149,7 @@ def build_index(
             index = IVFIndex(
                 corpus_embeddings, corpus_manuals, corpus_pages,
                 n_lists=ivf_lists, n_probes=ivf_probes,
-                precision=precision,
+                precision=precision, refine=refine,
             )
             if recall_target is not None and ivf_probes is None:
                 # pick the smallest probe count meeting the target —
@@ -1062,5 +1166,5 @@ def build_index(
         )
     return RetrievalIndex(
         corpus_embeddings, corpus_manuals, corpus_pages, mesh=mesh,
-        precision=precision, recall_target=recall_target,
+        precision=precision, recall_target=recall_target, refine=refine,
     )

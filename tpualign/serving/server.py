@@ -281,6 +281,7 @@ class RetrievalService:
         ivf_probes: Optional[int] = None,
         precision: str = "fp32",
         ivf_cache: Optional[str] = None,
+        refine: int = 0,
     ):
         self.schema = schema
         self.chunk_ids = list(chunk_ids)
@@ -291,7 +292,7 @@ class RetrievalService:
             chunk_embeddings, chunk_manuals, chunk_pages, mesh=mesh,
             recall_target=recall_target, index_type=index_type,
             ivf_lists=ivf_lists, ivf_probes=ivf_probes,
-            precision=precision, ivf_cache=ivf_cache,
+            precision=precision, ivf_cache=ivf_cache, refine=refine,
         )
         # request coalescing: concurrent searches (and text encodes) merge
         # into one device dispatch each (None disables — library callers
@@ -505,6 +506,7 @@ class RetrievalService:
             "mesh": dict(self.index.mesh.shape) if self.index.mesh else None,
             "index": type(self.index).__name__,
             "precision": self.index.precision,
+            "refine": getattr(self.index, "refine", 0),
         }
         if hasattr(self.index, "n_lists"):  # IVF geometry
             out["ivf"] = {
@@ -554,6 +556,7 @@ def build_index_artifact(config, schema: str, cache_path: str):
         precision=getattr(config, "retrieval_precision", "fp32"),
         recall_target=getattr(config, "retrieval_recall_target", None),
         ivf_cache=cache_path,
+        refine=getattr(config, "retrieval_refine", 0),
     )
 
 
@@ -596,6 +599,7 @@ def build_service(config, schema: str, mesh=None, text_tower: bool = True) -> Re
         ivf_probes=getattr(config, "ivf_probes", None),
         precision=getattr(config, "retrieval_precision", "fp32"),
         ivf_cache=getattr(config, "ivf_cache", None),
+        refine=getattr(config, "retrieval_refine", 0),
     )
 
 
