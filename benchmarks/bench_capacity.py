@@ -48,7 +48,9 @@ def main() -> None:
 
     import os
 
-    int4 = os.environ.get("CAPACITY_PRECISION", "int8") == "int4"
+    prec = os.environ.get("CAPACITY_PRECISION", "int8")
+    int4 = prec == "int4"
+    int2 = prec == "int2"
 
     @_partial(jax.jit, static_argnames=("n",))
     def _make_seg(key, n):
@@ -57,6 +59,10 @@ def main() -> None:
         # exists. int4 rows are (n, d/2) packed bytes; nibble values in
         # [1, 15] mirror the offset-8 encoding (throughput is value-blind
         # but keep the decode in-range anyway).
+        if int2:
+            # four 2-bit codes per byte (any byte decodes to valid
+            # {-3,-1,1,3} plane values)
+            return jax.random.randint(key, (n, d // 4), 0, 256, jnp.uint8)
         if int4:
             b = jax.random.randint(key, (n, d // 2, 2), 1, 16, jnp.uint8)
             return b[..., 0] | (b[..., 1] << 4)
@@ -73,9 +79,9 @@ def main() -> None:
         for s0 in range(0, n, SEG):
             key, sub = jax.random.split(key)
             parts.append(_make_seg(sub, min(SEG, n - s0)))
+        inv = 3.0 if int2 else (7.0 if int4 else 127.0)
         seg_meta = [
-            (jnp.full((len(p),), 1.0 / (7.0 if int4 else 127.0),
-                      jnp.float32),
+            (jnp.full((len(p),), 1.0 / inv, jnp.float32),
              jnp.zeros((len(p),), jnp.int32))
             for p in parts
         ]
@@ -126,9 +132,9 @@ def main() -> None:
             dt = time.perf_counter() - t0
             qps = q_n * iters / dt
             print(json.dumps({
-                "metric": ("int4" if int4 else "int8") + "_streaming_qps",
+                "metric": prec + "_streaming_qps",
                 "corpus_millions": m,
-                "corpus_gb": round(n * d // (4 if int4 else 2) * 2 / 2**30, 2),
+                "corpus_gb": round(n * d // (8 if int2 else (4 if int4 else 2)) * 2 / 2**30, 2),
                 "q": q_n, "k": k, "int8_mxu": mxu,
                 "value": round(qps, 1),
                 "unit": "queries/s",
@@ -137,7 +143,7 @@ def main() -> None:
             del parts, meta
         except Exception as e:  # OOM boundary is part of the result
             print(json.dumps({
-                "metric": ("int4" if int4 else "int8") + "_streaming_qps",
+                "metric": prec + "_streaming_qps",
                 "corpus_millions": m,
                 "error": str(e)[:200],
             }), flush=True)

@@ -1248,3 +1248,152 @@ class TestRefine:
         c = np.eye(8, dtype=np.float32)
         with pytest.raises(ValueError, match="refine"):
             RetrievalIndex(c, ["m"] * 8, [1] * 8, refine=-1)
+
+
+# ---------------------------------------------------------------------------
+# Packed int2 (4-level) corpora — the extreme-capacity rung
+# ---------------------------------------------------------------------------
+
+
+def int2_integer_oracle(q, qkeys, c, ckeys, k):
+    """Host oracle for the packed-int2 paths: per-row 4-level corpus
+    quantization ({-3,-1,1,3} * maxabs/3), int8 query quantization,
+    integer dot, kernel multiply order (acc_f32 * qs * cs)."""
+    s = np.maximum(np.abs(c).max(axis=1, keepdims=True), 1e-12)
+    code = np.clip(np.rint((c / s * 3.0 + 3.0) / 2.0), 0, 3)
+    cq = (2 * code - 3).astype(np.int32)
+    cs = (s / 3.0).astype(np.float32)
+    qs = np.maximum(np.max(np.abs(q), axis=1, keepdims=True) / 127.0, 1e-12)
+    qq = np.clip(np.rint(q / qs), -127, 127).astype(np.int32)
+    sims = (qq @ cq.T).astype(np.float32) * qs.astype(np.float32)
+    sims = sims * cs[:, 0][None, :]
+    vals = np.full((len(q), k), NEG_INF, np.float32)
+    idx = np.full((len(q), k), -1, np.int64)
+    for r in range(len(q)):
+        cand = np.where((qkeys[r] == ckeys) | (qkeys[r] == -3))[0]
+        order = cand[np.lexsort((cand, -sims[r][cand]))][:k]
+        vals[r, : len(order)] = sims[r][order]
+        idx[r, : len(order)] = order
+    return vals, idx
+
+
+def test_int2_pack_roundtrip():
+    """2-bit packing is lossless over the 4-level codes: plane p (bits
+    [2p, 2p+1]) holds dims [p*D/4, (p+1)*D/4); dequant = (2*code-3)*s/3."""
+    from tpualign.parallel.retrieval import _quantize_rows_int2
+
+    rng = np.random.default_rng(63)
+    x = rng.normal(size=(37, 16)).astype(np.float32)
+    packed, scales = _quantize_rows_int2(x)
+    assert packed.dtype == np.uint8 and packed.shape == (37, 4)
+    planes = [((packed.astype(np.int32) >> (2 * p)) & 3) for p in range(4)]
+    code = np.concatenate(planes, axis=1)
+    s = np.maximum(np.abs(x).max(axis=1, keepdims=True), 1e-12)
+    expect = np.clip(np.rint((x / s * 3.0 + 3.0) / 2.0), 0, 3)
+    np.testing.assert_array_equal(code, expect.astype(np.int32))
+    np.testing.assert_allclose(scales, (s / 3.0)[:, 0], rtol=1e-6)
+    # dequantized values stay within one level width of the original
+    deq = (2 * code - 3).astype(np.float32) * scales[:, None]
+    assert np.abs(deq - x).max() <= (s.max() / 3.0) + 1e-6
+    with pytest.raises(ValueError, match="divisible by 4"):
+        _quantize_rows_int2(x[:, :15])
+
+
+def test_int2_dense_and_streaming_match_integer_oracle(monkeypatch):
+    """precision="int2": the dense 4-plane unpack path and the streaming
+    kernel (packed-width dispatch) must rank exactly like the host
+    integer oracle, tie-breaks included — 16x capacity with
+    deterministic semantics."""
+    from tpualign.parallel import retrieval as R
+
+    rng = np.random.default_rng(67)
+    q, qman, qpage, c, cman, cpage = make_problem(rng, nq=7, n=157)
+    index = RetrievalIndex(c, cman, cpage, mesh=None, precision="int2")
+    assert index._corpus.shape == (157, 8)  # D/4 packed bytes
+    qkeys, _ = encode_keys(qman, qpage, dict(index.vocab))
+    ckeys = np.asarray(index._keys)
+    ovals, oidx = int2_integer_oracle(q, qkeys, c, ckeys, 10)
+    has = oidx >= 0
+
+    dv, di = index.search(q, qman, qpage, k=10)  # dense (small sims)
+    np.testing.assert_array_equal(di, oidx)
+    np.testing.assert_allclose(dv[has], ovals[has], atol=1e-6)
+
+    monkeypatch.setattr(R, "_prefer_streaming_kernel", lambda k: True)
+    monkeypatch.setattr(R, "INT8_STREAM_SIM_BYTES", 0)
+    sv, si = index.search(q, qman, qpage, k=10)  # streaming kernel
+    np.testing.assert_array_equal(si, oidx)
+    np.testing.assert_allclose(sv[has], ovals[has], atol=1e-6)
+
+    # wildcard through the kernel
+    gv, gi = index.search(q, k=10, global_search=True)
+    wk = np.full(len(q), -3, np.int32)
+    wov, woi = int2_integer_oracle(q, wk, c, ckeys, 10)
+    np.testing.assert_array_equal(gi, woi)
+
+
+def test_mesh_int2_gather_and_streaming(mesh8):
+    """int2 composes with the mesh: gather (4-plane integer dot per
+    shard) and streaming (packed sweep per shard) both equal the host
+    integer oracle globally; ring refuses loudly."""
+    rng = np.random.default_rng(71)
+    q, qman, qpage, c, cman, cpage = make_problem(rng, nq=8, n=203)
+    index = RetrievalIndex(c, cman, cpage, mesh=mesh8, precision="int2")
+    qkeys, _ = encode_keys(qman, qpage, dict(index.vocab))
+    ckeys = np.asarray(index._keys)[: len(c)]
+    ovals, oidx = int2_integer_oracle(q, qkeys, c, ckeys, 10)
+    has = oidx >= 0
+    for strategy in ("gather", "streaming"):
+        vals, idx = index.search(q, qman, qpage, k=10, strategy=strategy)
+        np.testing.assert_array_equal(idx, oidx, err_msg=strategy)
+        np.testing.assert_allclose(vals[has], ovals[has], atol=1e-6)
+    with pytest.raises(ValueError, match="int2"):
+        index.search_device(
+            jnp.asarray(q), jnp.asarray(qkeys, jnp.int32), 10, "ring"
+        )
+
+
+def test_int2_with_refine_recovers_usable_recall():
+    """int2 alone is coarse (~5e-2-level noise); composed with refine it
+    recovers high recall vs the exact fp32 ranking — the intended
+    configuration for the 16x-capacity rung."""
+    rng = np.random.default_rng(73)
+    n, d, nq, k = 2000, 64, 24, 10
+    c = unit_rows(rng.normal(size=(n, d)).astype(np.float32))
+    q = unit_rows(rng.normal(size=(nq, d)).astype(np.float32))
+    man, page = ["m"] * n, [1] * n
+    exact = RetrievalIndex(c, man, page)
+    _, ie = exact.search(q, ["m"] * nq, [1] * nq, k)
+
+    def recall(i):
+        return np.mean([len(set(ie[r]) & set(i[r])) / k for r in range(nq)])
+
+    plain = RetrievalIndex(c, man, page, precision="int2")
+    _, ip = plain.search(q, ["m"] * nq, [1] * nq, k)
+    refined = RetrievalIndex(c, man, page, precision="int2", refine=6)
+    _, ir = refined.search(q, ["m"] * nq, [1] * nq, k)
+    assert recall(ir) >= recall(ip)
+    assert recall(ir) >= 0.9, (recall(ip), recall(ir))
+
+
+def test_int2_add_matches_fresh_build():
+    rng = np.random.default_rng(79)
+    n, d = 300, 32
+    c = unit_rows(rng.normal(size=(n, d)).astype(np.float32))
+    man = [f"m{i % 3}" for i in range(n)]
+    page = [1 + i % 4 for i in range(n)]
+    grown = RetrievalIndex(c[:200], man[:200], page[:200], precision="int2")
+    grown.add(c[200:], man[200:], page[200:])
+    fresh = RetrievalIndex(c, man, page, precision="int2")
+    va, ia = grown.search(c[50:70], man[50:70], page[50:70], k=5)
+    vb, ib = fresh.search(c[50:70], man[50:70], page[50:70], k=5)
+    np.testing.assert_array_equal(ia, ib)
+    np.testing.assert_allclose(va, vb, atol=1e-6)
+
+
+def test_int2_rejects_recall_target():
+    rng = np.random.default_rng(83)
+    c = rng.normal(size=(64, 8)).astype(np.float32)
+    with pytest.raises(ValueError, match="recall_target"):
+        RetrievalIndex(c, ["m"] * 64, [1] * 64, precision="int2",
+                       recall_target=0.9)

@@ -976,3 +976,24 @@ def test_service_refine_knob():
     assert iv.refine == 4
     ex = build_index(emb, manuals, pages, precision="int4", refine=4)
     assert ex.refine == 4
+
+
+def test_serving_int2_precision():
+    """precision="int2" (the 16x-capacity rung) serves through the same
+    surface, ideally with refine: self-retrieval survives 2-bit
+    quantization once refined, and /stats reports precision + refine."""
+    rng = np.random.default_rng(13)
+    n, d = 256, 16
+    emb = rng.normal(size=(n, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    ids = [f"c{i}" for i in range(n)]
+    manuals = ["m0"] * n
+    pages = [1 + i % 4 for i in range(n)]
+    svc = RetrievalService(emb, ids, manuals, pages, precision="int2",
+                           refine=4)
+    assert svc.index.precision == "int2"
+    st = svc.stats()
+    assert st["precision"] == "int2" and st["refine"] == 4
+    res = svc.search_embeddings(emb[:3], manuals[:3], pages[:3], k=4)
+    assert [r[0]["chunk_id"] for r in res] == ids[:3]
+    assert abs(res[0][0]["score"] - 1.0) < 1e-5  # refined exact score

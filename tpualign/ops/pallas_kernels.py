@@ -285,6 +285,55 @@ def _sim_topk_kernel_int4_mxu(
         idx_ref[:] = run_idx[:]
 
 
+def _sim_topk_kernel_int2_mxu(
+    q_ref, qs_ref, qk_ref, c_ref, ck_ref, cs_ref, vals_ref, idx_ref,
+    run_vals, run_idx, *, k: int, block_n: int, num_n: int,
+):
+    """int2-packed corpus streaming variant — the EXTREME-capacity rung
+    (16x fp32 / 2x int4 rows per HBM byte): the block arrives as
+    (Nb, D/4) uint8, four 2-bit codes per byte; plane p (bits
+    [2p, 2p+1]) holds dims [p*D/4, (p+1)*D/4) with 4-LEVEL values
+    {-3,-1,1,3} (per-row scale s/3), so the unpack is four cheap VPU
+    expressions and the score is FOUR quarter-width s8 x s8 -> s32 MXU
+    dots. ~5e-2-level noise — pair with the refine stage (exact host
+    rescore) for usable final rankings."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _reset():
+        run_vals[:] = jnp.full_like(run_vals, NEG_INF)
+        run_idx[:] = jnp.full_like(run_idx, jnp.int32(SENTINEL_IDX))
+
+    b = c_ref[:].astype(jnp.int32)          # (Nb, D/4) of packed bytes
+    q = q_ref[:]                            # (Qb, D) int8
+    quarter = b.shape[1]
+    acc = None
+    for p in range(4):
+        vp = (((b >> (2 * p)) & 3) * 2 - 3).astype(jnp.int8)
+        term = jax.lax.dot_general(
+            q[:, p * quarter: (p + 1) * quarter], vp,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        acc = term if acc is None else acc + term
+    sims = acc.astype(jnp.float32) * qs_ref[:] * cs_ref[:]
+    qk = qk_ref[:]
+    ck = ck_ref[:]
+    mask = ((qk == ck) | (qk == WILDCARD_KEY)) & (ck >= 0)
+    sims = jnp.where(mask, sims, NEG_INF)
+
+    qb = sims.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (qb, block_n), 1) + j * block_n
+    new_v, new_i = _merge_running_topk(run_vals[:], run_idx[:], sims, col, k)
+    run_vals[:] = new_v
+    run_idx[:] = new_i
+
+    @pl.when(j == num_n - 1)
+    def _emit():
+        vals_ref[:] = run_vals[:]
+        idx_ref[:] = run_idx[:]
+
+
 def _auto_block_n(d: int, itemsize: int = 4,
                   budget: int = 8 * 2**20) -> int:
     """Largest corpus block (multiple of 512) whose double-buffered VMEM
@@ -390,19 +439,24 @@ def _sim_topk_one_segment(
 ):
     q, d = queries.shape
     n = corpus.shape[0]
-    # an unsigned-byte corpus with scales is the packed-int4 layout (two
-    # offset-8 nibbles per byte, (N, D/2)); int8/float corpora keep their
-    # dtypes, so the dispatch cannot misfire
-    int4 = corpus.dtype == jnp.uint8 and corpus_scales is not None
-    if int4 and corpus.shape[1] * 2 != d:
+    # an unsigned-byte corpus with scales is a PACKED layout: (N, D/2)
+    # = int4 (two offset-8 nibbles per byte), (N, D/4) = int2 (four
+    # 2-bit codes per byte); int8/float corpora keep their dtypes, so
+    # the dispatch cannot misfire
+    packed = corpus.dtype == jnp.uint8 and corpus_scales is not None
+    int4 = packed and corpus.shape[1] * 2 == d
+    int2 = packed and corpus.shape[1] * 4 == d
+    if packed and not (int4 or int2):
         raise ValueError(
-            f"packed int4 corpus must be (N, D/2); got {corpus.shape} "
-            f"for D={d}"
+            f"packed corpus must be (N, D/2) int4 or (N, D/4) int2; "
+            f"got {corpus.shape} for D={d}"
         )
     if block_n is None:
         # the MXU variants hold no fp32 dequant intermediate, so their
         # double-buffered integer blocks afford 2x the corpus tile
-        block_n = _auto_block_n(d, itemsize=2 if (int8_mxu or int4) else 4)
+        block_n = _auto_block_n(
+            d, itemsize=2 if (int8_mxu or int4 or int2) else 4
+        )
     qp = _round_up(max(q, 8), min(block_q, _round_up(max(q, 8), 8)))
     block_q = min(block_q, qp)
     qp = _round_up(qp, block_q)
@@ -427,7 +481,7 @@ def _sim_topk_one_segment(
         pl.BlockSpec((1, block_n), lambda i, j: (0, j)),
     ]
     args = [queries, query_keys[:, None], corpus, corpus_keys[None, :]]
-    if int4:
+    if int4 or int2:
         scales = jnp.pad(
             corpus_scales.astype(jnp.float32), (0, np_ - n)
         )
@@ -436,18 +490,20 @@ def _sim_topk_one_segment(
             1e-12,
         )
         qq = jnp.clip(jnp.rint(queries / qs), -127, 127).astype(jnp.int8)
+        pack_cols = d // (2 if int4 else 4)
         in_specs = [
             pl.BlockSpec((block_q, d), lambda i, j: (i, 0)),       # qq
             pl.BlockSpec((block_q, 1), lambda i, j: (i, 0)),       # qs
             pl.BlockSpec((block_q, 1), lambda i, j: (i, 0)),       # qk
-            pl.BlockSpec((block_n, d // 2), lambda i, j: (j, 0)),  # packed
+            pl.BlockSpec((block_n, pack_cols), lambda i, j: (j, 0)),
             pl.BlockSpec((1, block_n), lambda i, j: (0, j)),       # ck
             pl.BlockSpec((1, block_n), lambda i, j: (0, j)),       # cs
         ]
         args = [qq, qs, query_keys[:, None], corpus,
                 corpus_keys[None, :], scales[None, :]]
         kernel = functools.partial(
-            _sim_topk_kernel_int4_mxu, k=k, block_n=block_n, num_n=num_n
+            _sim_topk_kernel_int4_mxu if int4 else _sim_topk_kernel_int2_mxu,
+            k=k, block_n=block_n, num_n=num_n,
         )
     elif corpus_scales is not None and int8_mxu:
         scales = jnp.pad(

@@ -203,6 +203,73 @@ def _quantize_rows_int4(x: np.ndarray):
     return packed, scale.astype(np.float32)[:, 0]
 
 
+def _quantize_rows_int2(x: np.ndarray):
+    """Packed int2 quantization — the EXTREME-capacity rung (16x the fp32
+    vectors per HBM byte, 2x int4): per-row symmetric 4-LEVEL values in
+    {-3, -1, +1, +3} scaled by s/3 (s = row max-abs), four codes per byte.
+    Plane p (bits [2p, 2p+1]) holds dims [p*D/4, (p+1)*D/4), so kernels
+    unpack with four VPU expressions and score with four quarter-width
+    s8 x s8 -> s32 MXU dots. ~5e-2-level noise — pair it with
+    ``refine`` (exact fp32 rescore) for usable final rankings. A 1-bit
+    rung was considered and rejected: at d=512 its packed rows are 64
+    bytes, under the TPU's 128-lane tile, and sign-only scores lose the
+    magnitude information the 4-level code keeps. Requires D % 4 == 0.
+    Returns ((N, D/4) uint8, (N,) fp32 scales where dequant = v * scale).
+    """
+    n, d = x.shape
+    if d % 4:
+        raise ValueError(
+            f"int2 packing needs embedding dim divisible by 4, got {d}"
+        )
+    s = np.maximum(np.abs(x).max(axis=1, keepdims=True), 1e-12)
+    # nearest level in {-3,-1,1,3} of y = 3x/s: code = round((y+3)/2)
+    code = np.clip(
+        np.rint((x / s * 3.0 + 3.0) / 2.0), 0, 3
+    ).astype(np.uint8)
+    q4 = d // 4
+    packed = (
+        code[:, :q4]
+        | (code[:, q4: 2 * q4] << 2)
+        | (code[:, 2 * q4: 3 * q4] << 4)
+        | (code[:, 3 * q4:] << 6)
+    ).astype(np.uint8)
+    return packed, (s / 3.0).astype(np.float32)[:, 0]
+
+
+def _int2_sims(q, c_p, c_s):
+    """Scores against a packed-int2 corpus (see `_quantize_rows_int2`):
+    quantize the query block to int8, unpack the four 2-bit planes to
+    {-3,-1,1,3} int8, four quarter-width s8 x s8 -> s32 dots, rescale."""
+    qs = jnp.maximum(jnp.max(jnp.abs(q), axis=1, keepdims=True) / 127.0,
+                     1e-12)
+    qq = jnp.clip(jnp.rint(q / qs), -127, 127).astype(jnp.int8)
+    b = c_p.astype(jnp.int32)
+    quarter = c_p.shape[1]
+    acc = None
+    for p in range(4):
+        vp = (((b >> (2 * p)) & 3) * 2 - 3).astype(jnp.int8)
+        term = jax.lax.dot_general(
+            qq[:, p * quarter: (p + 1) * quarter], vp,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        acc = term if acc is None else acc + term
+    return acc.astype(jnp.float32) * qs * c_s[None, :]
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _device_masked_topk_int2(q, qk, c_p, c_s, ck, k: int):
+    """Dense XLA path for packed-int2 corpora (k > 16, CPU, small sims);
+    the beyond-HBM regime belongs to the streaming kernel (per-VMEM-block
+    unpack), exactly as for int4."""
+    sims = _int2_sims(q, c_p, c_s)
+    mask = ((qk[:, None] == ck[None, :]) | (qk[:, None] == WILDCARD_KEY)) & (
+        ck[None, :] >= 0
+    )
+    sims = jnp.where(mask, sims, NEG_INF)
+    return jax.lax.top_k(sims, k)
+
+
 @partial(jax.jit, static_argnames=("k",))
 def _device_masked_topk_int8(q, qk, c_q, c_s, ck, k: int):
     """int8 serving path: quantize the query block on device, s8xs8->s32
@@ -344,6 +411,20 @@ def _local_topk_kernel_int4(q, qk, c_p, c_s, ck, *, k_local: int, axis: str):
     return vals[None], (idx + offset)[None]
 
 
+def _local_topk_kernel_int2(q, qk, c_p, c_s, ck, *, k_local: int, axis: str):
+    """shard_map body for a packed-int2 corpus shard (gather strategy):
+    same scheme as :func:`_device_masked_topk_int2` per shard; the
+    cross-shard merge stays exact fp32."""
+    sims = _int2_sims(q, c_p, c_s)
+    mask = ((qk[:, None] == ck[None, :]) | (qk[:, None] == WILDCARD_KEY)) & (
+        ck[None, :] >= 0
+    )
+    sims = jnp.where(mask, sims, NEG_INF)
+    vals, idx = jax.lax.top_k(sims, k_local)
+    offset = jax.lax.axis_index(axis) * c_p.shape[0]
+    return vals[None], (idx + offset)[None]
+
+
 def _local_topk_kernel_int8(q, qk, c_q, c_s, ck, *, k_local: int, axis: str):
     """shard_map body for an int8 corpus shard: quantize the replicated
     query block on device, s8 x s8 -> s32 on the MXU, rescale to fp32 sims,
@@ -403,6 +484,10 @@ def _sharded_search_fn(mesh: Mesh, k: int, k_local: int, recall_target=None,
         kernel = partial(_local_topk_kernel_int4, k_local=k_local,
                          axis="data")
         in_specs = (P(), P(), P("data", None), P("data"), P("data"))
+    elif precision == "int2":
+        kernel = partial(_local_topk_kernel_int2, k_local=k_local,
+                         axis="data")
+        in_specs = (P(), P(), P("data", None), P("data"), P("data"))
     elif precision == "int8":
         kernel = partial(_local_topk_kernel_int8, k_local=k_local,
                          axis="data")
@@ -431,11 +516,11 @@ def _sharded_streaming_fn(mesh: Mesh, k: int, precision: str = "fp32",
                           int8_mxu: bool = False):
     """Compiled streaming-strategy search: fused Pallas sweep per shard +
     exact cross-shard merge (one executable, winners-only ICI traffic).
-    int4 shards dispatch inside masked_sim_topk by dtype (packed uint8)."""
+    int4/int2 shards dispatch inside masked_sim_topk by packed width."""
     kernel = partial(_streaming_local_kernel, k=k, axis="data",
                      int8_mxu=precision == "int8" and int8_mxu)
     in_specs = (P(), P(), P("data", None), P("data"))
-    if precision in ("int8", "int4"):
+    if precision in ("int8", "int4", "int2"):
         in_specs = in_specs + (P("data"),)
     mapped = jax.shard_map(
         kernel,
@@ -592,16 +677,18 @@ class RetrievalIndex:
         self.n = len(corpus)
         self.dim = dim
         self.mesh = mesh if (mesh is not None and mesh.shape["data"] > 1) else None
-        if precision not in ("fp32", "int8", "int4"):
+        if precision not in ("fp32", "int8", "int4", "int2"):
             raise ValueError(
-                f"precision must be fp32, int8 or int4, got {precision!r}"
+                f"precision must be fp32, int8, int4 or int2, "
+                f"got {precision!r}"
             )
         self.precision = precision
         if recall_target is not None and not (0.0 < recall_target <= 1.0):
             raise ValueError(
                 f"recall_target must be in (0, 1], got {recall_target}"
             )
-        if recall_target is not None and precision in ("int8", "int4"):
+        if recall_target is not None and precision in ("int8", "int4",
+                                                       "int2"):
             raise ValueError(
                 "recall_target composes with fp32 retrieval only; "
                 f"{precision} is already an approximate (capacity) mode "
@@ -618,7 +705,7 @@ class RetrievalIndex:
         # alone (its candidate scores are already exact).
         self._refine_corpus = None
         if self.refine > 1:
-            if precision in ("int8", "int4"):
+            if precision in ("int8", "int4", "int2"):
                 self._refine_corpus = np.array(corpus, np.float32)
             elif recall_target is None:
                 log.warning(
@@ -644,14 +731,15 @@ class RetrievalIndex:
                     [corpus, np.zeros((n_pad - self.n, corpus.shape[1]), np.float32)]
                 )
                 keys = np.concatenate([keys, np.full(n_pad - self.n, -1, np.int32)])
-            if precision in ("int8", "int4"):
+            if precision in ("int8", "int4", "int2"):
                 # quantize AFTER padding so every shard is quantized rows
-                # + scales: (4 or 8 x n_devices)x the single-chip fp32
+                # + scales: (4/8/16 x n_devices)x the single-chip fp32
                 # corpus capacity
-                corpus, scales = (
-                    _quantize_rows(corpus) if precision == "int8"
-                    else _quantize_rows_int4(corpus)
-                )
+                corpus, scales = {
+                    "int8": _quantize_rows,
+                    "int4": _quantize_rows_int4,
+                    "int2": _quantize_rows_int2,
+                }[precision](corpus)
                 self._corpus_scales = jax.device_put(
                     scales, NamedSharding(self.mesh, P("data"))
                 )
@@ -661,9 +749,12 @@ class RetrievalIndex:
             self._keys = jax.device_put(
                 keys, NamedSharding(self.mesh, P("data"))
             )
-        elif precision in ("int8", "int4"):
-            q, s = (_quantize_rows(corpus) if precision == "int8"
-                    else _quantize_rows_int4(corpus))
+        elif precision in ("int8", "int4", "int2"):
+            q, s = {
+                "int8": _quantize_rows,
+                "int4": _quantize_rows_int4,
+                "int2": _quantize_rows_int2,
+            }[precision](corpus)
             self._n_local = self.n
             self._corpus = jax.device_put(q)
             self._corpus_scales = jax.device_put(s)
@@ -730,6 +821,8 @@ class RetrievalIndex:
             new_rows, new_scales = _quantize_rows(rows)
         elif self.precision == "int4":
             new_rows, new_scales = _quantize_rows_int4(rows)
+        elif self.precision == "int2":
+            new_rows, new_scales = _quantize_rows_int2(rows)
         else:
             new_rows, new_scales = rows, None
 
@@ -827,7 +920,7 @@ class RetrievalIndex:
         # explicitly for correctness tests)
         if k <= 16 and jax.default_backend() == "tpu":
             return "streaming"
-        if self.precision in ("int8", "int4"):
+        if self.precision in ("int8", "int4", "int2"):
             # ring has no quantized path; gather keeps the integer MXU dot
             return "gather"
         return "ring"
@@ -890,12 +983,13 @@ class RetrievalIndex:
         appear as indices >= n only when a query has < k candidates.
         The ring strategy requires Q % data-axis-size == 0."""
         if self.mesh is None:
-            if self.precision in ("int8", "int4"):
+            if self.precision in ("int8", "int4", "int2"):
                 sim_bytes = 4 * query_embeddings.shape[0] * self.n
                 if (_prefer_streaming_kernel(k)
                         and sim_bytes > INT8_STREAM_SIM_BYTES):
-                    # masked_sim_topk dispatches int8 vs packed-int4 by
-                    # corpus dtype; int8_mxu only applies to int8
+                    # masked_sim_topk dispatches int8 vs packed int4/int2
+                    # by corpus dtype + packed width; int8_mxu only
+                    # applies to int8
                     return _device_streaming_topk_int8(
                         query_embeddings, query_keys, self._corpus,
                         self._corpus_scales, self._keys, min(k, self.n),
@@ -903,6 +997,11 @@ class RetrievalIndex:
                     )
                 if self.precision == "int4":
                     return _device_masked_topk_int4(
+                        query_embeddings, query_keys, self._corpus,
+                        self._corpus_scales, self._keys, min(k, self.n),
+                    )
+                if self.precision == "int2":
+                    return _device_masked_topk_int2(
                         query_embeddings, query_keys, self._corpus,
                         self._corpus_scales, self._keys, min(k, self.n),
                     )
@@ -936,7 +1035,7 @@ class RetrievalIndex:
         if strategy == "ring":
             from tpualign.parallel.ring import ring_search_fn
 
-            if self.precision in ("int8", "int4"):
+            if self.precision in ("int8", "int4", "int2"):
                 raise ValueError(
                     f"the ring strategy has no {self.precision} path; use "
                     "strategy='streaming' (fused quantized sweep) or "
@@ -955,14 +1054,14 @@ class RetrievalIndex:
                 _use_int8_mxu(),
             )
             args = (query_embeddings, query_keys, self._corpus, self._keys)
-            if self.precision in ("int8", "int4"):
+            if self.precision in ("int8", "int4", "int2"):
                 args = args + (self._corpus_scales,)
             return run(*args)
         run = _sharded_search_fn(
             self.mesh, k, min(k, self._n_local), self.recall_target,
             self.precision,
         )
-        if self.precision in ("int8", "int4"):
+        if self.precision in ("int8", "int4", "int2"):
             return run(query_embeddings, query_keys, self._corpus,
                        self._corpus_scales, self._keys)
         return run(query_embeddings, query_keys, self._corpus, self._keys)
@@ -1043,7 +1142,8 @@ class RetrievalIndex:
                     self._corpus, self._keys, k,
                     corpus_scales=(
                         self._corpus_scales
-                        if self.precision in ("int8", "int4") else None
+                        if self.precision in ("int8", "int4", "int2")
+                        else None
                     ),
                     int8_mxu=_use_int8_mxu(),
                 )
