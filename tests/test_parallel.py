@@ -1397,3 +1397,43 @@ def test_int2_rejects_recall_target():
     with pytest.raises(ValueError, match="recall_target"):
         RetrievalIndex(c, ["m"] * 64, [1] * 64, precision="int2",
                        recall_target=0.9)
+
+
+def test_refine_overfetch_clamps_in_streaming_regime(mesh8, monkeypatch):
+    """In the beyond-budget regime the refine over-fetch clamps to the
+    streaming kernel's validated k bound instead of falling onto a dense
+    per-shard sims matrix; results stay correct for the clamped
+    candidate count."""
+    from tpualign.parallel import retrieval as R
+
+    rng = np.random.default_rng(97)
+    n, d, nq, k = 256, 32, 6, 4
+    c = unit_rows(rng.normal(size=(n, d)).astype(np.float32))
+    q = unit_rows(rng.normal(size=(nq, d)).astype(np.float32))
+    ix = RetrievalIndex(c, ["m"] * n, [1] * n, mesh=mesh8,
+                        precision="int8", refine=n)
+    orig = R._refine_rescore
+    seen = {}
+
+    def spy(queries, vals, idx, host, kk):
+        seen["kf"] = idx.shape[1]
+        return orig(queries, vals, idx, host, kk)
+
+    monkeypatch.setattr(R, "_refine_rescore", spy)
+    qk = np.full(nq, -3, np.int32)
+
+    # small corpus, big threshold: full-coverage over-fetch, no clamp
+    vals, idx = ix._search_encoded(q, qk, k)
+    assert seen["kf"] == n
+
+    # pretend the per-shard sims no longer fit: the over-fetch clamps
+    monkeypatch.setattr(R, "REFINE_MAX_STREAM_K", 8)
+    monkeypatch.setattr(RetrievalIndex, "RING_THRESHOLD_BYTES", 0)
+    vals, idx = ix._search_encoded(q, qk, k)
+    assert seen["kf"] == 8
+    # clamped results are still valid exact-rescored top-k
+    assert idx.shape == (nq, k) and (idx >= 0).all()
+    sims = q.astype(np.float64) @ c.T.astype(np.float64)
+    for r in range(nq):
+        np.testing.assert_allclose(
+            vals[r], np.sort(sims[r])[::-1][:k], atol=1e-5)

@@ -280,6 +280,10 @@ class TrainConfig:
     # fine-tuning fits wherever the frozen forward pass does.
     lora_rank: int = 0
     lora_alpha: float = 16.0
+    # seed for trainable-state init that is not derived from the model
+    # params (today: the LoRA adapter A matrices); wired from SEED so
+    # different seeds give independent fine-tunes
+    seed: int = 0
     # Storage dtype for the FROZEN base under LoRA: "bfloat16" halves the
     # dominant memory term (the base never receives updates, so it needs
     # no fp32 accumulation; matmuls already run in bf16). Vectors/scalars
@@ -481,6 +485,7 @@ def load_config(
         ema_decay=float(_env(env, "EMA_DECAY", "0.0")),
         moments_dtype=_env(env, "MOMENTS_DTYPE", "float32"),
         fsdp=_env_bool(env, "TRAIN_FSDP", False),
+        seed=int(_env(env, "SEED", "0")),
         lora_rank=int(_env(env, "LORA_RANK", "0")),
         lora_alpha=float(_env(env, "LORA_ALPHA", "16.0")),
         lora_base_dtype=_env(env, "LORA_BASE_DTYPE", "float32"),

@@ -74,6 +74,7 @@ from tpualign.parallel.retrieval import (
     _pad_results,
     _refine_rescore,
     _sentinel,
+    _setup_refine,
     _two_key_topk,
     encode_keys,
 )
@@ -353,31 +354,13 @@ class IVFIndex:
         self.dim = d_cols * 2 if corpus.dtype == jnp.uint8 else d_cols
         if self.n == 0:
             raise ValueError("IVFIndex needs a non-empty corpus")
-        if refine < 0:
-            raise ValueError(f"refine must be a factor >= 0, got {refine}")
-        self.refine = int(refine)
         # host fp32 copy for the exact-rescore refine stage (see
         # retrieval._refine_rescore); only a quantized first stage needs
         # its candidate scores corrected
-        self._refine_corpus = None
-        if self.refine > 1:
-            if scales_in is not None:
-                raise ValueError(
-                    "refine needs fp32 build rows for the exact rescore; "
-                    "this build received a pre-quantized corpus — build "
-                    "from fp32 rows or drop refine"
-                )
-            if precision == "fp32":
-                log.warning(
-                    "refine=%d on an fp32 IVF index is a no-op (probed "
-                    "candidates already carry exact fp32 scores); "
-                    "disabling", refine,
-                )
-                self.refine = 0
-            else:
-                self._refine_corpus = np.asarray(
-                    corpus_embeddings, np.float32
-                )
+        self.refine, self._refine_corpus = _setup_refine(
+            refine, precision, corpus_embeddings,
+            prequantized=scales_in is not None,
+        )
         if keys is not None:
             keys = jnp.asarray(keys, jnp.int32)
         elif corpus_manuals is not None:
@@ -1190,26 +1173,10 @@ class IVFIndex:
         self.cluster_chunk = meta["cluster_chunk"]
         if meta.get("calibrated_target") is not None:
             self.calibrated_target = meta["calibrated_target"]
-        if refine < 0:
-            raise ValueError(f"refine must be a factor >= 0, got {refine}")
-        self.refine = int(refine)
-        self._refine_corpus = None
-        if self.refine > 1:
-            if corpus.dtype in (jnp.int8, jnp.uint8):
-                raise ValueError(
-                    "refine needs fp32 corpus rows for the exact rescore; "
-                    "this load received a pre-quantized corpus"
-                )
-            if self.precision == "fp32":
-                log.warning(
-                    "refine=%d on an fp32 IVF index is a no-op; disabling",
-                    refine,
-                )
-                self.refine = 0
-            else:
-                self._refine_corpus = np.asarray(
-                    corpus_embeddings, np.float32
-                )
+        self.refine, self._refine_corpus = _setup_refine(
+            refine, self.precision, corpus_embeddings,
+            prequantized=corpus.dtype in (jnp.int8, jnp.uint8),
+        )
         self.centroids = jnp.asarray(z["centroids"], jnp.float32)
         self._ids = jnp.asarray(z["pids"], jnp.int32)
         self._keys = jnp.asarray(z["pkeys"], jnp.int32)

@@ -637,6 +637,45 @@ def _refine_rescore(
     return _sentinel(v2, i2)
 
 
+# The streaming kernel's merge is validated on the remote Mosaic up to
+# this k; past it the refine over-fetch is clamped in the beyond-HBM
+# regime (where the dense (Q, N) sims fallback cannot fit) instead of
+# silently OOMing the chip.
+REFINE_MAX_STREAM_K = 64
+
+
+def _setup_refine(
+    refine: int, precision: str, fp32_rows,
+    prequantized: bool = False, keep_on_fp32: bool = False,
+):
+    """Shared refine-stage setup (RetrievalIndex init, IVFIndex init and
+    load): validate the factor and build the host fp32 rescore copy.
+    Returns ``(refine, host_copy)`` — refine comes back 0 when there is
+    nothing to refine (exact fp32 first stage), and ``keep_on_fp32``
+    keeps the factor with no copy for approximate-but-exact-scored first
+    stages (recall_target over-fetch)."""
+    if refine < 0:
+        raise ValueError(f"refine must be a factor >= 0, got {refine}")
+    refine = int(refine)
+    if refine <= 1:
+        return refine, None
+    if precision in ("int8", "int4", "int2"):
+        if prequantized:
+            raise ValueError(
+                "refine needs fp32 rows for the exact rescore; this "
+                "build received a pre-quantized corpus — build from "
+                "fp32 rows or drop refine"
+            )
+        return refine, np.array(np.asarray(fp32_rows), np.float32)
+    if keep_on_fp32:
+        return refine, None
+    log.warning(
+        "refine=%d on an exact fp32 index is a no-op (the first stage "
+        "is already exact); disabling", refine,
+    )
+    return 0, None
+
+
 class RetrievalIndex:
     """Resident sharded index over a chunk corpus.
 
@@ -1085,6 +1124,24 @@ class RetrievalIndex:
             # exact fp32 rescore + trim on host. Recall@k rises with the
             # candidate multiple; ranking inside the candidates is exact.
             kf = min(max(k, k * self.refine), self.n)
+            if kf > REFINE_MAX_STREAM_K:
+                # in the beyond-HBM regime only the O(Q*k) streaming
+                # sweep fits — clamp the over-fetch to its validated k
+                # bound rather than falling onto a dense (Q, N) sims
+                # matrix the chip cannot hold
+                nq = len(queries)
+                big = (4 * nq * self.n > 4 * 1024**3 if self.mesh is None
+                       else 4 * nq * self._n_local
+                       > self.RING_THRESHOLD_BYTES)
+                if big:
+                    log.warning(
+                        "refine over-fetch k*refine=%d clamped to %d: "
+                        "the corpus is in the beyond-HBM streaming "
+                        "regime and the kernel merge is validated to "
+                        "k<=%d", kf, REFINE_MAX_STREAM_K,
+                        REFINE_MAX_STREAM_K,
+                    )
+                    kf = REFINE_MAX_STREAM_K
             vals, idx = self._search_encoded_raw(queries, qk, kf, strategy)
             return _refine_rescore(queries, vals, idx,
                                    self._refine_corpus, k)

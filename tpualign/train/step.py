@@ -121,7 +121,7 @@ def create_train_state(
                 f"LORA_BASE_DTYPE must be float32 or bfloat16, "
                 f"got {config.lora_base_dtype!r}"
             )
-        params = lora_init(params, config.lora_rank)
+        params = lora_init(params, config.lora_rank, seed=config.seed)
         lora_scale = config.lora_alpha / config.lora_rank
         get_logger("train.step").info(
             "LoRA rank=%d alpha=%.1f: %d trainable params (base frozen)",
