@@ -881,3 +881,168 @@ def test_ivf_refine_add_extends_host_copy():
     ovals, oidx = oracle64(q, c, k)
     np.testing.assert_array_equal(idx, oidx)
     np.testing.assert_allclose(vals, ovals, rtol=0, atol=2e-6)
+
+
+# ---------------------------------------------------------------------------
+# Packed int2 layouts — the 16x-capacity IVF rung
+# ---------------------------------------------------------------------------
+
+
+def int2_dequant(packed: np.ndarray, scales: np.ndarray) -> np.ndarray:
+    """Host decode of the packed-int2 layout (plane p in bits [2p, 2p+1]
+    holds dims [p*D/4, (p+1)*D/4), 4-level {-3,-1,1,3} * scale): the
+    value grid every int2 scoring path ranks."""
+    planes = [((packed.astype(np.int32) >> (2 * p)) & 3) for p in range(4)]
+    code = np.concatenate(planes, axis=1)
+    return (2 * code - 3).astype(np.float32) * scales[:, None]
+
+
+def test_int2_full_probe_matches_dequant_oracle():
+    """precision="int2" at full probes ranks exactly like a dense exact
+    search over the DEQUANTIZED 2-bit corpus (fp32 queries, two-key
+    ties)."""
+    from tpualign.parallel.retrieval import _quantize_rows_int2
+
+    rng = np.random.default_rng(131)
+    n, d = 512, 32
+    c = unit(rng.normal(size=(n, d)).astype(np.float32))
+    cman = [f"m{i % 3}" for i in range(n)]
+    cpage = [1 + i % 4 for i in range(n)]
+    index = IVFIndex(c, cman, cpage, n_lists=8, iters=4, precision="int2")
+    assert index.precision == "int2"
+    import jax.numpy as jnp
+    assert index._emb.dtype == jnp.uint8
+    assert index._emb.shape[1] == d // 4
+    q = c[:23]
+    vals, idx = index.search(q, cman[:23], cpage[:23], k=10,
+                             n_probes=index.n_lists)
+    pn, sn = _quantize_rows_int2(c)
+    cd = int2_dequant(pn, sn)
+    vocab = {}
+    ck, vocab = encode_keys(cman, cpage, vocab)
+    qk, _ = encode_keys(cman[:23], cpage[:23], vocab)
+    ovals, oidx = numpy_oracle(q, qk, cd, ck, 10)
+    np.testing.assert_array_equal(idx, oidx)
+    has = oidx >= 0
+    np.testing.assert_allclose(vals[has], ovals[has], rtol=0, atol=1e-5)
+
+
+def test_int2_prepacked_build_matches_quantize_at_build():
+    """Building from an already-packed (N, D/4) uint8 corpus (+ scales +
+    the precision="int2" hint — packed widths are ambiguous without it)
+    equals quantizing at build time at full probes; the padding rows of
+    the pre-quantized path carry scale 0 (int2 has no zero level)."""
+    from tpualign.parallel.retrieval import _quantize_rows_int2
+
+    rng = np.random.default_rng(133)
+    c, _ = make_clustered(rng, n=1000, d=32, g=8)  # non-multiple: pads
+    pn, sn = _quantize_rows_int2(c)
+    a = IVFIndex(c, n_lists=8, iters=4, precision="int2")
+    b = IVFIndex(pn, n_lists=8, iters=4, corpus_scales=sn,
+                 precision="int2")
+    assert b.precision == "int2" and b.dim == 32
+    q = unit(rng.normal(size=(40, 32)).astype(np.float32))
+    va, ia = a.search(q, k=5, n_probes=a.n_lists)
+    vb, ib = b.search(q, k=5, n_probes=b.n_lists)
+    np.testing.assert_array_equal(ia, ib)
+    np.testing.assert_allclose(va, vb, rtol=0, atol=1e-5)
+
+
+def test_int2_kernel_matches_union_path():
+    """The scalar-prefetch kernel's int2 variant (4-plane unpack + four
+    quarter-width integer dots, interpret mode here) agrees with the
+    XLA union path on probed searches."""
+    rng = np.random.default_rng(137)
+    c, _ = make_clustered(rng, n=1024, d=32, g=8)
+    man = ["m0"] * 1024
+    pages = [1 + i % 4 for i in range(1024)]
+    kern = IVFIndex(c, man, pages, n_lists=8, iters=4, precision="int2",
+                    use_kernel=True)
+    xla = IVFIndex(c, man, pages, n_lists=8, iters=4, precision="int2",
+                   use_kernel=False)
+    q = unit(rng.normal(size=(16, 32)).astype(np.float32))
+    for p in (2, 4):
+        vk, ik = kern.search(q, k=5, n_probes=p)
+        vx, ix = xla.search(q, k=5, n_probes=p)
+        # probed candidate sets are identical; integer-dot vs dequant
+        # fp32-dot scores may differ at fp32 noise level on near-ties
+        assert np.mean([len(np.intersect1d(ik[r], ix[r])) / 5
+                        for r in range(16)]) >= 0.9
+        np.testing.assert_allclose(np.sort(vk, axis=1),
+                                   np.sort(vx, axis=1), atol=1e-2)
+
+
+def test_int2_ivf_with_refine_recovers_recall():
+    """The intended 16x configuration: int2 IVF + refine — probed
+    candidates rescore to exact fp32, recovering usable recall."""
+    rng = np.random.default_rng(139)
+    c, _ = make_clustered(rng, n=1024, d=32, g=8)
+    man = ["m0"] * 1024
+    pages = [1] * 1024
+    exact = IVFIndex(c, man, pages, n_lists=8, iters=4)
+    # d=32 makes 2-bit noise relatively coarse; a deeper over-fetch
+    # (kf=60) recovers — at production dims (512) smaller factors do
+    refined = IVFIndex(c, man, pages, n_lists=8, iters=4,
+                       precision="int2", refine=12)
+    q = unit(c[:16] + 0.05 * rng.normal(size=(16, 32)).astype(np.float32))
+    _, ie = exact.search(q, k=5, n_probes=8)
+    _, ir = refined.search(q, k=5, n_probes=8)
+    rec = np.mean([len(np.intersect1d(ie[r], ir[r])) / 5
+                   for r in range(16)])
+    assert rec >= 0.9, rec
+
+
+def test_int2_save_load_roundtrip(tmp_path):
+    rng = np.random.default_rng(141)
+    c, _ = make_clustered(rng, n=512, d=32, g=8)
+    man = ["m0"] * 512
+    pages = [1 + i % 4 for i in range(512)]
+    ix = IVFIndex(c, man, pages, n_lists=8, iters=4, precision="int2")
+    path = str(tmp_path / "ivf2.npz")
+    ix.save(path)
+    back = IVFIndex.load(path, c)
+    assert back.precision == "int2" and back.dim == 32
+    q = unit(rng.normal(size=(16, 32)).astype(np.float32))
+    v1, i1 = ix.search(q, k=5)
+    v2, i2 = back.search(q, k=5)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(v1, v2, rtol=0, atol=1e-6)
+
+
+def test_int2_sharded_full_probe_matches_single_device():
+    import jax
+    from tpualign.parallel.mesh import create_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    mesh = create_mesh(8, 1)
+    rng = np.random.default_rng(143)
+    c, _ = make_clustered(rng, n=1024, d=32, g=16)
+    man = ["m0"] * 1024
+    pages = [1 + i % 4 for i in range(1024)]
+    single = IVFIndex(c, man, pages, n_lists=16, iters=4, precision="int2")
+    sharded = IVFIndex(c, man, pages, n_lists=16, iters=4,
+                       precision="int2", mesh=mesh)
+    q = unit(rng.normal(size=(16, 32)).astype(np.float32))
+    vs, is_ = single.search(q, k=5, n_probes=single.n_lists)
+    vm, im = sharded.search(q, k=5, n_probes=sharded.n_lists_local)
+    # both are exact over the same dequant grid (per-row quantization is
+    # row-local, shard-invariant): identical results incl. ties
+    np.testing.assert_array_equal(is_, im)
+    np.testing.assert_allclose(vs, vm, rtol=0, atol=1e-5)
+
+
+def test_int2_ivf_add():
+    rng = np.random.default_rng(149)
+    c, _ = make_clustered(rng, n=640, d=32, g=8)
+    man = ["m0"] * 640
+    pages = [1 + i % 4 for i in range(640)]
+    grown = IVFIndex(c[:512], man[:512], pages[:512], n_lists=8, iters=4,
+                     precision="int2")
+    grown.add(c[512:], man[512:], pages[512:])
+    assert grown.n == 640
+    q = unit(c[512:520])
+    vals, idx = grown.search(q, man[512:520], pages[512:520], k=3,
+                             n_probes=grown.n_lists)
+    # full probes find the newly added self-rows
+    assert all(512 + r in idx[r] for r in range(8))

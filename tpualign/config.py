@@ -338,9 +338,9 @@ class PipelineConfig:
     # "int4" (packed two-per-byte: 8x capacity at coarser ~1e-2
     # quantization; composes with exact, streaming, mesh, and IVF), or
     # "int2" (packed four-per-byte, 4-level values: 16x capacity at
-    # ~5e-2-level noise — the extreme-capacity rung; exact/streaming/
-    # mesh only, pair it with RETRIEVAL_REFINE for exact final
-    # rankings). Evaluation always uses exact fp32.
+    # ~5e-2-level noise — the extreme-capacity rung; composes with
+    # exact, streaming, mesh, and IVF; pair it with RETRIEVAL_REFINE
+    # for exact final rankings). Evaluation always uses exact fp32.
     retrieval_precision: str = "fp32"
     # Refine stage (FAISS refine / rescore-after-quantization parity):
     # with a quantized precision (or a recall_target), each search

@@ -777,6 +777,76 @@ def _ivf_topk_kernel_int4_mxu(
         idx_ref[:] = run_idx[:]
 
 
+def _ivf_topk_kernel_int2_mxu(
+    uids_ref, q_ref, qs_ref, qk_ref, probe_ref, c_ref, ck_ref, cs_ref,
+    vals_ref, idx_ref, run_vals, run_idx, *, k: int, capacity: int,
+    num_u: int, n_lists: int,
+):
+    """Packed-int2 cluster blocks: ``c_ref`` arrives as (C, D/4) uint8 —
+    four 2-bit codes per byte, plane p (bits [2p, 2p+1]) holding dims
+    [p*D/4, (p+1)*D/4) with 4-level values {-3,-1,1,3} — so the unpack
+    is four VPU expressions and the score is four quarter-width
+    s8 x s8 -> s32 MXU dots, exactly like the exact-streaming int2
+    variant (:func:`_sim_topk_kernel_int2_mxu`) but with the IVF
+    probe-membership mask. 16x less cluster HBM traffic than fp32."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _reset():
+        run_vals[:] = jnp.full_like(run_vals, NEG_INF)
+        run_idx[:] = jnp.full_like(run_idx, jnp.int32(SENTINEL_IDX))
+
+    uid = uids_ref[j]
+
+    @pl.when(uid != n_lists)  # n_lists = padding; > n_lists = spill blocks
+    def _score():
+        b = c_ref[:].astype(jnp.int32)          # (C, D/4) packed bytes
+        q = q_ref[:]                            # (Qb, D) int8
+        quarter = b.shape[1]
+        acc = None
+        for p in range(4):
+            vp = (((b >> (2 * p)) & 3) * 2 - 3).astype(jnp.int8)
+            term = jax.lax.dot_general(
+                q[:, p * quarter: (p + 1) * quarter], vp,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            acc = term if acc is None else acc + term
+        sims = acc.astype(jnp.float32) * qs_ref[:] * cs_ref[:]
+        qk = qk_ref[:]
+        ck = ck_ref[:]
+        mask = ((qk == ck) | (qk == WILDCARD_KEY)) & (ck >= 0)
+        member = (jnp.any(probe_ref[:] == uid, axis=1, keepdims=True)
+                  | (uid > n_lists))
+        sims = jnp.where(mask & member, sims, NEG_INF)
+        qb = sims.shape[0]
+        col = (jax.lax.broadcasted_iota(jnp.int32, (qb, capacity), 1)
+               + uid * capacity)
+
+        if _use_threshold_skip(num_u):
+            rv = run_vals[:]
+            beats = jnp.any(sims > rv[:, k - 1:k])
+
+            @pl.when(beats)
+            def _merge():
+                new_v, new_i = _merge_running_topk(
+                    run_vals[:], run_idx[:], sims, col, k
+                )
+                run_vals[:] = new_v
+                run_idx[:] = new_i
+        else:
+            new_v, new_i = _merge_running_topk(
+                run_vals[:], run_idx[:], sims, col, k
+            )
+            run_vals[:] = new_v
+            run_idx[:] = new_i
+
+    @pl.when(j == num_u - 1)
+    def _emit():
+        vals_ref[:] = run_vals[:]
+        idx_ref[:] = run_idx[:]
+
+
 def ivf_probe_topk(
     queries: jnp.ndarray,
     query_keys: jnp.ndarray,
@@ -832,23 +902,27 @@ def ivf_probe_topk(
     num_q = q // block_q
     num_u = uids.shape[0]
 
-    # unsigned bytes + scales = the packed-int4 layout (two offset-8
-    # nibbles per byte, (rows, D/2)); int8/fp32 layouts keep their dtypes
-    int4 = packed_emb.dtype == jnp.uint8 and packed_scales is not None
-    if int4 and packed_emb.shape[1] * 2 != d:
+    # unsigned bytes + scales = a PACKED layout: (rows, D/2) = int4
+    # (offset-8 nibble pairs), (rows, D/4) = int2 (four 2-bit planes);
+    # int8/fp32 layouts keep their dtypes
+    packed = packed_emb.dtype == jnp.uint8 and packed_scales is not None
+    int4 = packed and packed_emb.shape[1] * 2 == d
+    int2 = packed and packed_emb.shape[1] * 4 == d
+    if packed and not (int4 or int2):
         raise ValueError(
-            f"packed int4 layout must be (rows, D/2); got "
-            f"{packed_emb.shape} for D={d}"
+            f"packed layout must be (rows, D/2) int4 or (rows, D/4) "
+            f"int2; got {packed_emb.shape} for D={d}"
         )
     q_spec = pl.BlockSpec((block_q, d), lambda i, j, u: (i, 0))
     common_specs = [
         pl.BlockSpec((block_q, 1), lambda i, j, u: (i, 0)),
         pl.BlockSpec((block_q, probes.shape[1]), lambda i, j, u: (i, 0)),
-        pl.BlockSpec((capacity, d // 2 if int4 else d),
+        pl.BlockSpec((capacity,
+                      d // 2 if int4 else (d // 4 if int2 else d)),
                      lambda i, j, u: (u[j], 0)),
         pl.BlockSpec((1, capacity), lambda i, j, u: (0, u[j])),
     ]
-    if int4:
+    if int4 or int2:
         qs = jnp.maximum(
             jnp.max(jnp.abs(queries), axis=1, keepdims=True) / 127.0,
             1e-12,
@@ -863,8 +937,9 @@ def ivf_probe_topk(
         args = [qq, qs, query_keys, probes, packed_emb, packed_keys,
                 packed_scales[None, :]]
         kernel = functools.partial(
-            _ivf_topk_kernel_int4_mxu, k=k, capacity=capacity,
-            num_u=num_u, n_lists=n_lists,
+            _ivf_topk_kernel_int4_mxu if int4
+            else _ivf_topk_kernel_int2_mxu,
+            k=k, capacity=capacity, num_u=num_u, n_lists=n_lists,
         )
     elif packed_scales is not None and int8_mxu:
         qs = jnp.maximum(

@@ -119,6 +119,68 @@ def _pack_rows_int4(x):
     return packed, scale.astype(jnp.float32)[:, 0]
 
 
+def _unpack_int2(x):
+    """(..., D/4) uint8 (four 2-bit codes per byte; plane p in bits
+    [2p, 2p+1] holds dims [p*D/4, (p+1)*D/4)) -> (..., D) fp32 4-level
+    values {-3,-1,1,3} (unscaled). NOTE int2 has no zero level, so
+    packed-int2 PADDING rows must carry scale 0 (dequant -> 0) — a fill
+    byte alone cannot decode to zero like int4's 0x88."""
+    b = x.astype(jnp.int32)
+    return jnp.concatenate(
+        [(b >> (2 * p)) & 3 for p in range(4)], axis=-1
+    ).astype(jnp.float32) * 2.0 - 3.0
+
+
+def _pack_rows_int2(x):
+    """(rows, D) fp32 -> ((rows, D/4) uint8, (rows,) fp32 scales): the
+    jnp analogue of ``retrieval._quantize_rows_int2`` (per-row 4-level
+    {-3,-1,1,3} * s/3 encoding). Requires D % 4 == 0."""
+    d = x.shape[1]
+    if d % 4:
+        raise ValueError(
+            f"int2 packing needs embedding dim divisible by 4, got {d}"
+        )
+    s = jnp.maximum(jnp.max(jnp.abs(x), axis=1, keepdims=True), 1e-12)
+    code = jnp.clip(
+        jnp.rint((x / s * 3.0 + 3.0) / 2.0), 0, 3
+    ).astype(jnp.int32)
+    q4 = d // 4
+    packed = (
+        code[:, :q4] | (code[:, q4: 2 * q4] << 2)
+        | (code[:, 2 * q4: 3 * q4] << 4) | (code[:, 3 * q4:] << 6)
+    ).astype(jnp.uint8)
+    return packed, (s / 3.0).astype(jnp.float32)[:, 0]
+
+
+def _pack_rows_chunked(x, pack_fn, block: int = 1 << 19):
+    """Quantize-and-pack a large fp32 layout in row chunks: pack_fn's
+    elementwise chain materializes several fp32/int32 temporaries of its
+    input size, which OOMs a 16 GB chip when x is a multi-GB packed
+    layout (hit at a 2M-row int2 build). The packed outputs are 4-16x
+    smaller, so chunking bounds peak memory at ~block rows of
+    temporaries. (Pre-quantized builds never take this path.)"""
+    n = x.shape[0]
+    if n <= block:
+        return pack_fn(x)
+    outs, scales = [], []
+    for s0 in range(0, n, block):
+        pb, sb = pack_fn(x[s0: s0 + block])
+        outs.append(pb)
+        scales.append(sb)
+    return jnp.concatenate(outs), jnp.concatenate(scales)
+
+
+def _unpack_packed(x, dim: int):
+    """Width-dispatched unpack for packed uint8 rows: (…, D/2) = int4
+    nibbles, (…, D/4) = int2 planes."""
+    cols = x.shape[-1]
+    if cols * 2 == dim:
+        return _unpack_int4(x)
+    if cols * 4 == dim:
+        return _unpack_int2(x)
+    raise ValueError(f"packed rows {x.shape} do not match dim {dim}")
+
+
 def _max_capacity(dim: int, itemsize: int, budget: int = 12 * 2**20,
                   int8_mxu: bool = False) -> int:
     """Largest packed-cluster capacity whose kernel block fits the ~16MB
@@ -145,8 +207,9 @@ def _max_capacity(dim: int, itemsize: int, budget: int = 12 * 2**20,
     return max(128, (budget // per_row // 128) * 128)
 
 
-@partial(jax.jit, static_argnames=("iters", "block"))
-def _kmeans(corpus, scales, centroids, iters: int, block: int):
+@partial(jax.jit, static_argnames=("iters", "block", "dim"))
+def _kmeans(corpus, scales, centroids, iters: int, block: int,
+            dim: int | None = None):
     """Spherical k-means on device. Returns (centroids, assignment, sizes).
 
     ``corpus`` is ``(N, D)`` with N % block == 0 (caller pads); padding
@@ -161,7 +224,8 @@ def _kmeans(corpus, scales, centroids, iters: int, block: int):
     Empty clusters keep their previous centroid.
     """
     n, cols = corpus.shape
-    d = cols * 2 if corpus.dtype == jnp.uint8 else cols  # unpacked width
+    # unpacked width: packed uint8 corpora (int4 D/2, int2 D/4) pass it
+    d = dim if (dim is not None and corpus.dtype == jnp.uint8) else cols
     n_lists = centroids.shape[0]
     n_blocks = n // block
     blocks = corpus.reshape(n_blocks, block, cols)
@@ -169,8 +233,8 @@ def _kmeans(corpus, scales, centroids, iters: int, block: int):
                else scales.reshape(n_blocks, block, 1))
 
     def deq(xb, sb):
-        if xb.dtype == jnp.uint8:  # packed int4 rows
-            return _unpack_int4(xb) * sb
+        if xb.dtype == jnp.uint8:  # packed int4/int2 rows
+            return _unpack_packed(xb, d) * sb
         if sb is None:
             return xb
         return xb.astype(jnp.float32) * sb
@@ -300,9 +364,9 @@ class IVFIndex:
         mesh=None,
         refine: int = 0,
     ):
-        if precision not in ("fp32", "int8", "int4"):
+        if precision not in ("fp32", "int8", "int4", "int2"):
             raise ValueError(
-                f"precision must be fp32|int8|int4, got {precision}"
+                f"precision must be fp32|int8|int4|int2, got {precision}"
             )
         self.vocab: Dict[str, int] = {}
         # mesh (data axis > 1): rows shard across devices; every shard
@@ -338,20 +402,26 @@ class IVFIndex:
             precision = "int8"
             scales_in = jnp.asarray(corpus_scales, jnp.float32).reshape(-1, 1)
         elif corpus.dtype == jnp.uint8:
-            # pre-quantized PACKED int4 corpus ((N, D/2) offset-8 nibble
-            # pairs, see retrieval._quantize_rows_int4): k-means unpacks
-            # blockwise in its scan body; the layout packs nibble rows
-            # directly — the 8x-capacity build never holds fp32 rows
+            # pre-quantized PACKED corpus: int4 ((N, D/2) offset-8 nibble
+            # pairs) by default, int2 ((N, D/4) 2-bit planes) when the
+            # caller says precision="int2" — the packed widths are
+            # ambiguous without the hint. k-means unpacks blockwise in
+            # its scan body; the layout packs the bytes directly — the
+            # 8x/16x-capacity build never holds fp32 rows
             if corpus_scales is None:
-                raise ValueError("packed int4 corpus needs corpus_scales")
-            precision = "int4"
+                raise ValueError("packed corpus needs corpus_scales")
+            if precision != "int2":
+                precision = "int4"
             scales_in = jnp.asarray(corpus_scales, jnp.float32).reshape(-1, 1)
         else:
             corpus = corpus.astype(jnp.float32)
             scales_in = None
         self.precision = precision
         self.n, d_cols = corpus.shape
-        self.dim = d_cols * 2 if corpus.dtype == jnp.uint8 else d_cols
+        if corpus.dtype == jnp.uint8:
+            self.dim = d_cols * (4 if precision == "int2" else 2)
+        else:
+            self.dim = d_cols
         if self.n == 0:
             raise ValueError("IVFIndex needs a non-empty corpus")
         # host fp32 copy for the exact-rescore refine stage (see
@@ -385,7 +455,7 @@ class IVFIndex:
         # dump whole clusters into the everyone-scans spill tail
         max_cap = _max_capacity(
             self.dim,
-            {"int8": 1, "int4": 0}.get(precision, 4),
+            {"int8": 1, "int4": 0, "int2": 0}.get(precision, 4),
             int8_mxu=self.int8_mxu and precision == "int8",
         )
         min_lists = -(-int(np.ceil(capacity_factor * self.n)) // max_cap)
@@ -437,9 +507,13 @@ class IVFIndex:
                 [keys, jnp.full((n_pad - self.n,), -1, jnp.int32)]
             )
             if scales_in is not None:
+                # int2 has no zero level: padding rows dequant to zero
+                # via scale 0 (int4's 0x88 fill decodes to zero on its
+                # own, so its pad scale value never mattered)
+                pad_scale = 0.0 if precision == "int2" else 1.0
                 scales_p = jnp.concatenate(
                     [scales_in,
-                     jnp.ones((n_pad - self.n, 1), jnp.float32)]
+                     jnp.full((n_pad - self.n, 1), pad_scale, jnp.float32)]
                 )
         else:
             corpus_p = corpus
@@ -451,13 +525,13 @@ class IVFIndex:
                     ) // self.n_lists
         init_idx = jnp.asarray(init_idx)
         init_rows = corpus_p[init_idx]
-        init_cent = (_unpack_int4(init_rows)
+        init_cent = (_unpack_packed(init_rows, self.dim)
                      if init_rows.dtype == jnp.uint8
                      else init_rows.astype(jnp.float32))
         if scales_p is not None:
             init_cent = init_cent * scales_p[init_idx]
         centroids, assign, sizes = _kmeans(
-            corpus_p, scales_p, init_cent, int(iters), block
+            corpus_p, scales_p, init_cent, int(iters), block, dim=self.dim
         )
         sizes = np.asarray(sizes)  # (L,) — the only host fetch at build
         avg = self.n / self.n_lists
@@ -498,7 +572,12 @@ class IVFIndex:
             self._scales = scales.astype(jnp.float32)[:, 0]
             del pemb
         elif precision == "int4":
-            self._emb, self._scales = _pack_rows_int4(pemb)
+            self._emb, self._scales = _pack_rows_chunked(
+                pemb, _pack_rows_int4)
+            del pemb
+        elif precision == "int2":
+            self._emb, self._scales = _pack_rows_chunked(
+                pemb, _pack_rows_int2)
             del pemb
         else:
             self._emb = pemb
@@ -523,7 +602,7 @@ class IVFIndex:
 
         mesh = self.mesh
         ndev = int(dict(mesh.shape)["data"])
-        itemsize = {"int8": 1, "int4": 0}.get(self.precision, 4)
+        itemsize = {"int8": 1, "int4": 0, "int2": 0}.get(self.precision, 4)
         max_cap = _max_capacity(
             self.dim, itemsize,
             int8_mxu=self.int8_mxu and self.precision == "int8",
@@ -550,9 +629,11 @@ class IVFIndex:
                 [keys, jnp.full((n_pad - self.n,), -1, jnp.int32)]
             )
             if scales_in is not None:
+                pad_scale = 0.0 if self.precision == "int2" else 1.0
                 scales_in = jnp.concatenate(
                     [scales_in,
-                     jnp.ones((n_pad - self.n, 1), jnp.float32)]
+                     jnp.full((n_pad - self.n, 1), pad_scale,
+                              jnp.float32)]
                 )
 
         if n_lists is None:
@@ -582,15 +663,17 @@ class IVFIndex:
 
         has_sc = scales_in is not None
 
+        dim = self.dim
+
         def kmeans_body(c_l, s_l):
             if not has_sc:
                 s_l = None  # dummy arg: shard_map args must be arrays
             rows = c_l[init_idx]
-            init = (_unpack_int4(rows) if rows.dtype == jnp.uint8
+            init = (_unpack_packed(rows, dim) if rows.dtype == jnp.uint8
                     else rows.astype(jnp.float32))
             if s_l is not None:
                 init = init * s_l[init_idx]
-            return _kmeans(c_l, s_l, init, iters, block)
+            return _kmeans(c_l, s_l, init, iters, block, dim=dim)
 
         in_specs = (P("data", None), P("data", None) if has_sc else P())
         cent, assign, sizes = jax.jit(jax.shard_map(
@@ -650,6 +733,9 @@ class IVFIndex:
             del pemb
         elif self.precision == "int4":
             self._emb, self._scales = _pack_rows_int4(pemb)
+            del pemb
+        elif self.precision == "int2":
+            self._emb, self._scales = _pack_rows_int2(pemb)
             del pemb
         else:
             self._emb = pemb
@@ -813,6 +899,9 @@ class IVFIndex:
         elif self.precision == "int4":
             packed, new_scales = _pack_rows_int4(jnp.asarray(rows))
             new_rows = packed
+        elif self.precision == "int2":
+            packed, new_scales = _pack_rows_int2(jnp.asarray(rows))
+            new_rows = packed
         else:
             new_rows, new_scales = rows, None
 
@@ -892,7 +981,12 @@ class IVFIndex:
             return False
         if self.use_kernel is not None:
             return self.use_kernel
-        return jax.default_backend() == "tpu" and k <= 16
+        # k <= 16 runs the unrolled merge; 17..64 the fori merge —
+        # slower per block (~linear in k, see PERFORMANCE.md) but still
+        # far ahead of the XLA union path, and the route the refine
+        # over-fetch (k*refine) needs. Compile-probed on the remote
+        # Mosaic to k=64.
+        return jax.default_backend() == "tpu" and k <= 64
 
     def search(
         self,
@@ -1028,7 +1122,7 @@ class IVFIndex:
         pos = np.asarray(self._positions_of(sel))
         q = _dequant(self._emb[pos],
                      None if self._scales is None
-                     else self._scales[pos][:, None])
+                     else self._scales[pos][:, None], dim=self.dim)
         qk = jnp.full((s,), WILDCARD_KEY, jnp.int32)
         _, nbr = self.search_encoded(np.asarray(q), np.asarray(qk), k,
                                      n_probes=self.n_lists)
@@ -1147,8 +1241,12 @@ class IVFIndex:
         z = np.load(path)
         meta = _json.loads(bytes(z["meta"]).decode())
         corpus = jnp.asarray(corpus_embeddings)
-        want_cols = (meta["dim"] // 2 if corpus.dtype == jnp.uint8
-                     else meta["dim"])  # packed int4 rows are D/2 bytes
+        if corpus.dtype == jnp.uint8:
+            # packed widths: int4 rows are D/2 bytes, int2 rows D/4
+            want_cols = meta["dim"] // (
+                4 if meta["precision"] == "int2" else 2)
+        else:
+            want_cols = meta["dim"]
         if corpus.shape != (meta["n"], want_cols):
             raise ValueError(
                 f"corpus shape {corpus.shape} does not match saved index "
@@ -1191,17 +1289,20 @@ class IVFIndex:
                 corpus_scales, jnp.float32).reshape(-1)[gather]
         elif corpus.dtype == jnp.uint8:
             if corpus_scales is None:
-                raise ValueError("packed int4 corpus needs corpus_scales")
-            if self.precision != "int4":
+                raise ValueError("packed corpus needs corpus_scales")
+            if self.precision not in ("int4", "int2"):
                 raise ValueError(
-                    f"{self.precision} index cannot load a packed int4 "
-                    "corpus"
+                    f"{self.precision} index cannot load a packed corpus"
                 )
             self._emb = corpus[gather]
             self._scales = jnp.asarray(
                 corpus_scales, jnp.float32).reshape(-1)[gather]
         elif self.precision == "int4":
             self._emb, self._scales = _pack_rows_int4(
+                corpus.astype(jnp.float32)[gather]
+            )
+        elif self.precision == "int2":
+            self._emb, self._scales = _pack_rows_int2(
                 corpus.astype(jnp.float32)[gather]
             )
         elif self.precision == "int8":
@@ -1273,9 +1374,10 @@ def _probe_depths_sharded(q, nbr, centroids, positions, ndev: int,
     return jnp.where(nbr >= 0, depth, -1)
 
 
-def _dequant(emb, scales):
-    if emb.dtype == jnp.uint8:  # packed int4 rows
-        return _unpack_int4(emb) * scales
+def _dequant(emb, scales, dim: int | None = None):
+    if emb.dtype == jnp.uint8:  # packed int4/int2 rows
+        return _unpack_packed(emb, dim if dim is not None
+                              else emb.shape[-1] * 2) * scales
     if scales is None:
         return emb
     return emb.astype(jnp.float32) * scales
@@ -1348,7 +1450,7 @@ def _ivf_union_search(q, qk, centroids, pemb, pkeys, pids, pscales,
                   | (cid > n_lists)[None, :])  # spill: everyone scans it
         rows = (cid[:, None] * capacity + arange_c[None, :]).reshape(-1)
         emb = _dequant(pemb[rows], None if pscales is None
-                       else pscales[rows][:, None])
+                       else pscales[rows][:, None], dim=q.shape[1])
         keysc = pkeys[rows]
         idsc = pids[rows]
         s = jnp.dot(q, emb.T, preferred_element_type=jnp.float32)
