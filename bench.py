@@ -149,6 +149,41 @@ def main() -> None:
     sync(out)
     pairs_e2e = batch * iters / (time.perf_counter() - t0)
 
+    # --- retrieval headline (the pgvector replacement) --------------------
+    # Exact search through the production RetrievalIndex at the standard
+    # benchmark point (N=100k, D=512, Q=1024, k=10 — the BASELINE.md
+    # retrieval config); corpus generated on device, single-key so every
+    # row is a candidate. Reported as an extra field next to the embed
+    # headline so one driver-captured line carries both subsystems.
+    import numpy as np
+
+    from tpualign.parallel.retrieval import RetrievalIndex
+
+    n_corpus, dim = (100_000, 512) if on_tpu else (2_000, 64)
+
+    @jax.jit
+    def make_corpus(key):
+        c = jax.random.normal(key, (n_corpus, dim), jnp.float32)
+        return c / jnp.linalg.norm(c, axis=1, keepdims=True)
+
+    corpus = make_corpus(jax.random.PRNGKey(2))
+    index = RetrievalIndex.__new__(RetrievalIndex)
+    index.vocab = {}
+    index._init_from_arrays(
+        dim, np.asarray(corpus), np.zeros(n_corpus, np.int32), None
+    )
+    qn = 1024 if on_tpu else 64
+    rq = corpus[:qn]
+    rqk = jnp.zeros((qn,), jnp.int32)
+    rv, _ri = index.search_device(rq, rqk, 10)
+    float(jnp.sum(rv))  # compile + drain
+    reps = 10 if on_tpu else 2
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        rv, _ri = index.search_device(rq, rqk, 10)
+    float(jnp.sum(rv))
+    retrieval_qps = qn * reps / (time.perf_counter() - t0)
+
     from tpualign.utils.flops import clip_pair_flops, device_peak_flops
 
     record = {
@@ -161,6 +196,7 @@ def main() -> None:
     # engine path: device preprocess (bicubic parity resize from 256-buckets)
     # + 32-token text bucket — the production embed executables
     record["pairs_per_sec_end_to_end"] = round(pairs_e2e, 1)
+    record["retrieval_qps_exact_n100k"] = round(retrieval_qps, 1)
     peak = device_peak_flops(jax.devices()[0].device_kind)
     if peak:
         achieved = pairs_per_sec * clip_pair_flops(v)
