@@ -858,3 +858,114 @@ class TestFSDP:
                            ["resblock_0"]["attn"]["in_proj_kernel"]),
             atol=0,
         )
+
+
+# ---------------------------------------------------------------------------
+# Device image feed (TRAIN_IMAGE_FEED=device): (uint8 bucket, hw) batches
+# ---------------------------------------------------------------------------
+
+
+def _u8_feed_batch(variant, n, rng, bucket=48):
+    """uint8 images padded into a bucket + true sizes, plus the SAME
+    images through the host preprocess for the parity arm."""
+    from PIL import Image
+
+    from tpualign.ops.preprocess import pad_to_bucket, preprocess_host
+
+    u8 = np.zeros((n, bucket, bucket, 3), np.uint8)
+    hw = np.zeros((n, 2), np.int32)
+    host = np.zeros((n, variant.image_size, variant.image_size, 3),
+                    np.float32)
+    for i in range(n):
+        h, w = int(rng.integers(33, bucket + 1)), int(rng.integers(33, bucket + 1))
+        raw = rng.integers(0, 256, (h, w, 3), np.uint8)
+        padded, size = pad_to_bucket(raw, bucket)
+        u8[i], hw[i] = padded, size
+        host[i] = preprocess_host(Image.fromarray(raw), variant.image_size)
+    return u8, hw, host
+
+
+def test_device_feed_step_matches_host_feed(tiny_setup):
+    """One train step from identical states: the (u8, hw) device-feed
+    batch and the host-preprocessed batch of the same images give the
+    same loss up to the preprocess parity bound (device bicubic matches
+    PIL to <=2 uint8 steps)."""
+    from tests.test_models import TINY
+
+    model, params = tiny_setup
+    config = TrainConfig(learning_rate=1e-3, warmup_steps=0,
+                         total_steps=100)
+    rng = np.random.default_rng(5)
+    u8, hw, host = _u8_feed_batch(TINY, 8, rng)
+    _, tokens, weak = batch_for(TINY, 8, rng)
+
+    s1 = create_train_state(model, params, config)
+    s1, m1 = train_step(
+        s1, model, (jnp.asarray(u8), jnp.asarray(hw)),
+        jnp.asarray(tokens), jnp.asarray(weak), config,
+    )
+    s2 = create_train_state(model, params, config)
+    s2, m2 = train_step(
+        s2, model, jnp.asarray(host), jnp.asarray(tokens),
+        jnp.asarray(weak), config,
+    )
+    assert abs(float(m1["loss"]) - float(m2["loss"])) < 2e-2
+    # params moved the same way to the same tolerance class
+    d = jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), s1.params, s2.params
+    )
+    assert max(jax.tree.leaves(d)) < 2e-2
+
+
+def test_device_feed_accum_matches_single_pass(tiny_setup):
+    """Gradient accumulation slices the (u8, hw) pair per microbatch;
+    the accumulated update equals the one-pass update on the same
+    device-feed batch."""
+    from tests.test_models import TINY
+
+    model, params = tiny_setup
+    rng = np.random.default_rng(7)
+    u8, hw, _ = _u8_feed_batch(TINY, 8, rng)
+    _, tokens, weak = batch_for(TINY, 8, rng)
+    imgs = (jnp.asarray(u8), jnp.asarray(hw))
+
+    cfg1 = TrainConfig(learning_rate=1e-3, warmup_steps=0,
+                       total_steps=100, grad_accum_steps=1)
+    cfg4 = TrainConfig(learning_rate=1e-3, warmup_steps=0,
+                       total_steps=100, grad_accum_steps=4)
+    s1 = create_train_state(model, params, cfg1)
+    s1, m1 = train_step(s1, model, imgs, jnp.asarray(tokens),
+                        jnp.asarray(weak), cfg1)
+    s4 = create_train_state(model, params, cfg4)
+    s4, m4 = train_step(s4, model, imgs, jnp.asarray(tokens),
+                        jnp.asarray(weak), cfg4)
+    # the device preprocess reruns per microbatch with a different batch
+    # shape than the one-pass arm, so its resize matmuls reduce in a
+    # different order: ~1e-5 fp32 drift on the loss (pixel-input accum
+    # stays fp32-ulp exact — TestGradAccum)
+    np.testing.assert_allclose(float(m1["loss"]), float(m4["loss"]),
+                               atol=5e-5)
+    d = jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), s1.params, s4.params
+    )
+    assert max(jax.tree.leaves(d)) < 5e-4
+
+
+def test_device_feed_sharded_step(tiny_setup):
+    """The sharded step accepts (u8, hw) batches: u8 shards over data,
+    hw rides along; the step runs and the loss is finite."""
+    from tests.test_models import TINY
+    from tpualign.parallel.mesh import create_mesh
+    from tpualign.train.step import make_sharded_train_step
+
+    model, params = tiny_setup
+    config = TrainConfig(learning_rate=1e-3, warmup_steps=0,
+                         total_steps=100)
+    rng = np.random.default_rng(9)
+    u8, hw, _ = _u8_feed_batch(TINY, 16, rng)
+    _, tokens, weak = batch_for(TINY, 16, rng)
+    run, shard_state = make_sharded_train_step(
+        model, create_mesh(4, 2), config)
+    state = shard_state(create_train_state(model, params, config))
+    state, metrics = run(state, (u8, hw), tokens, weak)
+    assert np.isfinite(float(metrics["loss"]))

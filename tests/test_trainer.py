@@ -307,3 +307,137 @@ def test_trainer_batches_honor_config_text_buckets(small_store):
     # off -> full model context, no truncation
     _, toks, _ = next(make_trainer("off").batches(triples, 4))
     assert toks.shape[1] == TINY.context_length
+
+
+def _feed_trainer(store, images_dir, **overrides):
+    from tests.test_models import TINY
+    from tpualign.tokenizer import ClipTokenizer
+
+    cfg = load_config(env_file=None, overrides={
+        "STORE_DIR": str(store.root),
+        "OUTPUT_DIR": str(images_dir.parent),
+        **overrides,
+    })
+    t = Trainer.__new__(Trainer)
+    t.config = cfg
+    t.variant = TINY
+    t.tokenizer = ClipTokenizer(context_length=TINY.context_length)
+    return t
+
+
+def test_batches_prefetch_feed_deterministic_and_correct(small_store):
+    """The prefetching pooled feed yields the same RNG-ordered content
+    as a straightforward reimplementation of the synchronous loop:
+    images are the preprocessed files in permutation order, weights and
+    tokens line up."""
+    from tpualign.ops.preprocess import preprocess_host
+    from PIL import Image as PILImage
+
+    store, images_dir = small_store
+    triples = build_pair_dataset(store, "clip_combined", images_dir)
+    t = _feed_trainer(store, images_dir)
+    size = t.variant.image_size
+
+    got = []
+    it = t.batches(triples, 2, seed=5, epochs=2)
+    for b in it:
+        got.append(b)
+    assert len(got) == 2 * (len(triples) // 2)
+
+    rng = np.random.default_rng(5)
+    gi = 0
+    for _ in range(2):
+        order = rng.permutation(len(triples))
+        for start in range(0, len(order) - 2 + 1, 2):
+            sel = order[start: start + 2]
+            imgs, toks, w = got[gi]
+            gi += 1
+            for i, j in enumerate(sel):
+                path, text, ww = triples[j]
+                with PILImage.open(path) as im:
+                    np.testing.assert_allclose(
+                        imgs[i], preprocess_host(im, size), atol=1e-6)
+                assert w[i] == np.float32(ww)
+
+
+def test_batches_cache_skips_epoch2_decodes(small_store, monkeypatch):
+    """With the cache budget on, epoch 2 reads decoded images from
+    memory (zero PIL opens); with TRAIN_FEED_CACHE_MB=0 every epoch
+    re-decodes."""
+    import PIL.Image as PILImage
+
+    store, images_dir = small_store
+    triples = build_pair_dataset(store, "clip_combined", images_dir)
+
+    counts = {"open": 0}
+    real_open = PILImage.open
+
+    def counting_open(*a, **k):
+        counts["open"] += 1
+        return real_open(*a, **k)
+
+    monkeypatch.setattr(PILImage, "open", counting_open)
+
+    t = _feed_trainer(store, images_dir)
+    list(t.batches(triples, 2, seed=1, epochs=2))
+    assert counts["open"] == len(triples)  # epoch 2 fully cached
+
+    counts["open"] = 0
+    t0 = _feed_trainer(store, images_dir, TRAIN_FEED_CACHE_MB="0")
+    list(t0.batches(triples, 2, seed=1, epochs=2))
+    assert counts["open"] == 2 * len(triples)
+
+
+def test_batches_missing_file_zero_image_keeps_weight(small_store):
+    store, images_dir = small_store
+    triples = build_pair_dataset(store, "clip_combined", images_dir)
+    triples[0] = (str(images_dir / "nope.png"), triples[0][1], 0.7)
+    t = _feed_trainer(store, images_dir)
+    rng = np.random.default_rng(3)
+    order = rng.permutation(len(triples))
+    imgs, _, w = next(t.batches(triples, len(triples), seed=3, epochs=1))
+    pos = int(np.where(order == 0)[0][0])
+    assert (imgs[pos] == 0).all()
+    assert w[pos] == np.float32(0.7)
+
+
+def test_batches_generator_close_stops_producer(small_store):
+    """Abandoning the iterator must stop the background producer (no
+    leaked thread spinning on the queue)."""
+    import threading as _threading
+
+    store, images_dir = small_store
+    triples = build_pair_dataset(store, "clip_combined", images_dir)
+    t = _feed_trainer(store, images_dir)
+    before = _threading.active_count()
+    it = t.batches(triples, 2, seed=0)  # endless epochs
+    next(it)
+    it.close()
+    import time as _time
+
+    for _ in range(50):
+        if _threading.active_count() <= before:
+            break
+        _time.sleep(0.1)
+    assert _threading.active_count() <= before
+
+
+def test_batches_device_feed_yields_u8_buckets(small_store):
+    """TRAIN_IMAGE_FEED=device batches carry (uint8 bucket, true_hw)
+    pairs — decode-only host; failures keep a full-bucket size so the
+    device resize maps zeros to zeros."""
+    store, images_dir = small_store
+    triples = build_pair_dataset(store, "clip_combined", images_dir)
+    triples[0] = (str(images_dir / "nope.png"), triples[0][1], 0.7)
+    t = _feed_trainer(store, images_dir, TRAIN_IMAGE_FEED="device",
+                      IMAGE_PREPROCESS_BUCKET="64")
+    rng = np.random.default_rng(0)
+    order = rng.permutation(len(triples))
+    (u8, hw), toks, w = next(
+        t.batches(triples, len(triples), seed=0, epochs=1))
+    assert u8.dtype == np.uint8 and u8.shape[1:] == (64, 64, 3)
+    assert hw.shape == (len(triples), 2)
+    good = int(np.where(order == 1)[0][0])
+    assert tuple(hw[good]) == (30, 40)  # the 40x30 PNG fixtures
+    bad = int(np.where(order == 0)[0][0])
+    assert tuple(hw[bad]) == (64, 64) and (u8[bad] == 0).all()

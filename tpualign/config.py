@@ -284,6 +284,18 @@ class TrainConfig:
     # params (today: the LoRA adapter A matrices); wired from SEED so
     # different seeds give independent fine-tunes
     seed: int = 0
+    # Host feed for Trainer.batches: decode-pool size (0 = auto,
+    # min(8, cores)) and the decoded-image cache budget (MB; epochs
+    # after the first read from memory instead of re-decoding — 0
+    # disables). See docs/PERFORMANCE.md "Training feed".
+    feed_workers: int = 0
+    feed_cache_mb: int = 2048
+    # "host" (PIL bicubic pixels, bit-compatible with the embed host
+    # feed) or "device" (decode-only host: batches carry uint8 buckets
+    # + true sizes, the parity-grade fused bicubic runs on device inside
+    # the jitted step — ~3x less host->device traffic, 2.45x per-core
+    # feed; <=2 uint8 steps of preprocess drift vs host)
+    image_feed: str = "host"
     # Storage dtype for the FROZEN base under LoRA: "bfloat16" halves the
     # dominant memory term (the base never receives updates, so it needs
     # no fp32 accumulation; matmuls already run in bf16). Vectors/scalars
@@ -486,6 +498,9 @@ def load_config(
         moments_dtype=_env(env, "MOMENTS_DTYPE", "float32"),
         fsdp=_env_bool(env, "TRAIN_FSDP", False),
         seed=int(_env(env, "SEED", "0")),
+        feed_workers=int(_env(env, "TRAIN_FEED_WORKERS", "0")),
+        feed_cache_mb=int(_env(env, "TRAIN_FEED_CACHE_MB", "2048")),
+        image_feed=_env(env, "TRAIN_IMAGE_FEED", "host"),
         lora_rank=int(_env(env, "LORA_RANK", "0")),
         lora_alpha=float(_env(env, "LORA_ALPHA", "16.0")),
         lora_base_dtype=_env(env, "LORA_BASE_DTYPE", "float32"),

@@ -30,6 +30,25 @@ __all__ = ["TrainState", "create_train_state", "train_step",
 MAX_LOGIT_SCALE = 4.6052  # ln(100)
 
 
+def _as_pixels(images, model: "CLIP"):
+    """Resolve an image batch to (B, S, S, 3) float pixels.
+
+    Device-feed batches (``TRAIN_IMAGE_FEED=device``) arrive as a
+    ``(uint8_bucket, true_hw)`` pair — the host does DECODE ONLY and the
+    parity-grade fused bicubic resize/crop/normalize runs on device
+    inside the jitted step (the same design the embed engine's device
+    feed uses; host->device traffic drops ~3x vs fp32 pixels and the
+    few-core host feed rate rises 2.45x — docs/PERFORMANCE.md "Host
+    feed"). Host-feed batches are already float pixels and pass
+    through."""
+    if isinstance(images, (tuple, list)):
+        from tpualign.ops.preprocess import preprocess_device
+
+        u8, hw = images
+        return preprocess_device(u8, hw, model.variant.image_size)
+    return images
+
+
 class TrainState(struct.PyTreeNode):
     step: jnp.ndarray
     params: Any
@@ -191,7 +210,7 @@ def train_step(
     def loss_fn(params):
         img, txt, scale = model.apply(
             {"params": state.effective_params(params)},
-            images, token_ids, patch_indices,
+            _as_pixels(images, model), token_ids, patch_indices,
         )
         if config.loss_type == "siglip":
             return siglip_loss(
@@ -239,7 +258,8 @@ def _accum_train_step(
     at large effective batch; the feature cache is a negligible (B, D).
     """
     a = config.grad_accum_steps
-    b = images.shape[0]
+    b = (images[0] if isinstance(images, (tuple, list))
+         else images).shape[0]
     if b % a:
         raise ValueError(
             f"batch size {b} not divisible by grad_accum_steps={a}"
@@ -247,13 +267,22 @@ def _accum_train_step(
     m = b // a
 
     def split(x):
-        return None if x is None else x.reshape((a, m) + x.shape[1:])
+        if x is None:
+            return None
+        if isinstance(x, (tuple, list)):
+            # device-feed (u8, hw) pair: split each leaf; lax.scan
+            # slices tuples as pytrees, so the microbatch arrives as a
+            # (u8_m, hw_m) pair and preprocesses per microbatch (keeps
+            # activation memory micro-bounded)
+            return tuple(split(v) for v in x)
+        return x.reshape((a, m) + x.shape[1:])
 
     imgs, toks, pidx = split(images), split(token_ids), split(patch_indices)
 
     def encode(params, im, tk, pi):
         return model.apply(
-            {"params": state.effective_params(params)}, im, tk, pi
+            {"params": state.effective_params(params)},
+            _as_pixels(im, model), tk, pi,
         )
 
     def unpack(xs):
@@ -400,7 +429,16 @@ def make_sharded_train_step(
                     weak_scores=weak_scores, patch_indices=patch_indices)
 
     def run(state, images, token_ids, weak_scores, patch_indices=None):
-        images = jax.device_put(images, batch_img)
+        if isinstance(images, (tuple, list)):
+            # device feed: uint8 buckets shard like pixel batches, the
+            # (B, 2) true sizes ride along the data axis
+            u8, hw = images
+            images = (
+                jax.device_put(u8, batch_img),
+                jax.device_put(hw, NamedSharding(mesh, P("data", None))),
+            )
+        else:
+            images = jax.device_put(images, batch_img)
         token_ids = jax.device_put(token_ids, batch_txt)
         if weak_scores is not None:
             weak_scores = jax.device_put(weak_scores, batch_w)
