@@ -217,3 +217,85 @@ def test_topk_search_matches_numpy_ranking():
         cand = np.where(mask[r])[0]
         order = cand[np.argsort(-sims[r][cand], kind="stable")][:5]
         np.testing.assert_array_equal(np.asarray(idx)[r][: len(order)], order)
+
+
+# ---------------------------------------------------------------------------
+# RandomResizedCrop augmentation arm (crop_boxes / flip)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("box", [(0, 0, 180, 140), (23, 11, 96, 120),
+                                 (5, 7, 40, 40)])
+def test_crop_box_matches_pil_crop_resize(box):
+    """The augmentation arm is PIL crop-then-resize parity: an integer
+    (cy, cx, ch, cw) box through preprocess_device(crop_boxes=...)
+    matches Image.crop(box).resize((S, S), BICUBIC) to the same <=2
+    uint8 steps as the center-crop path."""
+    from tpualign.ops.preprocess import CLIP_MEAN, CLIP_STD
+
+    rng = np.random.default_rng(sum(box))
+    h, w, size = 180, 140, 64
+    arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    cy, cx, ch, cw = box
+    ref = Image.fromarray(arr).crop((cx, cy, cx + cw, cy + ch)).resize(
+        (size, size), Image.BICUBIC)
+    ref = (np.asarray(ref, np.float32) / 255.0
+           - np.asarray(CLIP_MEAN)) / np.asarray(CLIP_STD)
+
+    padded, hw = pad_to_bucket(arr, 192)
+    dev = np.asarray(preprocess_device(
+        jnp.asarray(padded[None]), jnp.asarray([hw], jnp.int32), size,
+        crop_boxes=jnp.asarray([[cy, cx, ch, cw]], jnp.float32),
+    ))[0]
+    draw = np.abs(dev - ref) * np.asarray(CLIP_STD)
+    assert draw.max() <= 2.01 / 255.0, draw.max() * 255
+    assert draw.mean() <= 2e-4, draw.mean()
+
+
+def test_crop_box_flip_is_exact_mirror():
+    """flip reverses the x-weight output rows — bit-identical to
+    flipping the resized image."""
+    rng = np.random.default_rng(9)
+    arr = rng.integers(0, 256, (120, 90, 3), dtype=np.uint8)
+    padded, hw = pad_to_bucket(arr, 128)
+    boxes = jnp.asarray([[10, 5, 64, 72]], jnp.float32)
+    plain = np.asarray(preprocess_device(
+        jnp.asarray(padded[None]), jnp.asarray([hw], jnp.int32), 48,
+        crop_boxes=boxes, flip=jnp.asarray([False])))
+    flipped = np.asarray(preprocess_device(
+        jnp.asarray(padded[None]), jnp.asarray([hw], jnp.int32), 48,
+        crop_boxes=boxes, flip=jnp.asarray([True])))
+    np.testing.assert_array_equal(flipped, plain[:, :, ::-1, :])
+
+
+def test_sample_crop_boxes_bounds_and_fallback():
+    from tpualign.ops.preprocess import sample_crop_boxes
+
+    rng = np.random.default_rng(3)
+    hw = np.asarray([[100, 60], [30, 300], [224, 224]], np.int32)
+    boxes, flips = sample_crop_boxes(rng, hw)
+    assert boxes.shape == (3, 2 + 2) and flips.shape == (3,)
+    for b in range(3):
+        cy, cx, ch, cw = boxes[b]
+        assert 0 <= cy and cy + ch <= hw[b][0]
+        assert 0 <= cx and cx + cw <= hw[b][1]
+        assert ch > 0 and cw > 0
+    # extreme aspect (30x300) forces the center-crop fallback within
+    # the ratio bounds
+    cy, cx, ch, cw = boxes[1]
+    assert cw / ch <= 4.0 / 3.0 + 0.1
+    # deterministic under the same seed
+    b2, f2 = sample_crop_boxes(np.random.default_rng(3), hw)
+    np.testing.assert_array_equal(boxes, b2)
+    np.testing.assert_array_equal(flips, f2)
+
+
+def test_crop_boxes_reject_bilinear():
+    arr = np.zeros((8, 8, 3), np.uint8)
+    padded, hw = pad_to_bucket(arr, 16)
+    with pytest.raises(ValueError, match="bicubic"):
+        preprocess_device(
+            jnp.asarray(padded[None]), jnp.asarray([hw], jnp.int32), 8,
+            method="bilinear",
+            crop_boxes=jnp.asarray([[0, 0, 8, 8]], jnp.float32),
+        )

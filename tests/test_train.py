@@ -969,3 +969,56 @@ def test_device_feed_sharded_step(tiny_setup):
     state = shard_state(create_train_state(model, params, config))
     state, metrics = run(state, (u8, hw), tokens, weak)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_device_feed_augmented_step(tiny_setup):
+    """TRAIN_AUGMENT=rrc: the 4-tuple (u8, hw, boxes, flips) batch runs
+    through the jitted step; the full-box no-flip case equals the
+    cropless device feed's loss (same pixels), and a real crop changes
+    it."""
+    from tests.test_models import TINY
+    from tpualign.ops.preprocess import sample_crop_boxes
+
+    model, params = tiny_setup
+    config = TrainConfig(learning_rate=1e-3, warmup_steps=0,
+                         total_steps=100)
+    rng = np.random.default_rng(11)
+    u8, hw, _ = _u8_feed_batch(TINY, 8, rng)
+    _, tokens, weak = batch_for(TINY, 8, rng)
+
+    # full-image boxes: crop-then-resize of the whole image
+    full = np.concatenate(
+        [np.zeros((8, 2), np.float32), hw.astype(np.float32)], axis=1)
+    noflip = np.zeros(8, bool)
+    s0 = create_train_state(model, params, config)
+    s0, m_full = train_step(
+        s0, model,
+        (jnp.asarray(u8), jnp.asarray(hw), jnp.asarray(full),
+         jnp.asarray(noflip)),
+        jnp.asarray(tokens), jnp.asarray(weak), config,
+    )
+    assert np.isfinite(float(m_full["loss"]))
+
+    boxes, flips = sample_crop_boxes(np.random.default_rng(0), hw)
+    s1 = create_train_state(model, params, config)
+    s1, m_aug = train_step(
+        s1, model,
+        (jnp.asarray(u8), jnp.asarray(hw), jnp.asarray(boxes),
+         jnp.asarray(flips)),
+        jnp.asarray(tokens), jnp.asarray(weak), config,
+    )
+    assert np.isfinite(float(m_aug["loss"]))
+    assert float(m_aug["loss"]) != float(m_full["loss"])
+
+
+def test_config_rejects_augment_without_device_feed():
+    from tpualign.config import load_config
+
+    with pytest.raises(ValueError, match="TRAIN_IMAGE_FEED"):
+        load_config(env_file=None, overrides={"TRAIN_AUGMENT": "rrc"})
+    with pytest.raises(ValueError, match="TRAIN_AUGMENT"):
+        load_config(env_file=None, overrides={"TRAIN_AUGMENT": "mixup",
+                                              "TRAIN_IMAGE_FEED": "device"})
+    cfg = load_config(env_file=None, overrides={
+        "TRAIN_AUGMENT": "rrc", "TRAIN_IMAGE_FEED": "device"})
+    assert cfg.train.augment == "rrc"

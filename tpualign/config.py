@@ -296,6 +296,10 @@ class TrainConfig:
     # the jitted step — ~3x less host->device traffic, 2.45x per-core
     # feed; <=2 uint8 steps of preprocess drift vs host)
     image_feed: str = "host"
+    # "rrc": RandomResizedCrop + horizontal-flip augmentation (standard
+    # CLIP training transform), device-feed only — host-sampled boxes
+    # fold into the on-device resize weight matrices
+    augment: str = "none"
     # Storage dtype for the FROZEN base under LoRA: "bfloat16" halves the
     # dominant memory term (the base never receives updates, so it needs
     # no fp32 accumulation; matmuls already run in bf16). Vectors/scalars
@@ -501,10 +505,20 @@ def load_config(
         feed_workers=int(_env(env, "TRAIN_FEED_WORKERS", "0")),
         feed_cache_mb=int(_env(env, "TRAIN_FEED_CACHE_MB", "2048")),
         image_feed=_env(env, "TRAIN_IMAGE_FEED", "host"),
+        augment=_env(env, "TRAIN_AUGMENT", "none"),
         lora_rank=int(_env(env, "LORA_RANK", "0")),
         lora_alpha=float(_env(env, "LORA_ALPHA", "16.0")),
         lora_base_dtype=_env(env, "LORA_BASE_DTYPE", "float32"),
     )
+    if train.augment not in ("none", "rrc"):
+        raise ValueError(
+            f"TRAIN_AUGMENT must be none|rrc, got {train.augment!r}"
+        )
+    if train.augment == "rrc" and train.image_feed != "device":
+        raise ValueError(
+            "TRAIN_AUGMENT=rrc needs TRAIN_IMAGE_FEED=device (crop boxes "
+            "fold into the on-device resize weights)"
+        )
     return PipelineConfig(
         model=model,
         mesh=mesh,

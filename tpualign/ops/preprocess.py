@@ -167,6 +167,91 @@ def _resample_weights(
     return w / jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1e-12)
 
 
+def _resample_weights_box(start, length, bucket: int, image_size: int):
+    """Resample weights for an arbitrary integer crop box segment
+    [start, start+length) mapped to the full ``image_size`` output —
+    PIL crop-then-resize parity: taps clip to the BOX (the cropped
+    image's borders), not the full valid region, and the filter dilates
+    by the box's own scale (antialias). The random-resized-crop
+    augmentation arm of the device feed."""
+    scale = length / jnp.float32(image_size)
+    ss = jnp.maximum(scale, 1.0)
+    i = jnp.arange(image_size, dtype=jnp.float32)[:, None]
+    s = jnp.arange(bucket, dtype=jnp.float32)[None, :]
+    center = start + (i + 0.5) * scale
+    w = _bicubic_kernel((s + 0.5 - center) / ss)
+    w = jnp.where((s >= start) & (s < start + length), w, 0.0)
+    return w / jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1e-12)
+
+
+def _resize_crop_box_bicubic(
+    image: jnp.ndarray, crop_box: jnp.ndarray, do_flip: jnp.ndarray,
+    bucket: int, image_size: int,
+) -> jnp.ndarray:
+    """Resize an arbitrary (cy, cx, ch, cw) source box to the full
+    (S, S) output with the same PIL-parity bicubic+antialias
+    weight-matrix machinery as the center-crop path; a horizontal flip
+    reverses the x-weight OUTPUT rows — bit-identical to flipping the
+    resized image (same taps, same sums). This is torchvision's
+    RandomResizedCrop semantics (crop-then-resize) on device."""
+    cy = crop_box[0]
+    cx = crop_box[1]
+    ch = crop_box[2]
+    cw = crop_box[3]
+    wy = _resample_weights_box(cy, ch, bucket, image_size)
+    wx = _resample_weights_box(cx, cw, bucket, image_size)
+    wx = jnp.where(do_flip, wx[::-1, :], wx)
+    hp = jax.lax.Precision.HIGHEST
+    cols = jnp.einsum("jt,stc->sjc", wx, image, precision=hp)
+    cols = _quantize_u8_grid(cols)
+    out = jnp.einsum("os,sjc->ojc", wy, cols, precision=hp)
+    return _quantize_u8_grid(out)
+
+
+def sample_crop_boxes(
+    rng, true_hw: "np.ndarray", scale_range=(0.6, 1.0),
+    ratio_range=(3.0 / 4.0, 4.0 / 3.0), flip_prob: float = 0.5,
+):
+    """Host-side RandomResizedCrop sampling (torchvision's algorithm:
+    10 attempts of area*aspect jitter, center-crop fallback), returning
+    ((B, 4) float32 integer boxes (cy, cx, ch, cw), (B,) bool flips) for
+    :func:`preprocess_device`'s augmentation arm. Sampling stays on host
+    (like FLIP's patch indices) so the jitted step is a pure function of
+    its inputs."""
+    import math
+
+    import numpy as np
+
+    n = len(true_hw)
+    boxes = np.zeros((n, 4), np.float32)
+    for b in range(n):
+        h, w = int(true_hw[b][0]), int(true_hw[b][1])
+        area = h * w
+        for _ in range(10):
+            target = area * rng.uniform(*scale_range)
+            logr = rng.uniform(math.log(ratio_range[0]),
+                               math.log(ratio_range[1]))
+            r = math.exp(logr)
+            cw = int(round(math.sqrt(target * r)))
+            ch = int(round(math.sqrt(target / r)))
+            if 0 < cw <= w and 0 < ch <= h:
+                cy = int(rng.integers(0, h - ch + 1))
+                cx = int(rng.integers(0, w - cw + 1))
+                boxes[b] = (cy, cx, ch, cw)
+                break
+        else:  # center-crop fallback, torchvision's
+            ratio = w / h
+            if ratio < ratio_range[0]:
+                cw, ch = w, min(h, int(round(w / ratio_range[0])))
+            elif ratio > ratio_range[1]:
+                cw, ch = min(w, int(round(h * ratio_range[1]))), h
+            else:
+                cw, ch = w, h
+            boxes[b] = ((h - ch) // 2, (w - cw) // 2, ch, cw)
+    flips = rng.random(n) < flip_prob
+    return boxes, flips
+
+
 def _quantize_u8_grid(x: jnp.ndarray) -> jnp.ndarray:
     """Clamp + round to the uint8 grid in [0,1] space, PIL's clip8 with
     round-half-up (``ss + (1 << (PRECISION_BITS-1)) >> PRECISION_BITS``)."""
@@ -244,6 +329,8 @@ def preprocess_device(
     image_size: int = 224,
     dtype=jnp.float32,
     method: str = "bicubic",
+    crop_boxes: jnp.ndarray = None,
+    flip: jnp.ndarray = None,
 ) -> jnp.ndarray:
     """Batched on-device preprocess.
 
@@ -253,6 +340,12 @@ def preprocess_device(
       method: "bicubic" (default; PIL/torchvision antialias parity — the
         device feed is parity-grade) or "bilinear" (cheaper gather, no
         antialias — throughput knob).
+      crop_boxes: optional (B, 4) float32 integer (cy, cx, ch, cw) boxes
+        (see :func:`sample_crop_boxes`) — RandomResizedCrop semantics:
+        each box resizes to the FULL output (crop-then-resize, PIL
+        parity) instead of the short-side + center-crop geometry.
+        Bicubic only (the augmentation arm of the training device feed).
+      flip: optional (B,) bool horizontal flips (with ``crop_boxes``).
 
     Returns (B, image_size, image_size, 3) normalized ``dtype`` tensor.
     """
@@ -260,6 +353,18 @@ def preprocess_device(
         raise ValueError(f"method must be bicubic or bilinear, got {method!r}")
     bucket = images_u8.shape[1]
     imgs = images_u8.astype(jnp.float32) / 255.0
+    if crop_boxes is not None:
+        if method != "bicubic":
+            raise ValueError("crop_boxes requires the bicubic path")
+        if flip is None:
+            flip = jnp.zeros((images_u8.shape[0],), bool)
+
+        def one_box(img, box, fl):
+            return _resize_crop_box_bicubic(img, box, fl, bucket,
+                                            image_size)
+
+        out = jax.vmap(one_box)(imgs, crop_boxes, flip)
+        return normalize_images(out, dtype)
     resize = (
         _resize_short_side_crop_bicubic
         if method == "bicubic" else _resize_short_side_crop

@@ -44,6 +44,13 @@ def _as_pixels(images, model: "CLIP"):
     if isinstance(images, (tuple, list)):
         from tpualign.ops.preprocess import preprocess_device
 
+        if len(images) == 4:
+            # augmentation arm (TRAIN_AUGMENT=rrc): host-sampled
+            # RandomResizedCrop boxes + flips fold into the resize
+            # weight matrices — zero extra passes over the pixels
+            u8, hw, boxes, flips = images
+            return preprocess_device(u8, hw, model.variant.image_size,
+                                     crop_boxes=boxes, flip=flips)
         u8, hw = images
         return preprocess_device(u8, hw, model.variant.image_size)
     return images
@@ -431,12 +438,24 @@ def make_sharded_train_step(
     def run(state, images, token_ids, weak_scores, patch_indices=None):
         if isinstance(images, (tuple, list)):
             # device feed: uint8 buckets shard like pixel batches, the
-            # (B, 2) true sizes ride along the data axis
-            u8, hw = images
-            images = (
-                jax.device_put(u8, batch_img),
-                jax.device_put(hw, NamedSharding(mesh, P("data", None))),
-            )
+            # per-image metadata (sizes / crop boxes / flips) rides
+            # along the data axis
+            row2 = NamedSharding(mesh, P("data", None))
+            row1 = NamedSharding(mesh, P("data"))
+            if len(images) == 4:
+                u8, hw, boxes, flips = images
+                images = (
+                    jax.device_put(u8, batch_img),
+                    jax.device_put(hw, row2),
+                    jax.device_put(boxes, row2),
+                    jax.device_put(flips, row1),
+                )
+            else:
+                u8, hw = images
+                images = (
+                    jax.device_put(u8, batch_img),
+                    jax.device_put(hw, row2),
+                )
         else:
             images = jax.device_put(images, batch_img)
         token_ids = jax.device_put(token_ids, batch_txt)

@@ -333,9 +333,25 @@ class Trainer:
         mask_rng = _np.random.default_rng(self.config.seed + 1)
         start_step = int(jax.device_get(self.state.step))
         t0 = time.perf_counter()
+        augment = getattr(self.config.train, "augment", "none")
+        if augment not in ("none", "rrc"):
+            raise ValueError(f"TRAIN_AUGMENT must be none|rrc, got {augment}")
+        if (augment == "rrc"
+                and getattr(self.config.train, "image_feed", "host")
+                != "device"):
+            raise ValueError(
+                "TRAIN_AUGMENT=rrc needs TRAIN_IMAGE_FEED=device (crops "
+                "fold into the on-device resize weights)"
+            )
+        aug_rng = _np.random.default_rng(self.config.seed + 2)
         for step_i in range(start_step, steps):
             imgs, tokens, weights = next(it)
             if isinstance(imgs, tuple):  # device feed: (u8, hw)
+                if augment == "rrc":
+                    from tpualign.ops.preprocess import sample_crop_boxes
+
+                    boxes, flips = sample_crop_boxes(aug_rng, imgs[1])
+                    imgs = imgs + (boxes, flips)
                 imgs = tuple(jnp.asarray(x) for x in imgs)
             else:
                 imgs = jnp.asarray(imgs)
