@@ -441,3 +441,54 @@ def test_batches_device_feed_yields_u8_buckets(small_store):
     assert tuple(hw[good]) == (30, 40)  # the 40x30 PNG fixtures
     bad = int(np.where(order == 0)[0][0])
     assert tuple(hw[bad]) == (64, 64) and (u8[bad] == 0).all()
+
+
+def test_train_heldout_eval_hook(small_store):
+    """train(eval_every, eval_fraction): a deterministic fraction is
+    held out of every training batch and retrieval metrics are logged
+    at start/interval/end, returned as a trajectory."""
+    import jax.numpy as jnp
+    from tests.test_models import TINY, tiny_model
+    from tpualign.models.clip import init_clip_params
+    from tpualign.tokenizer import ClipTokenizer
+    from tpualign.train.step import create_train_state, train_step
+
+    store, images_dir = small_store
+    cfg = load_config(env_file=None, overrides={
+        "STORE_DIR": str(store.root),
+        "OUTPUT_DIR": str(images_dir.parent),
+        "BATCH_SIZE": "2", "TOTAL_STEPS": "10", "WARMUP_STEPS": "0",
+    })
+    model = tiny_model()
+    t = Trainer.__new__(Trainer)
+    t.config = cfg
+    t.mesh = None
+    t.store = store
+    t.model = model
+    t.variant = TINY
+    t.tokenizer = ClipTokenizer(context_length=TINY.context_length)
+    t.state = create_train_state(model, init_clip_params(model, seed=0),
+                                 cfg.train)
+    import jax
+
+    @jax.jit
+    def _single_step(state, images, token_ids, weak_scores,
+                     patch_indices=None):
+        return train_step(state, model, images, token_ids, weak_scores,
+                          cfg.train, patch_indices)
+
+    t._step = _single_step
+
+    out = t.train(schema="clip_combined", steps=4, batch_size=2,
+                  eval_every=2, eval_fraction=0.34)
+    hist = out["heldout"]
+    assert [h["step"] for h in hist] == [0, 2, 4]
+    # 6 pairs * 0.34 -> 2 held out of training
+    assert all(h["pairs"] == 2 for h in hist)
+    for h in hist:
+        assert 0.0 <= h["top1"] <= 1.0
+        assert 0.0 < h["mrr"] <= 1.0
+
+    with pytest.raises(ValueError, match="eval_fraction"):
+        t.train(schema="clip_combined", steps=1, batch_size=2,
+                eval_every=1, eval_fraction=1.5)

@@ -120,6 +120,10 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
                          help="LoRA rank (>0: freeze base, train adapters)")
     p_train.add_argument("--lora-alpha", type=float, default=None,
                          help="LoRA merge strength (scale = alpha/rank)")
+    p_train.add_argument("--eval-every", type=int, default=0,
+                         help="held-out retrieval eval every N steps")
+    p_train.add_argument("--eval-fraction", type=float, default=0.0,
+                         help="fraction of pairs held out for validation")
 
     p_ingest = sub.add_parser(
         "ingest", help="incremental ingestion: process new/changed files only"
@@ -264,8 +268,11 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             steps=args.steps,
             batch_size=args.train_batch_size,
             ckpt_dir=args.ckpt_dir,
+            eval_every=args.eval_every,
+            eval_fraction=args.eval_fraction,
         )
-        print({k: round(v, 4) for k, v in metrics.items()})
+        print({k: (round(v, 4) if isinstance(v, float) else v)
+               for k, v in metrics.items()})
         return 0
 
     if args.command == "ingest":

@@ -291,6 +291,68 @@ class Trainer:
         finally:
             stop.set()
 
+    # -- held-out evaluation ---------------------------------------------------
+
+    def evaluate_heldout(
+        self, triples, k=(1, 5), batch_size: int = 64,
+    ) -> dict:
+        """Retrieval metrics of the CURRENT export params over held-out
+        (image_path, text, weight) triples: each image queries the set
+        of DISTINCT held-out texts; its own text is the ground truth
+        (the alignment-GT semantics — the reference's cartesian ground
+        truth is model-independent and cannot measure training, see
+        tpualign/evaluation/metrics.py). Returns
+        ``{"top1": ..., "top{k}": ..., "mrr": ..., "pairs": N}``.
+
+        Rebuild extension: the reference has no training and therefore
+        no during-training validation; this is the standard held-out
+        retrieval probe CLIP fine-tunes monitor.
+        """
+        from PIL import Image
+
+        from tpualign.train.step import export_params
+
+        params = export_params(self.state)
+        size = self.variant.image_size
+
+        texts = sorted({t[1] for t in triples})
+        text_pos = {t: i for i, t in enumerate(texts)}
+        tokens = self.tokenizer(texts)
+
+        imgs = np.zeros((len(triples), size, size, 3), np.float32)
+        gt = np.zeros(len(triples), np.int64)
+        for i, (path, text, _w) in enumerate(triples):
+            gt[i] = text_pos[text]
+            try:
+                with Image.open(path) as im:
+                    imgs[i] = preprocess_host(im, size)
+            except Exception:
+                pass  # zero image, counted like any other query
+
+        def embed(fn, arr):
+            out = []
+            for s0 in range(0, len(arr), batch_size):
+                out.append(np.asarray(fn(arr[s0: s0 + batch_size])))
+            return np.concatenate(out)
+
+        ie = embed(
+            lambda x: self.model.apply(
+                {"params": params}, jnp.asarray(x), normalize=True,
+                method=self.model.encode_image), imgs)
+        te = embed(
+            lambda x: self.model.apply(
+                {"params": params}, jnp.asarray(x), normalize=True,
+                method=self.model.encode_text), tokens)
+        sims = ie @ te.T  # (P, T)
+        # rank of the true text per image (ties: ascending index, the
+        # repo-wide deterministic order)
+        order = np.argsort(-sims, axis=1, kind="stable")
+        ranks = np.argmax(order == gt[:, None], axis=1) + 1
+        out = {"pairs": len(triples), "mrr": float(np.mean(1.0 / ranks))}
+        for kk in k:
+            out[f"top{kk}"] = float(np.mean(ranks <= kk))
+        return out
+
     # -- loop -----------------------------------------------------------------
 
     def train(
@@ -301,8 +363,17 @@ class Trainer:
         ckpt_dir: Optional[str] = None,
         ckpt_every: int = 100,
         log_every: int = 10,
+        eval_every: int = 0,
+        eval_fraction: float = 0.0,
     ) -> dict:
-        """Run ``steps`` optimization steps; returns final metrics."""
+        """Run ``steps`` optimization steps; returns final metrics.
+
+        ``eval_fraction`` > 0 holds out a deterministic fraction of the
+        pairs (excluded from every training batch) and, every
+        ``eval_every`` steps (plus at the start and end), logs held-out
+        retrieval metrics via :meth:`evaluate_heldout`; the returned
+        dict carries the trajectory under ``"heldout"``.
+        """
         batch_size = batch_size or self.config.train.batch_size
         triples = build_pair_dataset(
             self.store, schema, self.config.data.images_dir
@@ -311,6 +382,28 @@ class Trainer:
             raise ValueError(
                 f"no trainable pairs in schema {schema} (need image files)"
             )
+        heldout = []
+        heldout_history = []
+        if eval_fraction > 0.0:
+            if not 0.0 < eval_fraction < 1.0:
+                raise ValueError(
+                    f"eval_fraction must be in (0, 1), got {eval_fraction}"
+                )
+            # deterministic split, independent of the shuffle stream
+            ho_rng = np.random.default_rng(self.config.seed + 3)
+            n_ho = max(1, int(round(len(triples) * eval_fraction)))
+            if n_ho >= len(triples):
+                raise ValueError(
+                    f"eval_fraction={eval_fraction} leaves no training "
+                    f"pairs ({len(triples)} total)"
+                )
+            sel = ho_rng.permutation(len(triples))[:n_ho]
+            ho_set = set(int(i) for i in sel)
+            heldout = [t for i, t in enumerate(triples) if i in ho_set]
+            triples = [t for i, t in enumerate(triples)
+                       if i not in ho_set]
+            log.info("held out %d/%d pairs for validation",
+                     len(heldout), len(heldout) + len(triples))
         if batch_size > len(triples):
             batch_size = max(2, len(triples))
         log.info(
@@ -332,6 +425,17 @@ class Trainer:
 
         mask_rng = _np.random.default_rng(self.config.seed + 1)
         start_step = int(jax.device_get(self.state.step))
+
+        def run_eval(step_i):
+            m = self.evaluate_heldout(heldout)
+            heldout_history.append({"step": step_i, **m})
+            log.info(
+                "heldout@%d: top1=%.3f mrr=%.3f (%d pairs)",
+                step_i, m.get("top1", 0.0), m["mrr"], m["pairs"],
+            )
+
+        if heldout and eval_every > 0:
+            run_eval(start_step)
         t0 = time.perf_counter()
         augment = getattr(self.config.train, "augment", "none")
         if augment not in ("none", "rrc"):
@@ -377,6 +481,10 @@ class Trainer:
                     step_i + 1, float(metrics["loss"]),
                     float(metrics["acc_i2t"]), float(metrics["grad_norm"]),
                 )
+            if (heldout and eval_every > 0
+                    and (step_i + 1) % eval_every == 0
+                    and step_i + 1 != steps):
+                run_eval(step_i + 1)
             if ckpt_dir and (step_i + 1) % ckpt_every == 0:
                 from tpualign.train.checkpoint import save_checkpoint
 
@@ -388,4 +496,7 @@ class Trainer:
         meter.report()
         out = {k: float(jax.device_get(v)) for k, v in metrics.items()}
         out["wall_seconds"] = time.perf_counter() - t0
+        if heldout and eval_every > 0:
+            run_eval(steps)
+            out["heldout"] = heldout_history
         return out
