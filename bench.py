@@ -169,8 +169,12 @@ def main() -> None:
     corpus = make_corpus(jax.random.PRNGKey(2))
     index = RetrievalIndex.__new__(RetrievalIndex)
     index.vocab = {}
+    # pass the DEVICE array straight through — _init_from_arrays only
+    # len()s and device_puts it (a no-op on resident data); np.asarray
+    # here would fetch 200 MB through the ~64 KB/s relay and upload it
+    # back before the first timed search
     index._init_from_arrays(
-        dim, np.asarray(corpus), np.zeros(n_corpus, np.int32), None
+        dim, corpus, np.zeros(n_corpus, np.int32), None
     )
     qn = 1024 if on_tpu else 64
     rq = corpus[:qn]

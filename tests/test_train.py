@@ -1022,3 +1022,6 @@ def test_config_rejects_augment_without_device_feed():
     cfg = load_config(env_file=None, overrides={
         "TRAIN_AUGMENT": "rrc", "TRAIN_IMAGE_FEED": "device"})
     assert cfg.train.augment == "rrc"
+    # a typo'd feed mode must not silently fall back to the host feed
+    with pytest.raises(ValueError, match="TRAIN_IMAGE_FEED"):
+        load_config(env_file=None, overrides={"TRAIN_IMAGE_FEED": "devcie"})

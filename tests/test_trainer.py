@@ -492,3 +492,95 @@ def test_train_heldout_eval_hook(small_store):
     with pytest.raises(ValueError, match="eval_fraction"):
         t.train(schema="clip_combined", steps=1, batch_size=2,
                 eval_every=1, eval_fraction=1.5)
+
+
+def _tiny_trainer(small_store):
+    """Minimal Trainer over the tiny test model (no checkpoint load)."""
+    import jax
+    from tests.test_models import TINY, tiny_model
+    from tpualign.models.clip import init_clip_params
+    from tpualign.tokenizer import ClipTokenizer
+    from tpualign.train.step import create_train_state, train_step
+
+    store, images_dir = small_store
+    cfg = load_config(env_file=None, overrides={
+        "STORE_DIR": str(store.root),
+        "OUTPUT_DIR": str(images_dir.parent),
+        "BATCH_SIZE": "2", "TOTAL_STEPS": "10", "WARMUP_STEPS": "0",
+    })
+    model = tiny_model()
+    t = Trainer.__new__(Trainer)
+    t.config = cfg
+    t.mesh = None
+    t.store = store
+    t.model = model
+    t.variant = TINY
+    t.tokenizer = ClipTokenizer(context_length=TINY.context_length)
+    t.state = create_train_state(model, init_clip_params(model, seed=0),
+                                 cfg.train)
+
+    @jax.jit
+    def _single_step(state, images, token_ids, weak_scores,
+                     patch_indices=None):
+        return train_step(state, model, images, token_ids, weak_scores,
+                          cfg.train, patch_indices)
+
+    t._step = _single_step
+    return t
+
+
+def test_train_eval_knobs_must_be_set_together(small_store):
+    """eval_fraction without eval_every would silently shrink the
+    training set and never evaluate; the inverse silently no-ops —
+    both half-configurations raise."""
+    t = _tiny_trainer(small_store)
+    with pytest.raises(ValueError, match="together"):
+        t.train(schema="clip_combined", steps=1, batch_size=2,
+                eval_fraction=0.34)
+    with pytest.raises(ValueError, match="together"):
+        t.train(schema="clip_combined", steps=1, batch_size=2,
+                eval_every=2)
+
+
+def test_feed_producer_error_propagates(small_store):
+    """An exception that escapes the background batch producer (here a
+    malformed triple) must surface in the training thread, not hang the
+    consumer on an empty queue. Per-image decode failures remain
+    skip-and-continue (zero image) and do NOT raise."""
+    store, images_dir = small_store
+    t = _tiny_trainer(small_store)
+    triples = build_pair_dataset(store, "clip_combined", images_dir)
+
+    bad = triples[:2] + [("missing", "text")]  # 2-tuple: unpack error
+    it = t.batches(bad, batch_size=3, epochs=1)
+    with pytest.raises(RuntimeError, match="feed producer"):
+        next(it)
+
+    # contrast: an unreadable image file is a per-item decode failure
+    broken = (images_dir / "broken.png")
+    broken.write_bytes(b"not a png")
+    ok = triples[:2] + [(str(broken), "tekst", 1.0)]
+    imgs, tokens, weights = next(t.batches(ok, batch_size=3, epochs=1))
+    zero_rows = [bool(np.all(imgs[i] == 0.0)) for i in range(3)]
+    assert imgs.shape[0] == 3 and sum(zero_rows) == 1  # batch is shuffled
+
+
+def test_heldout_prepare_cached_and_jitted(small_store):
+    """Repeated held-out evals reuse the decoded/tokenized tensors (one
+    _prepare_heldout per held-out set) and agree with a fresh compute."""
+    store, images_dir = small_store
+    t = _tiny_trainer(small_store)
+    triples = build_pair_dataset(store, "clip_combined", images_dir)
+
+    p1 = t._prepare_heldout(triples)
+    p2 = t._prepare_heldout(triples)
+    assert p1 is p2  # params-independent work done once
+
+    m1 = t.evaluate_heldout(triples)
+    m2 = t.evaluate_heldout(triples)
+    assert m1 == m2
+    assert m1["pairs"] == len(triples)
+    assert 0.0 < m1["mrr"] <= 1.0
+    # a different held-out set re-prepares
+    p3 = t._prepare_heldout(triples[:3])
+    assert p3 is not p1 and p3[3] == 3

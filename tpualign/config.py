@@ -510,6 +510,10 @@ def load_config(
         lora_alpha=float(_env(env, "LORA_ALPHA", "16.0")),
         lora_base_dtype=_env(env, "LORA_BASE_DTYPE", "float32"),
     )
+    if train.image_feed not in ("host", "device"):
+        raise ValueError(
+            f"TRAIN_IMAGE_FEED must be host|device, got {train.image_feed!r}"
+        )
     if train.augment not in ("none", "rrc"):
         raise ValueError(
             f"TRAIN_AUGMENT must be none|rrc, got {train.augment!r}"

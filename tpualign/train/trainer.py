@@ -280,18 +280,72 @@ class Trainer:
                     epoch += 1
             put(None)
 
-        t = threading.Thread(target=producer, daemon=True)
+        def producer_guard():
+            # per-image decode failures are handled inside load_one
+            # (zero image, skip-and-continue); anything that escapes —
+            # a malformed triple, a tokenizer error, pool construction —
+            # must surface in the TRAINING thread, not die silently and
+            # leave the consumer blocked on an empty queue forever
+            try:
+                producer()
+            except BaseException as exc:  # noqa: BLE001 — re-raised below
+                put(("__feed_error__", exc))
+
+        t = threading.Thread(target=producer_guard, daemon=True)
         t.start()
         try:
             while True:
                 item = out_q.get()
                 if item is None:
                     return
+                if (isinstance(item, tuple) and len(item) == 2
+                        and item[0] == "__feed_error__"):
+                    raise RuntimeError(
+                        "training feed producer failed"
+                    ) from item[1]
                 yield item
         finally:
             stop.set()
 
     # -- held-out evaluation ---------------------------------------------------
+
+    def _prepare_heldout(self, triples, batch_size: int = 64):
+        """Params-independent half of :meth:`evaluate_heldout` — decode,
+        preprocess, and tokenize once; every eval call over the same
+        held-out set reuses the tensors (keyed on the triple ids, so a
+        different set re-prepares). Images pad to a multiple of
+        ``batch_size`` so the jitted encoders compile exactly once."""
+        from PIL import Image
+
+        key = (tuple(id(t) for t in triples), batch_size)
+        cached = getattr(self, "_heldout_prepared", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        size = self.variant.image_size
+
+        texts = sorted({t[1] for t in triples})
+        text_pos = {t: i for i, t in enumerate(texts)}
+        tokens = np.asarray(self.tokenizer(texts))
+
+        def pad_rows(n: int) -> int:
+            return -(-n // batch_size) * batch_size
+
+        imgs = np.zeros(
+            (pad_rows(len(triples)), size, size, 3), np.float32)
+        gt = np.zeros(len(triples), np.int64)
+        for i, (path, text, _w) in enumerate(triples):
+            gt[i] = text_pos[text]
+            try:
+                with Image.open(path) as im:
+                    imgs[i] = preprocess_host(im, size)
+            except Exception:
+                pass  # zero image, counted like any other query
+        tokens_p = np.zeros(
+            (pad_rows(len(tokens)), tokens.shape[1]), tokens.dtype)
+        tokens_p[: len(tokens)] = tokens
+        prepared = (imgs, tokens_p, gt, len(triples), len(texts))
+        self._heldout_prepared = (key, prepared)
+        return prepared
 
     def evaluate_heldout(
         self, triples, k=(1, 5), batch_size: int = 64,
@@ -306,43 +360,32 @@ class Trainer:
 
         Rebuild extension: the reference has no training and therefore
         no during-training validation; this is the standard held-out
-        retrieval probe CLIP fine-tunes monitor.
+        retrieval probe CLIP fine-tunes monitor. Decode/tokenize are
+        cached across calls (:meth:`_prepare_heldout`) and the encoders
+        are jitted once, so repeated evals cost only the forward passes.
         """
-        from PIL import Image
-
+        from tpualign.models.clip import encode_image_fn, encode_text_fn
         from tpualign.train.step import export_params
 
         params = export_params(self.state)
-        size = self.variant.image_size
+        imgs, tokens, gt, n_pairs, n_texts = self._prepare_heldout(
+            triples, batch_size)
 
-        texts = sorted({t[1] for t in triples})
-        text_pos = {t: i for i, t in enumerate(texts)}
-        tokens = self.tokenizer(texts)
+        if not hasattr(self, "_heldout_encoders"):
+            self._heldout_encoders = (
+                jax.jit(encode_image_fn(self.model)),
+                jax.jit(encode_text_fn(self.model)),
+            )
+        img_fn, txt_fn = self._heldout_encoders
 
-        imgs = np.zeros((len(triples), size, size, 3), np.float32)
-        gt = np.zeros(len(triples), np.int64)
-        for i, (path, text, _w) in enumerate(triples):
-            gt[i] = text_pos[text]
-            try:
-                with Image.open(path) as im:
-                    imgs[i] = preprocess_host(im, size)
-            except Exception:
-                pass  # zero image, counted like any other query
-
-        def embed(fn, arr):
+        def embed(fn, arr, n_real):
             out = []
             for s0 in range(0, len(arr), batch_size):
-                out.append(np.asarray(fn(arr[s0: s0 + batch_size])))
-            return np.concatenate(out)
+                out.append(np.asarray(fn(params, arr[s0: s0 + batch_size])))
+            return np.concatenate(out)[:n_real]
 
-        ie = embed(
-            lambda x: self.model.apply(
-                {"params": params}, jnp.asarray(x), normalize=True,
-                method=self.model.encode_image), imgs)
-        te = embed(
-            lambda x: self.model.apply(
-                {"params": params}, jnp.asarray(x), normalize=True,
-                method=self.model.encode_text), tokens)
+        ie = embed(img_fn, imgs, n_pairs)
+        te = embed(txt_fn, tokens, n_texts)
         sims = ie @ te.T  # (P, T)
         # rank of the true text per image (ties: ascending index, the
         # repo-wide deterministic order)
@@ -384,6 +427,15 @@ class Trainer:
             )
         heldout = []
         heldout_history = []
+        if (eval_fraction > 0.0) != (eval_every > 0):
+            # half-configured validation would either silently shrink the
+            # training set without ever evaluating (fraction, no interval)
+            # or silently never run (interval, no held-out pairs)
+            raise ValueError(
+                "--eval-fraction and --eval-every must be set together "
+                f"(got eval_fraction={eval_fraction}, "
+                f"eval_every={eval_every})"
+            )
         if eval_fraction > 0.0:
             if not 0.0 < eval_fraction < 1.0:
                 raise ValueError(
