@@ -162,3 +162,98 @@ def test_single_device_training_refuses_quantized_model():
     params = init_clip_params(clean, seed=0)
     with pytest.raises(ValueError, match="zero gradient"):
         create_train_state(model, params, TrainConfig(batch_size=2))
+
+
+class TestQAT:
+    """Quantization-aware training (CLIP_QUANT=int8_qat): the serving
+    rounding grid forward, straight-through gradients backward."""
+
+    def _fake_quant_np(self, x, w):
+        w_s = np.maximum(np.max(np.abs(w), axis=0, keepdims=True) / 127.0,
+                         1e-12)
+        w_fq = np.round(w / w_s) * w_s
+        x_s = np.maximum(np.max(np.abs(x), axis=-1, keepdims=True) / 127.0,
+                         1e-12)
+        x_fq = np.round(x / x_s) * x_s
+        return x_fq, w_fq
+
+    def test_forward_matches_serving_int8(self):
+        from tpualign.ops.quant import int8_dot_qat
+
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(rng.normal(size=(16, 64)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(64, 48)).astype(np.float32))
+        b = jnp.asarray(rng.normal(size=(48,)).astype(np.float32))
+        serve = np.asarray(int8_dot(x, w, b))
+        qat = np.asarray(int8_dot_qat(x, w, b))
+        # same grid; only fp32-vs-int32 accumulation order differs
+        scale = np.sqrt(np.mean(serve ** 2))
+        assert np.max(np.abs(qat - serve)) / scale < 1e-3
+
+    def test_gradients_are_straight_through(self):
+        from tpualign.ops.quant import int8_dot_qat
+
+        rng = np.random.default_rng(5)
+        x = rng.normal(size=(6, 16)).astype(np.float32)
+        w = rng.normal(size=(16, 8)).astype(np.float32)
+        x_fq, w_fq = self._fake_quant_np(x, w)
+
+        gx = np.asarray(jax.grad(
+            lambda a: jnp.sum(int8_dot_qat(a, jnp.asarray(w))))(
+                jnp.asarray(x)))
+        gw = np.asarray(jax.grad(
+            lambda k: jnp.sum(int8_dot_qat(jnp.asarray(x), k)))(
+                jnp.asarray(w)))
+        # STE: out behaves as x_fq @ w_fq with identity quantizer grads
+        np.testing.assert_allclose(
+            gx, np.broadcast_to(w_fq.sum(axis=1), (6, 16)), rtol=1e-5)
+        np.testing.assert_allclose(
+            gw, np.broadcast_to(x_fq.sum(axis=0)[:, None], (16, 8)),
+            rtol=1e-5)
+        assert np.abs(gx).max() > 0 and np.abs(gw).max() > 0
+
+    def test_qat_tower_trains(self):
+        """A quant='int8_qat' model is accepted by the train state and its
+        loss decreases — the guard stays for the dead-gradient int8 mode."""
+        from tpualign.config import TrainConfig
+        from tpualign.models.clip import init_clip_params
+        from tpualign.train.step import create_train_state, train_step
+
+        model = CLIP(variant=TINY, use_quick_gelu=True,
+                     compute_dtype=jnp.float32, quant="int8_qat")
+        clean = CLIP(variant=TINY, use_quick_gelu=True,
+                     compute_dtype=jnp.float32)
+        params = init_clip_params(clean, seed=0)
+        cfg = TrainConfig(learning_rate=1e-3, warmup_steps=0,
+                          total_steps=100, batch_size=8)
+        state = create_train_state(model, params, cfg)
+
+        rng = np.random.default_rng(6)
+        images = jnp.asarray(
+            rng.normal(size=(8, 32, 32, 3)).astype(np.float32))
+        tokens = np.zeros((8, 16), np.int32)
+        tokens[:, 0] = 998
+        tokens[:, 1] = rng.integers(1, 900, size=8)
+        tokens[:, 2] = 999
+        tokens = jnp.asarray(tokens)
+        weak = jnp.asarray(rng.random(8).astype(np.float32))
+
+        step = jax.jit(lambda s: train_step(
+            s, model, images, tokens, weak, cfg))
+        losses, gnorms = [], []
+        for _ in range(10):
+            state, m = step(state)
+            losses.append(float(m["loss"]))
+            gnorms.append(float(m["grad_norm"]))
+        assert losses[-1] < losses[0]
+        assert min(gnorms) > 0.0
+
+    def test_wiring(self):
+        from tpualign.config import load_config
+
+        model = build_clip(ModelConfig(model_name="ViT-B-32",
+                                       quant="int8_qat"))
+        assert model.quant == "int8_qat"
+        cfg = load_config(env_file=None,
+                          overrides={"CLIP_QUANT": "int8_qat"})
+        assert cfg.model.quant == "int8_qat"

@@ -521,9 +521,9 @@ def _tiny_trainer(small_store):
 
     @jax.jit
     def _single_step(state, images, token_ids, weak_scores,
-                     patch_indices=None):
+                     patch_indices=None, teacher=None):
         return train_step(state, model, images, token_ids, weak_scores,
-                          cfg.train, patch_indices)
+                          cfg.train, patch_indices, teacher)
 
     t._step = _single_step
     return t
@@ -584,3 +584,32 @@ def test_heldout_prepare_cached_and_jitted(small_store):
     # a different held-out set re-prepares
     p3 = t._prepare_heldout(triples[:3])
     assert p3 is not p1 and p3[3] == 3
+
+
+def test_train_with_distillation_teacher(small_store):
+    """set_teacher + train(): the teacher bank is computed once over the
+    training pairs (cross-dimension teacher), every step carries the KD
+    term, and the metrics expose it."""
+    import jax
+    from tests.test_distill import teacher_model
+    from tpualign.models.clip import init_clip_params
+
+    store, images_dir = small_store
+    t = _tiny_trainer(small_store)
+    tm = teacher_model()
+    t.set_teacher(tm, init_clip_params(tm, seed=7))
+
+    out = t.train(schema="clip_combined", steps=3, batch_size=2)
+    assert "distill_kl" in out and out["distill_kl"] > 0.0
+    assert np.isfinite(out["loss"])
+
+    # bank alignment: rows follow the triples, duplicates share embeddings
+    triples = build_pair_dataset(store, "clip_combined", images_dir)
+    dup = triples + [triples[0]]
+    t_img, t_txt, t_scale = t._teacher_bank(dup)
+    assert t_img.shape == (len(dup), 32) and t_txt.shape == (len(dup), 32)
+    np.testing.assert_array_equal(t_img[0], t_img[-1])
+    np.testing.assert_array_equal(t_txt[0], t_txt[-1])
+    assert float(t_scale) > 0.0
+    norms = np.linalg.norm(t_img, axis=1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-5)

@@ -42,6 +42,9 @@ def _config_from(args) -> "PipelineConfig":
         "mesh_model": "MESH_MODEL",
         "lora_rank": "LORA_RANK",
         "lora_alpha": "LORA_ALPHA",
+        "distill_from": "DISTILL_CHECKPOINT",
+        "distill_model": "DISTILL_MODEL",
+        "distill_weight": "DISTILL_WEIGHT",
     }
     for attr, env in mapping.items():
         v = getattr(args, attr, None)
@@ -120,6 +123,13 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
                          help="LoRA rank (>0: freeze base, train adapters)")
     p_train.add_argument("--lora-alpha", type=float, default=None,
                          help="LoRA merge strength (scale = alpha/rank)")
+    p_train.add_argument("--distill-from", default=None,
+                         help="teacher checkpoint: train the (smaller) "
+                              "student to match its retrieval structure")
+    p_train.add_argument("--distill-model", default=None,
+                         help="teacher model name (default: the student's)")
+    p_train.add_argument("--distill-weight", type=float, default=None,
+                         help="KD mix weight in [0,1]; 1.0 = pure distill")
     p_train.add_argument("--eval-every", type=int, default=0,
                          help="held-out retrieval eval every N steps")
     p_train.add_argument("--eval-fraction", type=float, default=0.0,

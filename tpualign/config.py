@@ -284,6 +284,20 @@ class TrainConfig:
     # params (today: the LoRA adapter A matrices); wired from SEED so
     # different seeds give independent fine-tunes
     seed: int = 0
+    # Knowledge distillation (rebuild extension): a non-empty checkpoint
+    # turns on relational KD — the teacher's embeddings are precomputed
+    # ONCE over the training pairs (zero teacher FLOPs inside the step)
+    # and the student matches the teacher's (B, B) contrastive logit
+    # structure (train/loss.py::distill_kl_loss; embedding dims may
+    # differ, e.g. an H-14 teacher into a B-32 student). The serving win:
+    # big-tower retrieval quality at small-tower embed cost.
+    distill_checkpoint: str = ""
+    # teacher model name ("" = the student's own variant — self-distill)
+    distill_model: str = ""
+    # loss mix: (1-w) * contrastive + w * KD; 1.0 = pure distillation
+    distill_weight: float = 0.5
+    # softmax temperature for both logit matrices (T^2-corrected)
+    distill_temperature: float = 1.0
     # Host feed for Trainer.batches: decode-pool size (0 = auto,
     # min(8, cores)) and the decoded-image cache budget (MB; epochs
     # after the first read from memory instead of re-decoding — 0
@@ -509,7 +523,24 @@ def load_config(
         lora_rank=int(_env(env, "LORA_RANK", "0")),
         lora_alpha=float(_env(env, "LORA_ALPHA", "16.0")),
         lora_base_dtype=_env(env, "LORA_BASE_DTYPE", "float32"),
+        distill_checkpoint=_env(env, "DISTILL_CHECKPOINT", ""),
+        distill_model=_env(env, "DISTILL_MODEL", ""),
+        distill_weight=float(_env(env, "DISTILL_WEIGHT", "0.5")),
+        distill_temperature=float(_env(env, "DISTILL_TEMPERATURE", "1.0")),
     )
+    if not 0.0 <= train.distill_weight <= 1.0:
+        raise ValueError(
+            f"DISTILL_WEIGHT must be in [0, 1], got {train.distill_weight}"
+        )
+    if train.distill_temperature <= 0.0:
+        raise ValueError(
+            f"DISTILL_TEMPERATURE must be > 0, got {train.distill_temperature}"
+        )
+    if train.distill_model and not train.distill_checkpoint:
+        raise ValueError(
+            "DISTILL_MODEL is set but DISTILL_CHECKPOINT is not — a teacher "
+            "needs weights (set DISTILL_CHECKPOINT to the teacher checkpoint)"
+        )
     if train.image_feed not in ("host", "device"):
         raise ValueError(
             f"TRAIN_IMAGE_FEED must be host|device, got {train.image_feed!r}"

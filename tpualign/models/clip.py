@@ -109,9 +109,10 @@ def build_clip(config: ModelConfig) -> CLIP:
     if fused is None:
         fused = (not config.parity_mode) and jax.default_backend() == "tpu"
     quant = "none" if config.parity_mode else config.quant
-    if quant not in ("none", "int8"):
+    if quant not in ("none", "int8", "int8_qat"):
         raise ValueError(f"Unknown CLIP_QUANT mode {config.quant!r}; "
-                         "expected 'none' or 'int8'")
+                         "expected 'none', 'int8' or 'int8_qat' "
+                         "(QAT: trainable straight-through surrogate)")
     return CLIP(
         variant=config.variant,
         use_quick_gelu=config.use_quick_gelu,

@@ -96,6 +96,10 @@ class MultiHeadAttention(nn.Module):
                 from tpualign.ops.quant import int8_dot
 
                 return int8_dot(t, kernel, bias)
+            if self.quant == "int8_qat":
+                from tpualign.ops.quant import int8_dot_qat
+
+                return int8_dot_qat(t, kernel, bias)
             return (
                 jnp.dot(t.astype(cdt), kernel.astype(cdt),
                         preferred_element_type=jnp.float32)
@@ -176,6 +180,10 @@ class MLP(nn.Module):
                 from tpualign.ops.quant import int8_dot
 
                 return int8_dot(t, kernel, bias)
+            if self.quant == "int8_qat":
+                from tpualign.ops.quant import int8_dot_qat
+
+                return int8_dot_qat(t, kernel, bias)
             return (
                 jnp.dot(t.astype(cdt), kernel.astype(cdt),
                         preferred_element_type=jnp.float32)

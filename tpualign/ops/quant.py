@@ -18,8 +18,14 @@ see PAPERS.md):
   a rank-1 dequant ``acc * (row_scale x col_scale)`` that XLA fuses into
   the epilogue.
 
-Inference-only: ``jnp.round`` has zero gradient, so the training step
-refuses quantized models rather than silently producing dead gradients.
+``int8_dot`` is inference-only: ``jnp.round`` has zero gradient, so the
+training step refuses ``quant="int8"`` models rather than silently
+producing dead gradients. ``int8_dot_qat`` is the trainable surrogate —
+quantization-aware training (QAT) with the straight-through estimator:
+the forward pass rounds on the same int8 grid, the backward pass treats
+both quantizers as identity, so a fine-tune under ``quant="int8_qat"``
+adapts the weights to the quantization noise they will serve under
+(``CLIP_QUANT=int8``).
 
 This is the reference-free part of the design: the reference serves fp32
 torch towers one item at a time (ref:src/insert_clip_embeddings.py:91-141)
@@ -33,7 +39,49 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["quantize_weight", "int8_dot"]
+__all__ = ["quantize_weight", "int8_dot", "int8_dot_qat"]
+
+
+def _ste(real: jnp.ndarray, quantized: jnp.ndarray) -> jnp.ndarray:
+    """Straight-through estimator: forward = ``quantized``, backward =
+    identity on ``real`` (the whole quantize-dequantize residual is
+    stop-gradient'd)."""
+    return real + jax.lax.stop_gradient(quantized - real)
+
+
+def int8_dot_qat(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """QAT surrogate of :func:`int8_dot`: same rounding grid forward,
+    straight-through gradients backward.
+
+    The forward value matches ``int8_dot`` up to fp32-accumulation
+    rounding (the integer products are exactly representable in fp32;
+    only the summation order differs — pinned ~1e-3 relative by test).
+    Speed is NOT the point here: QAT runs at fp32-dot cost during
+    training so the exported weights serve faster and closer to the fp32
+    ranking under ``quant="int8"``.
+    """
+    w = kernel.astype(jnp.float32)
+    w_s = jnp.maximum(
+        jnp.max(jnp.abs(w), axis=0, keepdims=True) / 127.0, 1e-12)
+    w_fq = _ste(w, jnp.round(w / w_s) * w_s)
+    xf = x.astype(jnp.float32)
+    x_s = jnp.maximum(
+        jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0, 1e-12)
+    x_fq = _ste(xf, jnp.round(xf / x_s) * x_s)
+    out = jax.lax.dot_general(
+        x_fq,
+        w_fq,
+        (((x_fq.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if bias is not None:
+        out = out + bias
+    out_dtype = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
+    return out.astype(out_dtype)
 
 
 def quantize_weight(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:

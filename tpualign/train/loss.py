@@ -20,7 +20,47 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["clip_contrastive_loss", "siglip_loss"]
+__all__ = ["clip_contrastive_loss", "siglip_loss", "distill_kl_loss"]
+
+
+def distill_kl_loss(
+    student_img: jnp.ndarray,
+    student_txt: jnp.ndarray,
+    student_scale: jnp.ndarray,
+    teacher_img: jnp.ndarray,
+    teacher_txt: jnp.ndarray,
+    teacher_scale: jnp.ndarray,
+    temperature: float = 1.0,
+) -> jnp.ndarray:
+    """Relational knowledge distillation on the contrastive logit matrix
+    (the CRD term of CLIP-KD, arXiv:2212.12471 family): symmetric
+    KL(teacher || student) over both retrieval directions' softmax rows.
+
+    Because the loss compares (B, B) SIMILARITY structures — not raw
+    features — the teacher and student embedding dimensions are free to
+    differ (ViT-H-14's 1024-dim teacher distills into a 512-dim B-32
+    student with no projection head). All inputs are UNIT-NORM rows;
+    scales are the exp'd logit scales. ``temperature`` softens both
+    distributions; the loss carries the standard T^2 gradient correction
+    so the KD gradient magnitude is temperature-independent.
+    """
+    ls = student_scale * jnp.dot(
+        student_img, student_txt.T, preferred_element_type=jnp.float32
+    ) / temperature
+    lt = teacher_scale * jnp.dot(
+        teacher_img, teacher_txt.T, preferred_element_type=jnp.float32
+    ) / temperature
+    lt = jax.lax.stop_gradient(lt)
+
+    def kl(lt_, ls_):
+        pt = jax.nn.softmax(lt_, axis=-1)
+        return jnp.sum(
+            pt * (jax.nn.log_softmax(lt_, -1) - jax.nn.log_softmax(ls_, -1)),
+            axis=-1,
+        )
+
+    per_row = 0.5 * (kl(lt, ls) + kl(lt.T, ls.T))
+    return jnp.mean(per_row) * (temperature ** 2)
 
 
 def siglip_loss(

@@ -21,7 +21,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tpualign.config import TrainConfig
 from tpualign.models.clip import CLIP
-from tpualign.train.loss import clip_contrastive_loss, siglip_loss
+from tpualign.train.loss import (
+    clip_contrastive_loss,
+    distill_kl_loss,
+    siglip_loss,
+)
 
 __all__ = ["TrainState", "create_train_state", "train_step",
            "make_sharded_train_step", "sample_patch_indices",
@@ -112,11 +116,13 @@ def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
 
 
 def _reject_quantized_model(model: CLIP) -> None:
-    if getattr(model, "quant", "none") != "none":
+    if getattr(model, "quant", "none") == "int8":
         raise ValueError(
-            "Training a quantized model is not supported: the int8 path's "
-            "round() has zero gradient. Build the trainer's model with "
-            "quant='none' (CLIP_QUANT is a serving-only knob)."
+            "Training a quant='int8' model is not supported: the serving "
+            "path's round() has zero gradient. For quantization-aware "
+            "training use CLIP_QUANT=int8_qat (straight-through surrogate "
+            "— same rounding grid, trainable), then serve the result with "
+            "CLIP_QUANT=int8."
         )
 
 
@@ -189,6 +195,40 @@ def export_params(state: TrainState):
     return state.effective_params(trainable)
 
 
+def _compose_loss(img, txt, scale, weak_scores, config: TrainConfig,
+                  teacher) -> Tuple[jnp.ndarray, dict]:
+    """Batch loss from encoded features: the configured contrastive
+    objective, mixed with relational KD when a ``teacher`` triple
+    ``(t_img, t_txt, t_scale)`` of precomputed teacher embeddings is
+    present (loss = (1-w)*contrastive + w*KL; dims may differ)."""
+    if config.loss_type == "siglip":
+        base, metrics = siglip_loss(
+            img, txt, scale, jnp.asarray(config.siglip_bias),
+            weak_scores=weak_scores,
+            weight_temperature=config.weak_score_temperature,
+        )
+    else:
+        base, metrics = clip_contrastive_loss(
+            img, txt, scale,
+            weak_scores=weak_scores,
+            weight_temperature=config.weak_score_temperature,
+            label_smoothing=config.label_smoothing,
+        )
+    if teacher is None:
+        return base, metrics
+    t_img, t_txt, t_scale = teacher
+    kd = distill_kl_loss(
+        img, txt, scale, t_img, t_txt, t_scale,
+        temperature=config.distill_temperature,
+    )
+    w = config.distill_weight
+    loss = (1.0 - w) * base + w * kd
+    metrics = dict(metrics)
+    metrics["distill_kl"] = kd
+    metrics["loss"] = loss
+    return loss, metrics
+
+
 def train_step(
     state: TrainState,
     model: CLIP,
@@ -197,6 +237,7 @@ def train_step(
     weak_scores: Optional[jnp.ndarray],
     config: TrainConfig,
     patch_indices: Optional[jnp.ndarray] = None,
+    teacher: Optional[Tuple] = None,
 ) -> Tuple[TrainState, dict]:
     """One optimization step (pure function of state + batch).
 
@@ -205,13 +246,18 @@ def train_step(
     cutting step FLOPs ~K/P at small accuracy cost; sample per step with
     :func:`sample_patch_indices`. None = no masking (default).
 
+    ``teacher``: optional ``(t_img, t_txt, t_scale)`` precomputed teacher
+    embeddings for this batch (relational distillation — see
+    :func:`_compose_loss`). None = no distillation (default).
+
     When ``config.grad_accum_steps > 1`` the step runs the cached-feature
     accumulation schedule (:func:`_accum_train_step`) — numerically the
     same full-batch update at one-microbatch activation memory.
     """
     if config.grad_accum_steps > 1:
         return _accum_train_step(
-            state, model, images, token_ids, weak_scores, config, patch_indices
+            state, model, images, token_ids, weak_scores, config,
+            patch_indices, teacher,
         )
 
     def loss_fn(params):
@@ -219,18 +265,7 @@ def train_step(
             {"params": state.effective_params(params)},
             _as_pixels(images, model), token_ids, patch_indices,
         )
-        if config.loss_type == "siglip":
-            return siglip_loss(
-                img, txt, scale, jnp.asarray(config.siglip_bias),
-                weak_scores=weak_scores,
-                weight_temperature=config.weak_score_temperature,
-            )
-        return clip_contrastive_loss(
-            img, txt, scale,
-            weak_scores=weak_scores,
-            weight_temperature=config.weak_score_temperature,
-            label_smoothing=config.label_smoothing,
-        )
+        return _compose_loss(img, txt, scale, weak_scores, config, teacher)
 
     (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
     new_state = _update_ema(state.apply_gradients(grads), state, config)
@@ -246,6 +281,7 @@ def _accum_train_step(
     weak_scores: Optional[jnp.ndarray],
     config: TrainConfig,
     patch_indices: Optional[jnp.ndarray] = None,
+    teacher: Optional[Tuple] = None,
 ) -> Tuple[TrainState, dict]:
     """Exact gradient accumulation with full-batch contrastive negatives.
 
@@ -310,17 +346,10 @@ def _accum_train_step(
         img_i, txt_i, scale = encode(params, im, tk, pi)
         img_full = img_all.at[i].set(img_i).reshape(b, -1)
         txt_full = txt_all.at[i].set(txt_i).reshape(b, -1)
-        if config.loss_type == "siglip":
-            return siglip_loss(
-                img_full, txt_full, scale, jnp.asarray(config.siglip_bias),
-                weak_scores=weak_scores,
-                weight_temperature=config.weak_score_temperature,
-            )
-        return clip_contrastive_loss(
-            img_full, txt_full, scale,
-            weak_scores=weak_scores,
-            weight_temperature=config.weak_score_temperature,
-            label_smoothing=config.label_smoothing,
+        # the teacher arrays are full-batch constants, so the KD term
+        # accumulates by the same dL/df_i argument as the contrastive one
+        return _compose_loss(
+            img_full, txt_full, scale, weak_scores, config, teacher
         )
 
     grad_fn = jax.value_and_grad(loss_at, has_aux=True)
@@ -431,11 +460,14 @@ def make_sharded_train_step(
     # donate the input state: its buffers are reused for the output state,
     # halving peak optimizer-state memory on device (ignored on CPU)
     @partial(jax.jit, donate_argnums=(0,))
-    def jitted(state, images, token_ids, weak_scores, patch_indices):
+    def jitted(state, images, token_ids, weak_scores, patch_indices,
+               teacher=None):
         return step(state, images=images, token_ids=token_ids,
-                    weak_scores=weak_scores, patch_indices=patch_indices)
+                    weak_scores=weak_scores, patch_indices=patch_indices,
+                    teacher=teacher)
 
-    def run(state, images, token_ids, weak_scores, patch_indices=None):
+    def run(state, images, token_ids, weak_scores, patch_indices=None,
+            teacher=None):
         if isinstance(images, (tuple, list)):
             # device feed: uint8 buckets shard like pixel batches, the
             # per-image metadata (sizes / crop boxes / flips) rides
@@ -465,7 +497,17 @@ def make_sharded_train_step(
             patch_indices = jax.device_put(
                 patch_indices, NamedSharding(mesh, P("data", None))
             )
-        return jitted(state, images, token_ids, weak_scores, patch_indices)
+        if teacher is not None:
+            # teacher embedding rows shard with the batch; the scalar
+            # exp'd logit scale replicates
+            t_img, t_txt, t_scale = teacher
+            teacher = (
+                jax.device_put(t_img, batch_txt),
+                jax.device_put(t_txt, batch_txt),
+                jax.device_put(t_scale, NamedSharding(mesh, P())),
+            )
+        return jitted(state, images, token_ids, weak_scores, patch_indices,
+                      teacher)
 
     return run, shard_state
 

@@ -119,9 +119,9 @@ class Trainer:
 
             @_partial(jax.jit, donate_argnums=(0,))
             def _single_step(state, images, token_ids, weak_scores,
-                             patch_indices=None):
+                             patch_indices=None, teacher=None):
                 return train_step(state, model, images, token_ids,
-                                  weak_scores, tc, patch_indices)
+                                  weak_scores, tc, patch_indices, teacher)
 
             self._step = _single_step
 
@@ -138,7 +138,8 @@ class Trainer:
     def batches(
         self, triples, batch_size: int, seed: int = 0,
         epochs: Optional[int] = None, prefetch: int = 2,
-    ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        extras: Optional[Tuple[np.ndarray, ...]] = None,
+    ) -> Iterator[Tuple[np.ndarray, ...]]:
         """Shuffled, decoded, fixed-shape batches, cycling over the dataset.
 
         The feed runs AHEAD of the training loop (the reference decoded
@@ -161,12 +162,24 @@ class Trainer:
         Batch order, shapes, failure handling, and text bucketing are
         identical to the previous synchronous implementation (same RNG
         stream).
+
+        ``extras``: optional per-triple arrays (first dim == len(triples))
+        sliced with the same shuffled selection and appended to every
+        yielded tuple — the distillation teacher bank rides here.
         """
         import os
         import queue as _queue
         from concurrent.futures import ThreadPoolExecutor
 
         from PIL import Image
+
+        if extras is not None:
+            for e in extras:
+                if len(e) != len(triples):
+                    raise ValueError(
+                        f"extras rows ({len(e)}) must match triples "
+                        f"({len(triples)})"
+                    )
 
         size = self.variant.image_size
         tcfg = self.config.train
@@ -275,7 +288,10 @@ class Trainer:
                             )
                         batch_imgs = ((imgs, hws) if device_feed
                                       else imgs)
-                        if not put((batch_imgs, tokens, weights)):
+                        item = (batch_imgs, tokens, weights)
+                        if extras is not None:
+                            item = item + tuple(e[sel] for e in extras)
+                        if not put(item):
                             return
                     epoch += 1
             put(None)
@@ -306,6 +322,108 @@ class Trainer:
                 yield item
         finally:
             stop.set()
+
+    # -- distillation ----------------------------------------------------------
+
+    def set_teacher(self, model, params) -> None:
+        """Install a distillation teacher directly (any CLIP module +
+        params — the variant/embed_dim may differ from the student's).
+        The config path (``DISTILL_CHECKPOINT``/``DISTILL_MODEL``) builds
+        one automatically; this is the programmatic hook (and the test
+        seam)."""
+        self._teacher = (model, params)
+
+    def _teacher_from_config(self):
+        if getattr(self, "_teacher", None) is not None:
+            return self._teacher
+        tc = self.config.train
+        if not tc.distill_checkpoint:
+            return None
+        from dataclasses import replace
+
+        mcfg = replace(
+            self.config.model,
+            model_name=tc.distill_model or self.config.model.model_name,
+            checkpoint_path=tc.distill_checkpoint,
+        )
+        log.info(
+            "distillation teacher: %s from %s",
+            mcfg.model_name, tc.distill_checkpoint,
+        )
+        teacher_model = build_clip(mcfg)
+        teacher_params = load_checkpoint_params(mcfg)
+        self._teacher = (teacher_model, teacher_params)
+        return self._teacher
+
+    def _teacher_bank(
+        self, triples, batch_size: int = 64,
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Per-triple teacher embeddings, computed ONCE before the loop
+        (fixed-teacher distillation: the train step pays zero teacher
+        FLOPs — the standard trade when the dataset is enumerable, and
+        the same 4x-recompute fix the embed engine made for the
+        reference's per-schema re-embedding,
+        ref:src/insert_clip_embeddings.py:281-353). Unique images and
+        texts embed once and scatter to their triples. Returns
+        ``(t_img (N, Dt), t_txt (N, Dt), t_scale ())`` numpy arrays."""
+        from PIL import Image
+
+        teacher_model, teacher_params = self._teacher_from_config()
+        tv = teacher_model.variant
+        tok = (self.tokenizer
+               if tv.context_length == self.variant.context_length
+               else ClipTokenizer(context_length=tv.context_length))
+
+        paths = sorted({t[0] for t in triples})
+        texts = sorted({t[1] for t in triples})
+        path_pos = {p: i for i, p in enumerate(paths)}
+        text_pos = {t: i for i, t in enumerate(texts)}
+        # don't pad a tiny fine-tuning set up to a full device batch
+        batch_size = max(1, min(batch_size, max(len(paths), len(texts))))
+
+        def pad_rows(n: int) -> int:
+            return -(-n // batch_size) * batch_size
+
+        imgs = np.zeros(
+            (pad_rows(len(paths)), tv.image_size, tv.image_size, 3),
+            np.float32,
+        )
+        for i, p in enumerate(paths):
+            try:
+                with Image.open(p) as im:
+                    imgs[i] = preprocess_host(im, tv.image_size)
+            except Exception:
+                pass  # zero image — the teacher scores it like the student sees it
+        tokens = np.asarray(tok(texts))
+        tokens_p = np.zeros(
+            (pad_rows(len(tokens)), tokens.shape[1]), tokens.dtype)
+        tokens_p[: len(tokens)] = tokens
+
+        from tpualign.models.clip import encode_image_fn, encode_text_fn
+
+        img_fn = jax.jit(encode_image_fn(teacher_model))
+        txt_fn = jax.jit(encode_text_fn(teacher_model))
+
+        def embed(fn, arr, n_real):
+            out = []
+            for s0 in range(0, len(arr), batch_size):
+                out.append(np.asarray(
+                    fn(teacher_params, arr[s0: s0 + batch_size])))
+            return np.concatenate(out)[:n_real]
+
+        uimg = embed(img_fn, imgs, len(paths))
+        utxt = embed(txt_fn, tokens_p, len(texts))
+
+        t_img = uimg[[path_pos[t[0]] for t in triples]]
+        t_txt = utxt[[text_pos[t[1]] for t in triples]]
+        scale = float(np.exp(np.asarray(
+            jax.device_get(teacher_params["logit_scale"]), np.float32)))
+        t_scale = np.asarray(min(scale, 100.0), np.float32)
+        log.info(
+            "teacher bank: %d images + %d texts embedded (dim %d)",
+            len(paths), len(texts), uimg.shape[1],
+        )
+        return t_img, t_txt, t_scale
 
     # -- held-out evaluation ---------------------------------------------------
 
@@ -472,7 +590,18 @@ class Trainer:
 
         meter = ThroughputMeter()
         metrics = {}
-        it = self.batches(triples, batch_size, seed=self.config.seed)
+        # distillation: precompute the teacher bank over the TRAINING
+        # pairs (post-holdout — the teacher never sees the eval split's
+        # role; its embeddings are input-only constants anyway)
+        t_scale = None
+        extras = None
+        if (self.config.train.distill_checkpoint
+                or getattr(self, "_teacher", None) is not None):
+            t_img, t_txt, t_scale = self._teacher_bank(triples)
+            t_scale = jnp.asarray(t_scale)
+            extras = (t_img, t_txt)
+        it = self.batches(triples, batch_size, seed=self.config.seed,
+                          extras=extras)
         import numpy as _np
 
         mask_rng = _np.random.default_rng(self.config.seed + 1)
@@ -501,7 +630,7 @@ class Trainer:
             )
         aug_rng = _np.random.default_rng(self.config.seed + 2)
         for step_i in range(start_step, steps):
-            imgs, tokens, weights = next(it)
+            imgs, tokens, weights, *extra = next(it)
             if isinstance(imgs, tuple):  # device feed: (u8, hw)
                 if augment == "rrc":
                     from tpualign.ops.preprocess import sample_crop_boxes
@@ -511,27 +640,33 @@ class Trainer:
                 imgs = tuple(jnp.asarray(x) for x in imgs)
             else:
                 imgs = jnp.asarray(imgs)
+            teacher = None
+            if extra:
+                teacher = (jnp.asarray(extra[0]), jnp.asarray(extra[1]),
+                           t_scale)
             patch_idx = sample_patch_indices(
                 mask_rng, batch_size,
                 (self.variant.image_size // self.variant.patch_size) ** 2,
                 self.config.train.patch_mask_ratio,
             )
             with meter.measure("train_pairs", batch_size):
-                if patch_idx is None:
-                    self.state, metrics = self._step(
-                        self.state, imgs, jnp.asarray(tokens),
-                        jnp.asarray(weights),
+                step_args = [self.state, imgs, jnp.asarray(tokens),
+                             jnp.asarray(weights)]
+                if patch_idx is not None or teacher is not None:
+                    step_args.append(
+                        None if patch_idx is None else jnp.asarray(patch_idx)
                     )
-                else:
-                    self.state, metrics = self._step(
-                        self.state, imgs, jnp.asarray(tokens),
-                        jnp.asarray(weights), jnp.asarray(patch_idx),
-                    )
+                if teacher is not None:
+                    step_args.append(teacher)
+                self.state, metrics = self._step(*step_args)
             if (step_i + 1) % log_every == 0:
+                kd = ("" if "distill_kl" not in metrics else
+                      " distill_kl=%.4f" % float(metrics["distill_kl"]))
                 log.info(
-                    "step %d: loss=%.4f acc_i2t=%.3f grad_norm=%.3f",
+                    "step %d: loss=%.4f acc_i2t=%.3f grad_norm=%.3f%s",
                     step_i + 1, float(metrics["loss"]),
                     float(metrics["acc_i2t"]), float(metrics["grad_norm"]),
+                    kd,
                 )
             if (heldout and eval_every > 0
                     and (step_i + 1) % eval_every == 0
