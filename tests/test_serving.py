@@ -997,3 +997,91 @@ def test_serving_int2_precision():
     res = svc.search_embeddings(emb[:3], manuals[:3], pages[:3], k=4)
     assert [r[0]["chunk_id"] for r in res] == ids[:3]
     assert abs(res[0][0]["score"] - 1.0) < 1e-5  # refined exact score
+
+
+# -- text-query LRU cache -------------------------------------------------------
+
+
+def _counting_service(query_cache=16, n=32, d=16):
+    rng = np.random.default_rng(7)
+    emb = rng.normal(size=(n, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    ids = [f"m0_p1_c{i}" for i in range(n)]
+    calls = []
+
+    def enc(texts):
+        calls.extend(texts)
+        out = np.stack([
+            np.sin(np.arange(1, d + 1, dtype=np.float32)
+                   * (1.0 + float(abs(hash(t)) % 97)))
+            for t in texts
+        ])
+        return out / np.linalg.norm(out, axis=1, keepdims=True)
+
+    svc = RetrievalService(
+        emb, ids, ["m0"] * n, [1] * n, text_encoder=enc,
+        query_cache=query_cache,
+        model_info={"name": "ViT-B-32", "quant": "none", "checkpoint": None},
+    )
+    return svc, calls
+
+
+def test_query_cache_hits_skip_encode_and_search():
+    svc, calls = _counting_service()
+    r1 = svc.search_text(["de oliefilter", "de pomp"], k=3)
+    assert len(calls) == 2
+    r2 = svc.search_text(["de oliefilter", "de pomp"], k=3)
+    assert len(calls) == 2  # no re-encode
+    assert r1 == r2
+    # partial hit: one new text encodes, the repeated one doesn't
+    r3 = svc.search_text(["de pomp", "de klep"], k=3)
+    assert len(calls) == 3 and calls[-1] == "de klep"
+    assert r3[0] == r1[1]
+    st = svc.stats()["query_cache"]
+    assert st["hits"] == 3 and st["misses"] == 3 and st["size"] == 3
+    assert svc.stats()["model"]["name"] == "ViT-B-32"
+    # a different k (or scope) is a different result set -> miss
+    svc.search_text(["de pomp"], k=5)
+    assert len(calls) == 4
+
+
+def test_query_cache_hit_is_mutation_safe():
+    svc, _ = _counting_service()
+    r1 = svc.search_text(["x"], k=3)
+    r1[0][0]["chunk_id"] = "corrupted"
+    r2 = svc.search_text(["x"], k=3)
+    assert r2[0][0]["chunk_id"] != "corrupted"
+
+
+def test_query_cache_invalidated_by_corpus_mutation():
+    svc, calls = _counting_service()
+    before = svc.search_text(["de pomp"], k=3)
+    # insert a chunk that is EXACTLY the query embedding: it must win
+    q = np.stack([np.sin(np.arange(1, 17, dtype=np.float32)
+                         * (1.0 + float(abs(hash("de pomp")) % 97)))])
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    svc.add_chunks(["new_exact"], ["m0"], [1], q)
+    after = svc.search_text(["de pomp"], k=3)
+    assert after[0][0]["chunk_id"] == "new_exact"
+    assert after != before
+    # removal also invalidates
+    svc.remove_chunks(["new_exact"])
+    again = svc.search_text(["de pomp"], k=3)
+    assert again[0][0]["chunk_id"] != "new_exact"
+    assert [r["chunk_id"] for r in again[0]] == [
+        r["chunk_id"] for r in before[0]]
+
+
+def test_query_cache_disabled_and_lru_eviction():
+    svc, calls = _counting_service(query_cache=0)
+    svc.search_text(["a"], k=3)
+    svc.search_text(["a"], k=3)
+    assert len(calls) == 2  # every call encodes
+    assert "query_cache" not in svc.stats()
+
+    svc2, calls2 = _counting_service(query_cache=2)
+    for t in ("a", "b", "c"):  # capacity 2: "a" evicts
+        svc2.search_text([t], k=3)
+    svc2.search_text(["a"], k=3)
+    assert calls2 == ["a", "b", "c", "a"]
+    assert svc2.stats()["query_cache"]["size"] == 2

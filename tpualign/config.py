@@ -397,6 +397,10 @@ class PipelineConfig:
     # disables): concurrent /search* requests inside the window merge into
     # one device dispatch (serving/server.py BatchCoalescer)
     serve_coalesce_ms: Optional[float] = 2.0
+    # serving text-query LRU result cache (SERVE_QUERY_CACHE, entries;
+    # 0 = off): repeated /search_text queries skip BOTH the text-tower
+    # encode and the corpus sweep; invalidated on corpus mutation
+    serve_query_cache: int = 1024
 
     def replace(self, **kw) -> "PipelineConfig":
         return dataclasses.replace(self, **kw)
@@ -590,4 +594,5 @@ def load_config(
             if _env(env, "SERVE_COALESCE_MS", "2.0").lower()
             not in ("off", "none", "") else None
         ),
+        serve_query_cache=int(_env(env, "SERVE_QUERY_CACHE", "1024")),
     )

@@ -282,10 +282,24 @@ class RetrievalService:
         precision: str = "fp32",
         ivf_cache: Optional[str] = None,
         refine: int = 0,
+        query_cache: int = 1024,
+        model_info: Optional[dict] = None,
     ):
         self.schema = schema
         self.chunk_ids = list(chunk_ids)
         self.metrics = RequestMetrics()
+        self.model_info = model_info
+        # text-query LRU: repeated /search_text queries (the common
+        # production pattern — a handful of operator phrasings repeat)
+        # skip both the text-tower encode AND the corpus sweep. Keyed on
+        # (text, scope, k); invalidated whenever the corpus mutates.
+        from collections import OrderedDict
+
+        self._qc_cap = int(query_cache)
+        self._query_cache: "OrderedDict" = OrderedDict()
+        self._qc_lock = threading.Lock()
+        self._qc_hits = 0
+        self._qc_misses = 0
         from tpualign.parallel.retrieval import build_index
 
         self.index = build_index(
@@ -356,6 +370,7 @@ class RetrievalService:
                            list(pages) if pages is not None else None)
             self._removed_ids.difference_update(
                 str(c) for c in chunk_ids)  # re-adds resurrect the id
+        self._query_cache_clear()  # cached rankings predate the insert
         return {"added": len(emb), "corpus_size": self.index.n}
 
     def live_chunk_ids(self) -> set:
@@ -397,6 +412,7 @@ class RetrievalService:
         with self._add_lock:
             removed = self.index.remove(found) if found else 0
             self._removed_ids.update(c for c in wanted if c in pos_of)
+        self._query_cache_clear()  # cached rankings may hold removed rows
         return {"removed": removed, "unknown": missing,
                 "corpus_size": self.index.n}
 
@@ -476,6 +492,11 @@ class RetrievalService:
             )
         return self._format(vals, idx)
 
+    def _query_cache_clear(self) -> None:
+        if self._qc_cap > 0:
+            with self._qc_lock:
+                self._query_cache.clear()
+
     def search_text(
         self,
         texts: List[str],
@@ -486,13 +507,42 @@ class RetrievalService:
     ) -> List[List[dict]]:
         if self.text_encoder is None:
             raise RuntimeError("no text encoder loaded (serve --no-text-tower?)")
-        if self._encode_coalescer is not None:
-            q = self._encode_coalescer.encode(list(texts))
-        else:
-            q = np.asarray(self.text_encoder(list(texts)), np.float32)
-        manuals = None if global_search else [manual] * len(texts)
-        pages = None if global_search else [page] * len(texts)
-        return self.search_embeddings(q, manuals, pages, k, global_search)
+
+        def run(batch: List[str]) -> List[List[dict]]:
+            if self._encode_coalescer is not None:
+                q = self._encode_coalescer.encode(list(batch))
+            else:
+                q = np.asarray(self.text_encoder(list(batch)), np.float32)
+            manuals = None if global_search else [manual] * len(batch)
+            pages = None if global_search else [page] * len(batch)
+            return self.search_embeddings(q, manuals, pages, k, global_search)
+
+        if self._qc_cap <= 0:
+            return run(list(texts))
+
+        keys = [(t, manual, page, k, global_search) for t in texts]
+        results: List[Optional[List[dict]]] = [None] * len(texts)
+        misses: List[int] = []
+        with self._qc_lock:
+            for i, key in enumerate(keys):
+                hit = self._query_cache.get(key)
+                if hit is not None:
+                    self._query_cache.move_to_end(key)
+                    self._qc_hits += 1
+                    # shallow-copy rows so callers can't mutate the cache
+                    results[i] = [dict(r) for r in hit]
+                else:
+                    self._qc_misses += 1
+                    misses.append(i)
+        if misses:
+            fresh = run([texts[i] for i in misses])
+            with self._qc_lock:
+                for i, res in zip(misses, fresh):
+                    results[i] = res
+                    self._query_cache[keys[i]] = [dict(r) for r in res]
+                while len(self._query_cache) > self._qc_cap:
+                    self._query_cache.popitem(last=False)
+        return results  # type: ignore[return-value]
 
     def stats(self) -> dict:
         out = {
@@ -522,6 +572,16 @@ class RetrievalService:
             out["coalescer"] = self.coalescer.stats()
         if self._encode_coalescer is not None:
             out["encode_coalescer"] = self._encode_coalescer.stats()
+        if self._qc_cap > 0:
+            with self._qc_lock:
+                out["query_cache"] = {
+                    "size": len(self._query_cache),
+                    "capacity": self._qc_cap,
+                    "hits": self._qc_hits,
+                    "misses": self._qc_misses,
+                }
+        if self.model_info:
+            out["model"] = self.model_info
         return out
 
 
@@ -600,6 +660,12 @@ def build_service(config, schema: str, mesh=None, text_tower: bool = True) -> Re
         precision=getattr(config, "retrieval_precision", "fp32"),
         ivf_cache=getattr(config, "ivf_cache", None),
         refine=getattr(config, "retrieval_refine", 0),
+        query_cache=getattr(config, "serve_query_cache", 1024),
+        model_info={
+            "name": config.model.model_name,
+            "quant": config.model.quant,
+            "checkpoint": config.model.checkpoint_path,
+        },
     )
 
 
