@@ -250,3 +250,67 @@ class TestDistillConfig:
         with pytest.raises(ValueError, match="DISTILL_CHECKPOINT"):
             load_config(env_file=None,
                         overrides={"DISTILL_MODEL": "ViT-H-14"})
+
+
+class TestCompositions:
+    def test_qat_composes_with_lora(self):
+        """LoRA adapters train THROUGH the QAT fake-quant forward: the
+        merged effective params feed int8_dot_qat, STE gradients reach
+        the adapters, and the frozen base stays untouched."""
+        from tpualign.config import TrainConfig
+        from tpualign.train.step import create_train_state, train_step
+
+        model = CLIP(variant=TINY, use_quick_gelu=True,
+                     compute_dtype=jnp.float32, quant="int8_qat")
+        clean = CLIP(variant=TINY, use_quick_gelu=True,
+                     compute_dtype=jnp.float32)
+        params = init_clip_params(clean, seed=0)
+        cfg = TrainConfig(learning_rate=1e-3, warmup_steps=0,
+                          total_steps=100, lora_rank=2)
+        state = create_train_state(model, params, cfg)
+        frozen_before = jax.tree.map(np.asarray, state.frozen_params)
+
+        rng = np.random.default_rng(8)
+        images, tokens, weak = _batch(8, rng)
+        step = jax.jit(lambda s: train_step(
+            s, model, jnp.asarray(images), jnp.asarray(tokens),
+            jnp.asarray(weak), cfg))
+        losses = []
+        for _ in range(8):
+            state, m = step(state)
+            losses.append(float(m["loss"]))
+            assert float(m["grad_norm"]) > 0.0
+        assert losses[-1] < losses[0]
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(a, np.asarray(b)),
+            frozen_before, state.frozen_params,
+        )
+
+    def test_distill_composes_with_device_feed(self):
+        """TRAIN_IMAGE_FEED=device batches are (u8, hw) tuples; the
+        teacher tuple rides alongside and the mixed loss still runs."""
+        from tpualign.config import TrainConfig
+        from tpualign.train.step import create_train_state, train_step
+
+        model = tiny_model()
+        params = init_clip_params(model, seed=0)
+        cfg = TrainConfig(learning_rate=1e-3, warmup_steps=0,
+                          total_steps=100, distill_weight=0.5)
+        rng = np.random.default_rng(9)
+        b = 4
+        u8 = rng.integers(0, 256, size=(b, 64, 64, 3)).astype(np.uint8)
+        hw = np.full((b, 2), 48, np.int32)
+        _, tokens, weak = _batch(b, rng)
+        # teacher saw the SAME content in spirit; for the composition
+        # test any fixed unit-norm rows suffice
+        t_img = _unit(rng, b, 24)
+        t_txt = _unit(rng, b, 24)
+        teacher = (jnp.asarray(t_img), jnp.asarray(t_txt),
+                   jnp.asarray(40.0, jnp.float32))
+
+        state = create_train_state(model, params, cfg)
+        state, m = train_step(
+            state, model, (jnp.asarray(u8), jnp.asarray(hw)),
+            jnp.asarray(tokens), jnp.asarray(weak), cfg, None, teacher)
+        assert np.isfinite(float(m["loss"]))
+        assert float(m["distill_kl"]) > 0.0

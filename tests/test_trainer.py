@@ -613,3 +613,23 @@ def test_train_with_distillation_teacher(small_store):
     assert float(t_scale) > 0.0
     norms = np.linalg.norm(t_img, axis=1)
     np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+
+
+def test_metrics_file_jsonl(small_store, tmp_path):
+    """--metrics-file: one JSON line per log interval plus held-out eval
+    records, appended crash-safe."""
+    import json
+
+    t = _tiny_trainer(small_store)
+    mf = tmp_path / "history.jsonl"
+    t.train(schema="clip_combined", steps=4, batch_size=2, log_every=2,
+            eval_every=2, eval_fraction=0.34, metrics_file=str(mf))
+    lines = [json.loads(l) for l in mf.read_text().splitlines()]
+    train_rows = [l for l in lines if l["kind"] == "train"]
+    ho_rows = [l for l in lines if l["kind"] == "heldout"]
+    final_rows = [l for l in lines if l["kind"] == "final"]
+    assert [r["step"] for r in train_rows] == [2, 4]
+    assert len(final_rows) == 1 and final_rows[0]["step"] == 4
+    assert [r["step"] for r in ho_rows] == [0, 2, 4]
+    assert all(np.isfinite(r["loss"]) for r in train_rows)
+    assert all(0.0 < r["mrr"] <= 1.0 for r in ho_rows)

@@ -132,6 +132,11 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
                          help="KD mix weight in [0,1]; 1.0 = pure distill")
     p_train.add_argument("--eval-every", type=int, default=0,
                          help="held-out retrieval eval every N steps")
+    p_train.add_argument("--metrics-file", default=None,
+                         help="append one JSON line per log interval "
+                              "(training history for dashboards)")
+    p_train.add_argument("--log-every", type=int, default=10,
+                         help="steps between progress logs / metric lines")
     p_train.add_argument("--eval-fraction", type=float, default=0.0,
                          help="fraction of pairs held out for validation")
 
@@ -280,6 +285,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             ckpt_dir=args.ckpt_dir,
             eval_every=args.eval_every,
             eval_fraction=args.eval_fraction,
+            metrics_file=args.metrics_file,
+            log_every=args.log_every,
         )
         print({k: (round(v, 4) if isinstance(v, float) else v)
                for k, v in metrics.items()})

@@ -526,6 +526,7 @@ class Trainer:
         log_every: int = 10,
         eval_every: int = 0,
         eval_fraction: float = 0.0,
+        metrics_file: Optional[str] = None,
     ) -> dict:
         """Run ``steps`` optimization steps; returns final metrics.
 
@@ -534,6 +535,12 @@ class Trainer:
         ``eval_every`` steps (plus at the start and end), logs held-out
         retrieval metrics via :meth:`evaluate_heldout`; the returned
         dict carries the trajectory under ``"heldout"``.
+
+        ``metrics_file``: append one JSON line per ``log_every`` interval
+        (and per held-out eval) — machine-readable training history for
+        dashboards/regression tracking (the reference's only
+        observability was the final evaluation stage,
+        ref:src/evaluate_alignments.py:430-432).
         """
         batch_size = batch_size or self.config.train.batch_size
         triples = build_pair_dataset(
@@ -607,6 +614,18 @@ class Trainer:
         mask_rng = _np.random.default_rng(self.config.seed + 1)
         start_step = int(jax.device_get(self.state.step))
 
+        if metrics_file:
+            Path(metrics_file).parent.mkdir(parents=True, exist_ok=True)
+
+        def emit(record: dict) -> None:
+            # open-append-close per record: log_every granularity makes
+            # the cost negligible and a crash never loses flushed lines
+            if metrics_file:
+                import json as _json
+
+                with open(metrics_file, "a", encoding="utf-8") as fh:
+                    fh.write(_json.dumps(record) + "\n")
+
         def run_eval(step_i):
             m = self.evaluate_heldout(heldout)
             heldout_history.append({"step": step_i, **m})
@@ -614,6 +633,7 @@ class Trainer:
                 "heldout@%d: top1=%.3f mrr=%.3f (%d pairs)",
                 step_i, m.get("top1", 0.0), m["mrr"], m["pairs"],
             )
+            emit({"kind": "heldout", "step": step_i, **m})
 
         if heldout and eval_every > 0:
             run_eval(start_step)
@@ -668,6 +688,9 @@ class Trainer:
                     float(metrics["acc_i2t"]), float(metrics["grad_norm"]),
                     kd,
                 )
+                emit({"kind": "train", "step": step_i + 1,
+                      **{k: float(jax.device_get(v))
+                         for k, v in metrics.items()}})
             if (heldout and eval_every > 0
                     and (step_i + 1) % eval_every == 0
                     and step_i + 1 != steps):
@@ -686,4 +709,9 @@ class Trainer:
         if heldout and eval_every > 0:
             run_eval(steps)
             out["heldout"] = heldout_history
+        # always write a final record — short runs below log_every would
+        # otherwise produce an empty history file
+        emit({"kind": "final", "step": steps,
+              **{k: v for k, v in out.items()
+                 if isinstance(v, (int, float))}})
         return out
