@@ -1,0 +1,333 @@
+"""HNSW index (the reference's PRIMARY pgvector index,
+ref:src/setup_vector_db.py:155-170): graph recall, the selectivity
+planner's exact keyed results, under-fill insurance, mutation, and
+persistence. Skipped when the native library can't build (no g++)."""
+
+import numpy as np
+import pytest
+
+from tpualign.native import native_available
+from tpualign.ops.similarity import NEG_INF
+from tpualign.parallel.retrieval import build_index, encode_keys
+
+from test_parallel import numpy_oracle
+
+pytestmark = pytest.mark.skipif(
+    not native_available(), reason="native library unavailable"
+)
+
+
+def unit(x):
+    return x / np.linalg.norm(x, axis=-1, keepdims=True)
+
+
+def make_corpus(seed=0, n=2000, d=48, n_manuals=5, n_pages=11):
+    rng = np.random.default_rng(seed)
+    c = unit(rng.normal(size=(n, d)).astype(np.float32))
+    cman = [f"m{i % n_manuals}" for i in range(n)]
+    cpage = [i % n_pages for i in range(n)]
+    q = unit(rng.normal(size=(32, d)).astype(np.float32))
+    return c, cman, cpage, q
+
+
+def make_index(c, cman, cpage, **kw):
+    from tpualign.parallel.hnsw import HNSWIndex
+
+    return HNSWIndex(c, cman, cpage, **kw)
+
+
+def global_recall(index, q, c, k=10):
+    _, pos = index.search(q, k=k, global_search=True)
+    exact = np.argsort(-(q @ c.T), axis=1)[:, :k]
+    return np.mean(
+        [len(set(pos[i]) & set(exact[i])) / k for i in range(len(q))]
+    )
+
+
+def test_global_recall_at_pgvector_defaults():
+    """Default ef_search=40 (pgvector's hnsw.ef_search) on random unit
+    vectors — the hardest case for a proximity graph — must still clear
+    0.7 recall@10; ef=120 must clear 0.9 and beat the default."""
+    c, cman, cpage, q = make_corpus()
+    idx40 = make_index(c, cman, cpage)
+    idx120 = make_index(c, cman, cpage, ef_search=120)
+    r40 = global_recall(idx40, q, c)
+    r120 = global_recall(idx120, q, c)
+    assert r40 >= 0.7, r40
+    assert r120 >= 0.9, r120
+    assert r120 >= r40
+
+
+def test_selective_keyed_queries_are_exact():
+    """Same-manual+page filtering (ref:src/evaluate_alignments.py:126-135):
+    the planner routes selective keys to an exact scan, so keyed results
+    must be bit-identical to the dense oracle incl. tie-breaks."""
+    c, cman, cpage, q = make_corpus()
+    index = make_index(c, cman, cpage)
+    qman = ["m2"] * len(q)
+    qpage = [3] * len(q)
+    vals, idx = index.search(q, qman, qpage, k=10)
+    ck, vocab = encode_keys(cman, cpage, {})
+    qk, _ = encode_keys(qman, qpage, vocab)
+    ovals, oidx = numpy_oracle(q, qk, c, ck, 10)
+    np.testing.assert_array_equal(idx, oidx)
+    np.testing.assert_allclose(vals, ovals, rtol=0, atol=1e-5)
+
+
+def test_nonselective_key_fills_k():
+    """A key spanning the whole corpus exceeds the planner cutoff, so the
+    graph serves it: results stay approximate but must fill all k slots
+    (pgvector's under-fill failure mode must never appear)."""
+    c, _, _, q = make_corpus(n=1500)
+    index = make_index(c, ["M"] * len(c), [0] * len(c))
+    vals, idx = index.search(q, ["M"] * len(q), [0] * len(q), k=10)
+    assert (idx >= 0).all()
+    assert (np.diff(vals, axis=1) <= 1e-6).all()  # sorted desc
+    # and recall equals the wildcard walk's (same beam, same graph)
+    exact = np.argsort(-(q @ c.T), axis=1)[:, :10]
+    rec = np.mean(
+        [len(set(idx[i]) & set(exact[i])) / 10 for i in range(len(q))]
+    )
+    assert rec >= 0.7, rec
+
+
+def test_unknown_key_returns_sentinels():
+    c, cman, cpage, q = make_corpus(n=400)
+    index = make_index(c, cman, cpage)
+    vals, idx = index.search(q[:4], ["nope"] * 4, [99] * 4, k=5)
+    assert (idx == -1).all()
+    assert (vals == NEG_INF).all()
+
+
+def test_add_extends_vocab_and_is_searchable():
+    c, cman, cpage, q = make_corpus(n=600)
+    index = make_index(c, cman, cpage)
+    extra = unit(np.random.default_rng(7).normal(size=(40, c.shape[1]))
+                 .astype(np.float32))
+    index.add(extra, ["newman"] * 40, [1] * 40)
+    assert index.n == 640
+    vals, idx = index.search(extra[:3], ["newman"] * 3, [1] * 3, k=1)
+    np.testing.assert_array_equal(idx[:, 0], [600, 601, 602])
+    np.testing.assert_allclose(vals[:, 0], 1.0, atol=1e-5)
+
+
+def test_remove_tombstones_rows():
+    """Removed rows never reappear — in keyed (exact-scan) results or
+    global (graph-walk) results — and live/key counts update."""
+    c, cman, cpage, q = make_corpus(n=500)
+    index = make_index(c, cman, cpage, ef_search=120)
+    # delete the global top-1 of query 0
+    _, pos = index.search(q[:1], k=1, global_search=True)
+    target = int(pos[0, 0])
+    assert index.remove([target]) == 1
+    assert index.remove([target]) == 0  # idempotent
+    assert index.live == 499
+    _, pos2 = index.search(q[:1], k=10, global_search=True)
+    assert target not in pos2[0]
+    vals3, pos3 = index.search(
+        q[:1], [cman[target]], [cpage[target]], k=index.n)
+    assert target not in pos3[0]
+
+
+def test_save_load_roundtrip(tmp_path):
+    c, cman, cpage, q = make_corpus(n=700)
+    from tpualign.parallel.hnsw import HNSWIndex
+
+    index = make_index(c, cman, cpage)
+    index.remove([5, 6])
+    path = tmp_path / "graph.hnsw.npz"
+    index.save(path)
+    loaded = HNSWIndex.load(path, c)
+    assert loaded.n == index.n and loaded.live == index.live
+    assert loaded.vocab == index.vocab
+    for kw in (dict(global_search=True),
+               dict(query_manuals=["m1"] * len(q), query_pages=[2] * len(q))):
+        v0, p0 = index.search(q, k=7, **kw)
+        v1, p1 = loaded.search(q, k=7, **kw)
+        np.testing.assert_array_equal(p0, p1)
+        np.testing.assert_allclose(v0, v1, atol=1e-6)
+
+
+def test_load_rejects_stale_corpus(tmp_path):
+    c, cman, cpage, _ = make_corpus(n=300)
+    from tpualign.parallel.hnsw import HNSWIndex
+
+    make_index(c, cman, cpage).save(tmp_path / "g.npz")
+    other = c.copy()
+    other[0] += 1.0
+    with pytest.raises(ValueError):
+        HNSWIndex.load(tmp_path / "g.npz", other)
+    with pytest.raises(ValueError):
+        HNSWIndex.load(tmp_path / "g.npz", c[:200])
+
+
+def test_build_deterministic():
+    c, cman, cpage, q = make_corpus(n=800)
+    a = make_index(c, cman, cpage, seed=3)
+    b = make_index(c, cman, cpage, seed=3)
+    va, pa = a.search(q, k=10, global_search=True)
+    vb, pb = b.search(q, k=10, global_search=True)
+    np.testing.assert_array_equal(pa, pb)
+
+
+def test_empty_corpus_serves_and_bootstraps():
+    from tpualign.parallel.hnsw import HNSWIndex
+
+    index = HNSWIndex(np.zeros((0, 16), np.float32), [], [])
+    vals, idx = index.search(np.ones((2, 16), np.float32), k=5,
+                             global_search=True)
+    assert (idx == -1).all() and (vals == NEG_INF).all()
+    rows = unit(np.random.default_rng(1).normal(size=(30, 16))
+                .astype(np.float32))
+    index.add(rows, ["a"] * 30, [1] * 30)
+    vals, idx = index.search(rows[:2], ["a"] * 2, [1] * 2, k=1)
+    np.testing.assert_array_equal(idx[:, 0], [0, 1])
+
+
+def test_build_index_factory_routes_and_caches(tmp_path, monkeypatch):
+    """RETRIEVAL_INDEX=hnsw routing + HNSW_CACHE persistence: second
+    build with a matching cache loads the graph instead of rebuilding
+    (identical results, no second graph construction); a corpus change
+    invalidates the cache and rebuilds."""
+    import tpualign.parallel.hnsw as hnsw_mod
+    from tpualign.parallel.hnsw import HNSWIndex
+
+    c, cman, cpage, q = make_corpus(n=400)
+    cache = str(tmp_path / "s.hnsw.npz")
+    a = build_index(c, cman, cpage, index_type="hnsw", hnsw_cache=cache)
+    assert isinstance(a, HNSWIndex)
+    assert (tmp_path / "s.hnsw.npz").exists()
+    builds = []
+    orig_make = hnsw_mod.make_hnsw_core
+
+    def spy(*args, **kw):
+        builds.append(1)
+        return orig_make(*args, **kw)
+
+    monkeypatch.setattr(hnsw_mod, "make_hnsw_core", spy)
+    b = build_index(c, cman, cpage, index_type="hnsw", hnsw_cache=cache)
+    assert not builds, "cache hit must not rebuild the graph"
+    va, pa = a.search(q, k=5, global_search=True)
+    vb, pb = b.search(q, k=5, global_search=True)
+    np.testing.assert_array_equal(pa, pb)
+    # corpus changed -> stale cache is rebuilt, not served
+    c2 = np.roll(c, 1, axis=0)
+    rebuilt = build_index(c2, cman, cpage, index_type="hnsw",
+                          hnsw_cache=cache)
+    assert builds, "stale cache must trigger a rebuild"
+    assert isinstance(rebuilt, HNSWIndex)
+    # ...and the refreshed cache now matches the NEW corpus
+    reloaded = HNSWIndex.load(cache, c2)
+    assert reloaded.n == 400
+
+
+def test_build_index_warns_on_inapplicable_knobs(monkeypatch):
+    """precision/recall_target don't apply to the host graph — the
+    factory must say so loudly rather than silently ignore them."""
+    import tpualign.parallel.retrieval as retrieval_mod
+
+    warnings = []
+    monkeypatch.setattr(
+        retrieval_mod.log, "warning",
+        lambda msg, *a: warnings.append(msg % a if a else msg))
+    c, cman, cpage, _ = make_corpus(n=200)
+    build_index(c, cman, cpage, index_type="hnsw", precision="int8",
+                recall_target=0.95)
+    msgs = " ".join(warnings)
+    assert "fp32" in msgs and "HNSW_EF_SEARCH" in msgs
+
+
+def test_refine_overfetch_lifts_wildcard_recall():
+    """refine=R widens the beam to k*R and trims after: recall must not
+    drop, and typically rises (scores are exact fp32 either way)."""
+    c, cman, cpage, q = make_corpus()
+    base = make_index(c, cman, cpage, ef_search=40)
+    wide = make_index(c, cman, cpage, ef_search=40, refine=8)
+    assert global_recall(wide, q, c) >= global_recall(base, q, c)
+
+
+def test_serving_service_drives_hnsw():
+    """RetrievalService(index_type='hnsw') end-to-end: keyed search is
+    exact vs the oracle, both direct and through the coalescer."""
+    from tpualign.serving.server import RetrievalService
+
+    c, cman, cpage, q = make_corpus(n=300)
+    ids = [f"c{i}" for i in range(len(c))]
+    ck, vocab = encode_keys(cman, cpage, {})
+    qk, _ = encode_keys(["m1"] * 4, [4] * 4, vocab)
+    _, oidx = numpy_oracle(q[:4], qk, c, ck, 5)
+    want = [[ids[int(j)] for j in row if j >= 0] for row in oidx]
+    for window in (None, 2.0):
+        svc = RetrievalService(
+            c, ids, cman, cpage, index_type="hnsw",
+            coalesce_window_ms=window,
+        )
+        out = svc.search_embeddings(q[:4], ["m1"] * 4, [4] * 4, k=5)
+        got = [[r["chunk_id"] for r in row] for row in out]
+        assert got == want, (window, got)
+
+
+def test_config_hnsw_knobs():
+    from tpualign.config import load_config
+
+    cfg = load_config(env_file=None, overrides={
+        "RETRIEVAL_INDEX": "hnsw", "HNSW_M": "24",
+        "HNSW_EF_CONSTRUCTION": "100", "HNSW_EF_SEARCH": "64",
+        "HNSW_CACHE": "/tmp/g.npz",
+    })
+    assert cfg.retrieval_index == "hnsw"
+    assert (cfg.hnsw_m, cfg.hnsw_ef_construction, cfg.hnsw_ef_search) == \
+        (24, 100, 64)
+    assert cfg.hnsw_cache == "/tmp/g.npz"
+    # defaults are pgvector's
+    base = load_config(env_file=None)
+    assert (base.hnsw_m, base.hnsw_ef_construction, base.hnsw_ef_search) == \
+        (16, 64, 40)
+    assert base.hnsw_cache is None
+
+
+def test_stats_reports_hnsw_geometry():
+    from tpualign.serving.server import RetrievalService
+
+    c, cman, cpage, _ = make_corpus(n=200)
+    svc = RetrievalService(
+        c, [f"c{i}" for i in range(len(c))], cman, cpage,
+        index_type="hnsw", hnsw_m=12, hnsw_ef_search=55,
+    )
+    s = svc.stats()
+    assert s["index"] == "HNSWIndex"
+    assert s["hnsw"]["m"] == 12 and s["hnsw"]["ef_search"] == 55
+    assert s["hnsw"]["live"] == 200 and s["hnsw"]["memory_bytes"] > 0
+
+
+def test_service_mutation_on_hnsw():
+    """POST /add and /remove through the service mutate the graph index
+    (pgvector INSERT/DELETE parity) and results reflect it."""
+    from tpualign.serving.server import RetrievalService
+
+    c, cman, cpage, _ = make_corpus(n=150)
+    ids = [f"c{i}" for i in range(len(c))]
+    svc = RetrievalService(c, ids, cman, cpage, index_type="hnsw",
+                           coalesce_window_ms=None)
+    extra = unit(np.random.default_rng(3).normal(size=(4, c.shape[1]))
+                 .astype(np.float32))
+    svc.add_chunks(["x0", "x1", "x2", "x3"], ["mx"] * 4, [7] * 4, extra)
+    out = svc.search_embeddings(extra[:1], ["mx"], [7], k=2)
+    assert out[0][0]["chunk_id"] == "x0"
+    svc.remove_chunks(["x0"])
+    out = svc.search_embeddings(extra[:1], ["mx"], [7], k=4)
+    assert "x0" not in [r["chunk_id"] for r in out[0]]
+
+
+def test_recall_on_low_intrinsic_dim_manifold():
+    """Real CLIP embeddings have low intrinsic dimension; on a 16-dim
+    manifold embedded in 256-d ambient space (the realistic regime, vs
+    the uniform-random worst case above) pgvector's default ef=40 must
+    clear 0.85 recall@10."""
+    rng = np.random.default_rng(5)
+    n, d, idim = 8000, 256, 16
+    basis = np.linalg.qr(rng.normal(size=(d, idim)))[0]
+    x = unit((rng.normal(size=(n, idim)) @ basis.T).astype(np.float32))
+    q = unit((rng.normal(size=(32, idim)) @ basis.T).astype(np.float32))
+    index = make_index(x, None, None)
+    assert global_recall(index, q, x) >= 0.85

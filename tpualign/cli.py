@@ -319,18 +319,32 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         from tpualign.serving import build_index_artifact
 
         config = _config_from(args)
-        cache = args.cache or getattr(config, "ivf_cache", None) or \
-            os.path.join(config.store.root, f"{args.schema}.ivf.npz")
+        kind = getattr(config, "retrieval_index", "exact")
+        if kind == "exact":
+            kind = "ivf"  # exact search has no offline artifact
+        cache = args.cache or (
+            getattr(config, "hnsw_cache", None) if kind == "hnsw"
+            else getattr(config, "ivf_cache", None)
+        ) or os.path.join(config.store.root, f"{args.schema}.{kind}.npz")
         index = build_index_artifact(config, args.schema, cache)
         import json as _json
 
-        print(_json.dumps({
-            "schema": args.schema, "cache": cache, "n": index.n,
-            "n_lists": index.n_lists, "n_probes": index.n_probes,
-            "capacity": index.capacity, "spill": index.spill,
-            "precision": index.precision,
-            "calibrated_target": getattr(index, "calibrated_target", None),
-        }))
+        info = {"schema": args.schema, "index": kind, "cache": cache,
+                "n": index.n, "precision": index.precision}
+        if kind == "hnsw":
+            info.update({
+                "m": index.m, "ef_construction": index.ef_construction,
+                "ef_search": index.ef_search,
+                "memory_bytes": index.memory_bytes(),
+            })
+        else:
+            info.update({
+                "n_lists": index.n_lists, "n_probes": index.n_probes,
+                "capacity": index.capacity, "spill": index.spill,
+                "calibrated_target": getattr(index, "calibrated_target",
+                                             None),
+            })
+        print(_json.dumps(info))
         return 0
 
     if args.command == "serve":

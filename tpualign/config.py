@@ -349,14 +349,26 @@ class PipelineConfig:
     # exact search regardless, so metrics stay deterministic.
     retrieval_recall_target: Optional[float] = None
     # Serving-path index structure: "exact" (default, brute-force MXU
-    # matmul — beats probing whenever batches are large) or "ivf" (the
+    # matmul — beats probing whenever batches are large), "ivf" (the
     # pgvector-IVFFlat equivalent, union-probed k-means index — wins in
-    # the small-batch/large-corpus serving regime; parallel/ivf.py).
+    # the small-batch/large-corpus serving regime; parallel/ivf.py), or
+    # "hnsw" (the reference's PRIMARY pgvector index,
+    # ref:src/setup_vector_db.py:155-170 — a host-native C++ graph for
+    # the no-TPU / single-query lowest-latency corner; parallel/hnsw.py).
     # Evaluation always uses exact search regardless.
     retrieval_index: str = "exact"
     # IVF geometry (None = sqrt(N) lists, lists//8 probes)
     ivf_lists: Optional[int] = None
     ivf_probes: Optional[int] = None
+    # HNSW geometry — pgvector's defaults (m=16, ef_construction=64,
+    # hnsw.ef_search=40); recall rises with ef_search at linear cost
+    hnsw_m: int = 16
+    hnsw_ef_construction: int = 64
+    hnsw_ef_search: int = 40
+    # Persist the built HNSW graph here (pgvector's on-disk index
+    # analogue): loaded when its fingerprint matches the corpus,
+    # rebuilt + re-saved otherwise. None = rebuild at each serve start.
+    hnsw_cache: Optional[str] = None
     # Persist the trained IVF structure (centroids + packed layout) here,
     # like pgvector's on-disk index: loaded when it matches the corpus,
     # rebuilt (and re-saved) otherwise. None = rebuild at each serve start.
@@ -584,6 +596,10 @@ def load_config(
             if _env(env, "IVF_PROBES", "") else None
         ),
         ivf_cache=_env(env, "IVF_CACHE", "") or None,
+        hnsw_m=int(_env(env, "HNSW_M", "16")),
+        hnsw_ef_construction=int(_env(env, "HNSW_EF_CONSTRUCTION", "64")),
+        hnsw_ef_search=int(_env(env, "HNSW_EF_SEARCH", "40")),
+        hnsw_cache=_env(env, "HNSW_CACHE", "") or None,
         image_preprocess=_env(env, "IMAGE_PREPROCESS", "host"),
         image_preprocess_bucket=int(
             _env(env, "IMAGE_PREPROCESS_BUCKET", "256")

@@ -47,6 +47,36 @@ def _load():
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
         ]
         lib.tpua_bpe_word.restype = ctypes.c_int32
+        lib.tpua_hnsw_create.argtypes = [
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_uint64,
+        ]
+        lib.tpua_hnsw_create.restype = ctypes.c_void_p
+        lib.tpua_hnsw_destroy.argtypes = [ctypes.c_void_p]
+        lib.tpua_hnsw_count.argtypes = [ctypes.c_void_p]
+        lib.tpua_hnsw_count.restype = ctypes.c_int64
+        lib.tpua_hnsw_live_count.argtypes = [ctypes.c_void_p]
+        lib.tpua_hnsw_live_count.restype = ctypes.c_int64
+        lib.tpua_hnsw_add.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ]
+        lib.tpua_hnsw_add.restype = ctypes.c_int64
+        lib.tpua_hnsw_mark_deleted.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ]
+        lib.tpua_hnsw_search.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32, ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.tpua_hnsw_serialize_size.argtypes = [ctypes.c_void_p]
+        lib.tpua_hnsw_serialize_size.restype = ctypes.c_int64
+        lib.tpua_hnsw_serialize.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+        lib.tpua_hnsw_deserialize.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_uint64,
+        ]
+        lib.tpua_hnsw_deserialize.restype = ctypes.c_void_p
         _LIB = lib
     except Exception:
         _LIB = None
@@ -121,6 +151,99 @@ def make_bpe_core(lefts, rights, merged) -> Optional[BpeCore]:
         return BpeCore(lefts, rights, merged)
     except ImportError:
         return None
+
+
+class HnswCore:
+    """Thin ctypes wrapper over the native HNSW graph (see
+    tpualign_native.cpp for the algorithm and the pgvector-parity
+    rationale). Vectors must be caller-normalized fp32; keys are the
+    encoded (manual, page) int keys from
+    :func:`tpualign.parallel.retrieval.encode_keys`, widened to int64.
+    Not thread-safe — callers serialize (HNSWIndex holds the lock)."""
+
+    def __init__(self, dim: int, m: int, ef_construction: int, seed: int,
+                 _handle=None):
+        lib = _load()
+        if lib is None:
+            raise ImportError("native library unavailable")
+        self._lib = lib
+        self.dim = int(dim)
+        self._handle = _handle if _handle is not None else lib.tpua_hnsw_create(
+            dim, m, ef_construction, seed)
+
+    def __len__(self) -> int:
+        return int(self._lib.tpua_hnsw_count(self._handle))
+
+    def live_count(self) -> int:
+        return int(self._lib.tpua_hnsw_live_count(self._handle))
+
+    def add(self, vecs: np.ndarray, keys: np.ndarray) -> int:
+        vecs = np.ascontiguousarray(vecs, np.float32)
+        keys = np.ascontiguousarray(keys, np.int64)
+        return int(self._lib.tpua_hnsw_add(
+            self._handle,
+            vecs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            keys.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(vecs),
+        ))
+
+    def mark_deleted(self, positions: np.ndarray) -> None:
+        pos = np.ascontiguousarray(positions, np.int64)
+        self._lib.tpua_hnsw_mark_deleted(
+            self._handle,
+            pos.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), len(pos),
+        )
+
+    def search(self, queries: np.ndarray, qkeys: np.ndarray, k: int,
+               ef: int) -> Tuple[np.ndarray, np.ndarray]:
+        queries = np.ascontiguousarray(queries, np.float32)
+        qkeys = np.ascontiguousarray(qkeys, np.int64)
+        nq = len(queries)
+        vals = np.empty((nq, k), np.float32)
+        idx = np.empty((nq, k), np.int64)
+        self._lib.tpua_hnsw_search(
+            self._handle,
+            queries.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            qkeys.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            nq, k, ef,
+            vals.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+        return vals, idx
+
+    def serialize(self) -> bytes:
+        size = int(self._lib.tpua_hnsw_serialize_size(self._handle))
+        buf = ctypes.create_string_buffer(size)
+        self._lib.tpua_hnsw_serialize(self._handle, buf)
+        return buf.raw
+
+    def __del__(self):
+        try:
+            if getattr(self, "_handle", None):
+                self._lib.tpua_hnsw_destroy(self._handle)
+        except Exception:
+            pass
+
+
+def make_hnsw_core(dim: int, m: int, ef_construction: int,
+                   seed: int) -> Optional[HnswCore]:
+    """HnswCore or None when the native library is unavailable."""
+    try:
+        return HnswCore(dim, m, ef_construction, seed)
+    except ImportError:
+        return None
+
+
+def load_hnsw_core(blob: bytes, dim: int, seed: int) -> Optional[HnswCore]:
+    """Deserialize a core from :meth:`HnswCore.serialize` output; None
+    when the native library is unavailable or the blob is corrupt."""
+    lib = _load()
+    if lib is None:
+        return None
+    handle = lib.tpua_hnsw_deserialize(blob, len(blob), seed)
+    if not handle:
+        return None
+    return HnswCore(dim, 0, 0, seed, _handle=handle)
 
 
 def topk_merge(

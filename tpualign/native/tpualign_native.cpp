@@ -160,3 +160,450 @@ int32_t tpua_bpe_word(void* handle, int32_t* symbols, int32_t n) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// HNSW graph index (host-side ANN).
+//
+// The reference's PRIMARY pgvector index is HNSW (vector_cosine_ops,
+// ref:src/setup_vector_db.py:155-170); the TPU paths in this repo rebuilt
+// the IVFFlat fallback (ref:src/setup_vector_db.py:171-190) as MXU kernels,
+// which win whenever query batches amortize the corpus read. HNSW's regime
+// is the opposite corner: single-query, low-latency, host-only serving —
+// a graph walk with data-dependent branching that maps to a CPU, not to a
+// systolic array, which is exactly why it lives here in the native core
+// rather than in Pallas. Algorithm: Malkov & Yashunin 2016 (the same paper
+// pgvector implements), written fresh: layered proximity graph, greedy
+// descent through upper layers, best-first beam (ef) at layer 0, and the
+// distance-diversity neighbor-selection heuristic.
+//
+// Scores are inner products on caller-normalized vectors (== cosine, the
+// <=> operator's semantics). Filtered search (the same-manual+page
+// restriction, ref:src/evaluate_alignments.py:126-135) traverses the whole
+// graph but only collects rows whose key matches the query key — the
+// "post-filter during scan" strategy pgvector uses for WHERE + HNSW.
+
+#include <cmath>
+#include <cstdio>
+#include <queue>
+#include <random>
+
+namespace {
+
+// Matches tpualign.ops.similarity.WILDCARD_KEY (global search: query
+// matches every live row).
+constexpr int64_t kWildcard = -3;
+
+struct Hnsw {
+  int32_t dim = 0;
+  int32_t M = 16;        // layer>0 degree bound; layer 0 uses 2M
+  int32_t Mmax0 = 32;
+  int32_t efc = 64;      // beam width during construction
+  double ml = 0.0;       // level multiplier 1/ln(M)
+  std::mt19937_64 rng;
+
+  std::vector<float> data;      // n*dim, caller-normalized
+  std::vector<int64_t> keys;    // encoded manual+page key per row
+  std::vector<uint8_t> dead;    // tombstones (skipped in results only)
+  std::vector<int32_t> levels;  // top layer per node
+  // links[node][layer] = neighbor ids; layer in [0, levels[node]]
+  std::vector<std::vector<std::vector<int32_t>>> links;
+  int32_t entry = -1;
+  int32_t max_level = -1;
+
+  // visited-stamp scratch (epoch trick: no per-search clearing)
+  std::vector<uint32_t> stamp;
+  uint32_t epoch = 0;
+
+  int64_t n() const { return static_cast<int64_t>(levels.size()); }
+
+  float sim(const float* q, int32_t v) const {
+    const float* p = data.data() + static_cast<int64_t>(v) * dim;
+    float s = 0.f;
+    for (int32_t i = 0; i < dim; ++i) s += q[i] * p[i];
+    return s;
+  }
+};
+
+// (similarity, node); ordered for use in both heap directions.
+using ScoredNode = std::pair<float, int32_t>;
+
+// Best-first beam search on one layer. Returns up to `ef` candidates,
+// unsorted. `q` is the query vector; `eps` the entry point(s).
+std::vector<ScoredNode> search_layer(Hnsw& h, const float* q,
+                                     const std::vector<int32_t>& eps,
+                                     int32_t ef, int32_t layer) {
+  if (++h.epoch == 0) {  // epoch wrap: reset stamps once every 2^32 searches
+    std::fill(h.stamp.begin(), h.stamp.end(), 0u);
+    h.epoch = 1;
+  }
+  h.stamp.resize(h.levels.size(), 0u);
+
+  // candidates: best (max sim) first; results: worst first for eviction
+  std::priority_queue<ScoredNode> cand;
+  std::priority_queue<ScoredNode, std::vector<ScoredNode>,
+                      std::greater<ScoredNode>> res;
+  for (int32_t ep : eps) {
+    if (h.stamp[ep] == h.epoch) continue;
+    h.stamp[ep] = h.epoch;
+    const float s = h.sim(q, ep);
+    cand.emplace(s, ep);
+    res.emplace(s, ep);
+    if (static_cast<int32_t>(res.size()) > ef) res.pop();
+  }
+  while (!cand.empty()) {
+    const ScoredNode c = cand.top();
+    cand.pop();
+    if (static_cast<int32_t>(res.size()) >= ef && c.first < res.top().first)
+      break;
+    const auto& nbrs = h.links[c.second][layer];
+    for (int32_t v : nbrs) {
+      if (h.stamp[v] == h.epoch) continue;
+      h.stamp[v] = h.epoch;
+      const float s = h.sim(q, v);
+      if (static_cast<int32_t>(res.size()) < ef || s > res.top().first) {
+        cand.emplace(s, v);
+        res.emplace(s, v);
+        if (static_cast<int32_t>(res.size()) > ef) res.pop();
+      }
+    }
+  }
+  std::vector<ScoredNode> out;
+  out.reserve(res.size());
+  while (!res.empty()) {
+    out.push_back(res.top());
+    res.pop();
+  }
+  return out;
+}
+
+// Malkov's diversity heuristic: keep a candidate only if it is closer to
+// the query than to every already-kept neighbor (prevents the graph from
+// collapsing into one dense cluster; the property pgvector's build relies
+// on for navigability).
+std::vector<int32_t> select_neighbors(Hnsw& h, std::vector<ScoredNode> cands,
+                                      int32_t m) {
+  std::sort(cands.begin(), cands.end(),
+            [](const ScoredNode& a, const ScoredNode& b) {
+              if (a.first != b.first) return a.first > b.first;
+              return a.second < b.second;
+            });
+  std::vector<int32_t> kept;
+  for (const auto& c : cands) {
+    if (static_cast<int32_t>(kept.size()) >= m) break;
+    const float* cv = h.data.data() + static_cast<int64_t>(c.second) * h.dim;
+    bool ok = true;
+    for (int32_t r : kept) {
+      if (h.sim(cv, r) > c.first) {  // closer to a kept neighbor than to q
+        ok = false;
+        break;
+      }
+    }
+    if (ok) kept.push_back(c.second);
+  }
+  return kept;
+}
+
+void link(Hnsw& h, int32_t node, int32_t layer,
+          const std::vector<int32_t>& nbrs) {
+  h.links[node][layer] = nbrs;
+  const int32_t cap = layer == 0 ? h.Mmax0 : h.M;
+  for (int32_t v : nbrs) {
+    auto& back = h.links[v][layer];
+    back.push_back(node);
+    if (static_cast<int32_t>(back.size()) > cap) {
+      // re-select with the same diversity heuristic
+      const float* vv = h.data.data() + static_cast<int64_t>(v) * h.dim;
+      std::vector<ScoredNode> cands;
+      cands.reserve(back.size());
+      for (int32_t u : back) cands.emplace_back(h.sim(vv, u), u);
+      back = select_neighbors(h, std::move(cands), cap);
+    }
+  }
+}
+
+void insert_one(Hnsw& h, int64_t row) {
+  const int32_t node = static_cast<int32_t>(row);
+  const float* q = h.data.data() + row * h.dim;
+  std::uniform_real_distribution<double> uni(0.0, 1.0);
+  double u = uni(h.rng);
+  if (u < 1e-12) u = 1e-12;
+  const int32_t level = static_cast<int32_t>(-std::log(u) * h.ml);
+  h.levels[node] = level;
+  h.links[node].assign(level + 1, {});
+
+  if (h.entry < 0) {
+    h.entry = node;
+    h.max_level = level;
+    return;
+  }
+  int32_t curr = h.entry;
+  // greedy descent through layers above the node's level
+  for (int32_t layer = h.max_level; layer > level; --layer) {
+    bool improved = true;
+    float best = h.sim(q, curr);
+    while (improved) {
+      improved = false;
+      for (int32_t v : h.links[curr][layer]) {
+        const float s = h.sim(q, v);
+        if (s > best) {
+          best = s;
+          curr = v;
+          improved = true;
+        }
+      }
+    }
+  }
+  std::vector<int32_t> eps = {curr};
+  for (int32_t layer = std::min(level, h.max_level); layer >= 0; --layer) {
+    auto w = search_layer(h, q, eps, h.efc, layer);
+    eps.clear();
+    for (const auto& c : w) eps.push_back(c.second);
+    const int32_t m = layer == 0 ? h.Mmax0 : h.M;
+    auto nbrs = select_neighbors(h, std::move(w), std::min(m, h.M));
+    link(h, node, layer, nbrs);
+  }
+  if (level > h.max_level) {
+    h.max_level = level;
+    h.entry = node;
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+void* tpua_hnsw_create(int32_t dim, int32_t m, int32_t ef_construction,
+                       uint64_t seed) {
+  auto* h = new Hnsw();
+  h->dim = dim;
+  h->M = m;
+  h->Mmax0 = 2 * m;
+  h->efc = ef_construction;
+  h->ml = 1.0 / std::log(static_cast<double>(m));
+  h->rng.seed(seed);
+  return h;
+}
+
+void tpua_hnsw_destroy(void* handle) { delete static_cast<Hnsw*>(handle); }
+
+int64_t tpua_hnsw_count(void* handle) {
+  return static_cast<Hnsw*>(handle)->n();
+}
+
+// Append n rows (caller-normalized) with their keys; returns the position
+// of the first inserted row.
+int64_t tpua_hnsw_add(void* handle, const float* vecs, const int64_t* keys,
+                      int64_t n) {
+  auto* h = static_cast<Hnsw*>(handle);
+  const int64_t base = h->n();
+  h->data.insert(h->data.end(), vecs, vecs + n * h->dim);
+  h->keys.insert(h->keys.end(), keys, keys + n);
+  h->dead.insert(h->dead.end(), n, 0);
+  h->levels.resize(base + n, 0);
+  h->links.resize(base + n);
+  for (int64_t i = 0; i < n; ++i) insert_one(*h, base + i);
+  return base;
+}
+
+// Tombstone rows by position: excluded from results, still traversable
+// (the standard HNSW delete — removal would tear navigation paths).
+void tpua_hnsw_mark_deleted(void* handle, const int64_t* positions,
+                            int64_t n) {
+  auto* h = static_cast<Hnsw*>(handle);
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t p = positions[i];
+    if (p >= 0 && p < h->n()) h->dead[p] = 1;
+  }
+}
+
+int64_t tpua_hnsw_live_count(void* handle) {
+  auto* h = static_cast<Hnsw*>(handle);
+  int64_t live = 0;
+  for (uint8_t d : h->dead) live += d == 0;
+  return live;
+}
+
+// Top-k per query. qkeys: encoded manual+page key per query, or -3
+// (wildcard) to match every live row. Results are (similarity desc,
+// position asc) with -1/-1e30 padding — the same contract as the device
+// paths in tpualign.ops.similarity.
+void tpua_hnsw_search(void* handle, const float* queries,
+                      const int64_t* qkeys, int64_t nq, int32_t k,
+                      int32_t ef, float* out_vals, int64_t* out_idx) {
+  auto* h = static_cast<Hnsw*>(handle);
+  const int32_t beam = std::max(ef, k);
+  for (int64_t qi = 0; qi < nq; ++qi) {
+    const float* q = queries + qi * h->dim;
+    const int64_t qk = qkeys[qi];
+    float* ov = out_vals + qi * k;
+    int64_t* oi = out_idx + qi * k;
+    for (int32_t j = 0; j < k; ++j) {
+      ov[j] = -1e30f;
+      oi[j] = -1;
+    }
+    if (h->entry < 0) continue;
+
+    int32_t curr = h->entry;
+    for (int32_t layer = h->max_level; layer > 0; --layer) {
+      bool improved = true;
+      float best = h->sim(q, curr);
+      while (improved) {
+        improved = false;
+        for (int32_t v : h->links[curr][layer]) {
+          const float s = h->sim(q, v);
+          if (s > best) {
+            best = s;
+            curr = v;
+            improved = true;
+          }
+        }
+      }
+    }
+    auto w = search_layer(*h, q, {curr}, beam, 0);
+    // filter: live rows whose key matches (or wildcard query)
+    std::vector<ScoredNode> hits;
+    hits.reserve(w.size());
+    for (const auto& c : w) {
+      if (h->dead[c.second]) continue;
+      if (qk != kWildcard && h->keys[c.second] != qk) continue;
+      hits.push_back(c);
+    }
+    std::sort(hits.begin(), hits.end(),
+              [](const ScoredNode& a, const ScoredNode& b) {
+                if (a.first != b.first) return a.first > b.first;
+                return a.second < b.second;
+              });
+    const int32_t kk = std::min<int64_t>(k, hits.size());
+    for (int32_t j = 0; j < kk; ++j) {
+      ov[j] = hits[j].first;
+      oi[j] = hits[j].second;
+    }
+  }
+}
+
+}  // extern "C"
+
+// --- persistence (mirrors pgvector's on-disk index; format is private) ---
+
+namespace {
+constexpr uint64_t kHnswMagic = 0x48'4e'53'57'00'00'00'01ULL;  // "HNSW"+v1
+
+template <typename T>
+void put(std::string& buf, const T& v) {
+  buf.append(reinterpret_cast<const char*>(&v), sizeof(T));
+}
+template <typename T>
+bool get(const char*& p, const char* end, T* v) {
+  if (p + sizeof(T) > end) return false;
+  std::memcpy(v, p, sizeof(T));
+  p += sizeof(T);
+  return true;
+}
+}  // namespace
+
+extern "C" {
+
+int64_t tpua_hnsw_serialize_size(void* handle) {
+  auto* h = static_cast<Hnsw*>(handle);
+  int64_t sz = sizeof(uint64_t) + 5 * sizeof(int32_t) + 2 * sizeof(int64_t);
+  const int64_t n = h->n();
+  sz += n * h->dim * sizeof(float);   // data
+  sz += n * sizeof(int64_t);          // keys
+  sz += n;                            // dead
+  sz += n * sizeof(int32_t);          // levels
+  for (int64_t i = 0; i < n; ++i)
+    for (const auto& layer : h->links[i])
+      sz += sizeof(int32_t) + layer.size() * sizeof(int32_t);
+  return sz;
+}
+
+void tpua_hnsw_serialize(void* handle, char* out) {
+  auto* h = static_cast<Hnsw*>(handle);
+  std::string buf;
+  buf.reserve(tpua_hnsw_serialize_size(handle));
+  put(buf, kHnswMagic);
+  put(buf, h->dim);
+  put(buf, h->M);
+  put(buf, h->efc);
+  put(buf, h->entry);
+  put(buf, h->max_level);
+  const int64_t n = h->n();
+  put(buf, n);
+  int64_t nlinks = 0;
+  buf.append(reinterpret_cast<const char*>(h->data.data()),
+             n * h->dim * sizeof(float));
+  buf.append(reinterpret_cast<const char*>(h->keys.data()),
+             n * sizeof(int64_t));
+  buf.append(reinterpret_cast<const char*>(h->dead.data()), n);
+  buf.append(reinterpret_cast<const char*>(h->levels.data()),
+             n * sizeof(int32_t));
+  for (int64_t i = 0; i < n; ++i) {
+    for (const auto& layer : h->links[i]) {
+      put(buf, static_cast<int32_t>(layer.size()));
+      buf.append(reinterpret_cast<const char*>(layer.data()),
+                 layer.size() * sizeof(int32_t));
+      ++nlinks;
+    }
+  }
+  put(buf, nlinks);  // trailing count as a cheap integrity check
+  std::memcpy(out, buf.data(), buf.size());
+}
+
+void* tpua_hnsw_deserialize(const char* buf, int64_t size, uint64_t seed) {
+  const char* p = buf;
+  const char* end = buf + size;
+  uint64_t magic = 0;
+  if (!get(p, end, &magic) || magic != kHnswMagic) return nullptr;
+  auto* h = new Hnsw();
+  if (!get(p, end, &h->dim) || !get(p, end, &h->M) || !get(p, end, &h->efc) ||
+      !get(p, end, &h->entry) || !get(p, end, &h->max_level)) {
+    delete h;
+    return nullptr;
+  }
+  h->Mmax0 = 2 * h->M;
+  h->ml = 1.0 / std::log(static_cast<double>(h->M));
+  h->rng.seed(seed);
+  int64_t n = 0;
+  if (!get(p, end, &n) || n < 0 ||
+      p + n * (h->dim * 4 + 8 + 1 + 4) > end) {
+    delete h;
+    return nullptr;
+  }
+  h->data.resize(n * h->dim);
+  std::memcpy(h->data.data(), p, n * h->dim * sizeof(float));
+  p += n * h->dim * sizeof(float);
+  h->keys.resize(n);
+  std::memcpy(h->keys.data(), p, n * sizeof(int64_t));
+  p += n * sizeof(int64_t);
+  h->dead.resize(n);
+  std::memcpy(h->dead.data(), p, n);
+  p += n;
+  h->levels.resize(n);
+  std::memcpy(h->levels.data(), p, n * sizeof(int32_t));
+  p += n * sizeof(int32_t);
+  h->links.resize(n);
+  int64_t nlinks = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    h->links[i].resize(h->levels[i] + 1);
+    for (auto& layer : h->links[i]) {
+      int32_t cnt = 0;
+      if (!get(p, end, &cnt) || cnt < 0 ||
+          p + static_cast<int64_t>(cnt) * sizeof(int32_t) > end) {
+        delete h;
+        return nullptr;
+      }
+      layer.resize(cnt);
+      std::memcpy(layer.data(), p, cnt * sizeof(int32_t));
+      p += cnt * sizeof(int32_t);
+      ++nlinks;
+    }
+  }
+  int64_t want = 0;
+  if (!get(p, end, &want) || want != nlinks) {
+    delete h;
+    return nullptr;
+  }
+  return h;
+}
+
+}  // extern "C"

@@ -25,3 +25,4 @@ from tpualign.parallel.retrieval import (  # noqa: F401
     sharded_topk_search,
 )
 from tpualign.parallel.ivf import IVFIndex  # noqa: F401
+from tpualign.parallel.hnsw import HNSWIndex  # noqa: F401

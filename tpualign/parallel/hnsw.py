@@ -1,0 +1,369 @@
+"""HNSW index — the reference's PRIMARY pgvector index, host-native.
+
+The reference creates HNSW indexes on both embedding columns
+(``vector_cosine_ops``, ref:src/setup_vector_db.py:155-170) and only
+falls back to IVFFlat when HNSW is unavailable
+(ref:src/setup_vector_db.py:171-190). This repo rebuilt the IVFFlat
+fallback as TPU MXU kernels (parallel/ivf.py) — the right call whenever
+query batches amortize the corpus read — but HNSW's own regime is the
+opposite corner: single-query, lowest-latency, host-only serving (no
+TPU attached, or the ~1.5 ms relay dispatch floor dominates). A graph
+walk with data-dependent branching maps to a CPU, not a systolic
+array, so the algorithm lives in the native C++ core
+(tpualign/native/tpualign_native.cpp) and this wrapper gives it the
+same index surface as :class:`~tpualign.parallel.retrieval.RetrievalIndex`.
+
+Parameter defaults match pgvector's: ``m=16``, ``ef_construction=64``,
+``ef_search=40``.
+
+Filtered search (the same-manual+page restriction,
+ref:src/evaluate_alignments.py:126-135) runs a small query planner,
+the way postgres itself picks seq-vs-index plans by selectivity:
+
+- **Selective keys** (live row count ≤ ``max(4k, ef_search)`` — every
+  same-page candidate set in this workload) take an exact scan over
+  the key's rows: EXACT results at O(count·d) per query, sidestepping
+  pgvector's known WHERE+HNSW failure mode of returning fewer than
+  *k* rows under a selective filter.
+- **Non-selective keys** walk the graph and post-filter by key
+  (pgvector's strategy); a per-key live count detects any residual
+  under-fill and finishes those queries with the exact scan — so
+  keyed results are always *filled* to min(k, count), and approximate
+  only when the key spans more rows than the beam.
+
+Wildcard (global) queries stay approximate at the configured
+``ef_search``, like pgvector.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import threading
+from collections import Counter
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+from tpualign.native.bindings import load_hnsw_core, make_hnsw_core
+from tpualign.ops.similarity import NEG_INF, WILDCARD_KEY
+from tpualign.utils.logging import get_logger
+
+log = get_logger("parallel.hnsw")
+
+__all__ = ["HNSWIndex"]
+
+
+def _normalize(rows: np.ndarray) -> np.ndarray:
+    rows = np.asarray(rows, np.float32)
+    if rows.size == 0:
+        return rows.reshape(rows.shape)
+    norms = np.linalg.norm(rows, axis=1, keepdims=True)
+    return rows / np.maximum(norms, 1e-12)
+
+
+def _corpus_fingerprint(rows: np.ndarray) -> str:
+    """Cheap content hash for cache validation: shape + strided sample.
+
+    A stale on-disk graph silently serving an old corpus would be a
+    correctness bug (the blob embeds its own vectors), so loads verify
+    the passed corpus against this fingerprint.
+    """
+    h = hashlib.sha256()
+    h.update(np.asarray(rows.shape, np.int64).tobytes())
+    if len(rows):
+        step = max(1, len(rows) // 64)
+        h.update(np.ascontiguousarray(rows[::step], np.float32).tobytes())
+    return h.hexdigest()
+
+
+class HNSWIndex:
+    """pgvector-HNSW equivalent over the native graph core.
+
+    Same public surface as :class:`RetrievalIndex` (search /
+    search_encoded / add / remove / save / load, ``n`` / ``dim`` /
+    ``vocab`` / ``precision`` / ``mesh`` attributes) so the serving
+    daemon, CLI, and evaluator drive it interchangeably. Host-side and
+    single-process by design; ``precision`` is always fp32 (pgvector
+    does not quantize its HNSW entries either).
+    """
+
+    precision = "fp32"
+    mesh = None
+
+    def __init__(
+        self,
+        corpus_embeddings: np.ndarray,
+        corpus_manuals: Optional[Sequence[str]] = None,
+        corpus_pages: Optional[Sequence[Optional[int]]] = None,
+        m: int = 16,
+        ef_construction: int = 64,
+        ef_search: int = 40,
+        seed: int = 0,
+        refine: int = 0,
+        _core=None,
+        _vocab: Optional[Dict[str, int]] = None,
+        _keys: Optional[np.ndarray] = None,
+    ):
+        from tpualign.parallel.retrieval import encode_keys
+
+        rows = np.asarray(corpus_embeddings, np.float32)
+        if rows.ndim != 2:
+            rows = rows.reshape(0, rows.shape[-1] if rows.size else 1)
+        self.dim = int(rows.shape[1]) if rows.size else int(rows.shape[1] or 0)
+        self.m = int(m)
+        self.ef_construction = int(ef_construction)
+        self.ef_search = int(ef_search)
+        self.seed = int(seed)
+        self.refine = int(refine)
+        self._lock = threading.Lock()
+
+        if _core is not None:  # load() path: graph already built
+            self._core = _core
+            self.vocab = dict(_vocab or {})
+            self._keys = np.asarray(_keys, np.int64)
+            self._dead = np.zeros(len(self._keys), bool)
+            self._corpus = _normalize(rows)
+            self.n = len(self._keys)
+        else:
+            if corpus_manuals is not None:
+                keys32, self.vocab = encode_keys(
+                    corpus_manuals, corpus_pages, {})
+                keys = keys32.astype(np.int64)
+            else:
+                self.vocab = {}
+                keys = np.zeros(len(rows), np.int64)
+            core = make_hnsw_core(self.dim, m, ef_construction, seed)
+            if core is None:
+                raise RuntimeError(
+                    "RETRIEVAL_INDEX=hnsw needs the native library "
+                    "(g++); build failed or unavailable — use 'exact' "
+                    "or 'ivf'"
+                )
+            self._core = core
+            self._corpus = _normalize(rows)
+            self._keys = keys
+            self._dead = np.zeros(len(rows), bool)
+            if len(rows):
+                core.add(self._corpus, keys)
+            self.n = len(rows)
+        self._rebuild_key_counts()
+
+    # -- bookkeeping -------------------------------------------------------------
+
+    def _rebuild_key_counts(self) -> None:
+        live = self._keys[~self._dead] if self.n else self._keys
+        self._key_counts: Counter = Counter(live.tolist())
+
+    @property
+    def live(self) -> int:
+        return int((~self._dead).sum())
+
+    def memory_bytes(self) -> int:
+        """Host-RAM footprint: the serialized graph (vectors + links)
+        plus the fp32 scan copy used for exact filtered completion."""
+        with self._lock:
+            blob = len(self._core.serialize()) if self.n else 0
+        return blob + self._corpus.nbytes
+
+    # -- mutation (pgvector INSERT/DELETE parity) ---------------------------------
+
+    def add(
+        self,
+        embeddings: np.ndarray,
+        manuals: Optional[Sequence[str]] = None,
+        pages: Optional[Sequence[Optional[int]]] = None,
+    ) -> None:
+        """Incremental insert — HNSW's native operation (pgvector's
+        index absorbs INSERTs without a rebuild,
+        ref:src/setup_vector_db.py:155-170). New rows get positions
+        ``n..n+m-1``; new manual ids extend the vocab."""
+        from tpualign.parallel.retrieval import encode_keys
+
+        rows = np.asarray(embeddings, np.float32)
+        if rows.ndim != 2:
+            raise ValueError(f"embeddings must be (M, D); got {rows.shape}")
+        if len(rows) == 0:
+            return
+        if self.n and rows.shape[1] != self.dim:
+            raise ValueError(
+                f"embedding dim {rows.shape[1]} != index dim {self.dim}")
+        if manuals is not None:
+            keys32, _ = encode_keys(manuals, pages, self.vocab)  # extends
+            keys = keys32.astype(np.int64)
+        else:
+            keys = np.zeros(len(rows), np.int64)
+        rows = _normalize(rows)
+        with self._lock:
+            if self.n == 0 and self.dim != rows.shape[1]:
+                # empty-index bootstrap: adopt the first batch's dim
+                self.dim = int(rows.shape[1])
+                self._core = make_hnsw_core(
+                    self.dim, self.m, self.ef_construction, self.seed)
+                self._corpus = rows.copy()
+            else:
+                self._corpus = (rows.copy() if self.n == 0 else
+                                np.concatenate([self._corpus, rows]))
+            self._core.add(rows, keys)
+            self._keys = np.concatenate([self._keys, keys])
+            self._dead = np.concatenate(
+                [self._dead, np.zeros(len(rows), bool)])
+            self.n += len(rows)
+            self._key_counts.update(keys.tolist())
+
+    def remove(self, corpus_indices) -> int:
+        """Tombstone rows by position (pgvector DELETE parity): removed
+        rows stop matching immediately but stay traversable in the graph
+        (the standard HNSW delete — cutting nodes would tear navigation
+        paths; pgvector likewise keeps dead tuples until VACUUM).
+        Returns the number newly tombstoned."""
+        idx = np.unique(np.asarray(corpus_indices, np.int64))
+        idx = idx[(idx >= 0) & (idx < self.n)]
+        if idx.size == 0:
+            return 0
+        with self._lock:
+            fresh = idx[~self._dead[idx]]
+            if fresh.size == 0:
+                return 0
+            self._core.mark_deleted(fresh)
+            self._dead[fresh] = True
+            self._key_counts.subtract(self._keys[fresh].tolist())
+        return int(fresh.size)
+
+    # -- search ------------------------------------------------------------------
+
+    def search(
+        self,
+        query_embeddings: np.ndarray,
+        query_manuals: Optional[Sequence[str]] = None,
+        query_pages: Optional[Sequence[Optional[int]]] = None,
+        k: int = 10,
+        strategy: str = "auto",
+        global_search: bool = False,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Top-k per query (values, corpus positions); same contract as
+        :meth:`RetrievalIndex.search`, ``strategy`` ignored (host graph
+        walk is the only strategy)."""
+        from tpualign.parallel.retrieval import encode_keys
+
+        queries = np.asarray(query_embeddings, np.float32)
+        if global_search or query_manuals is None:
+            qk = np.full(len(queries), WILDCARD_KEY, np.int64)
+        else:
+            qk32, _ = encode_keys(query_manuals, query_pages,
+                                  dict(self.vocab))
+            qk = qk32.astype(np.int64)
+        return self.search_encoded(queries, qk, k)
+
+    def search_encoded(
+        self, queries: np.ndarray, qk: np.ndarray, k: int,
+        strategy: str = "auto",
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Host-array search with pre-encoded keys (the serving
+        coalescer's level). Results: similarity desc, position asc on
+        ties, ``-1`` / ``NEG_INF`` padding — the device paths'
+        contract."""
+        queries = _normalize(queries)
+        qk = np.asarray(qk, np.int64)
+        nq = len(queries)
+        if nq == 0 or self.n == 0 or k <= 0:
+            return (np.full((nq, max(k, 0)), NEG_INF, np.float32),
+                    np.full((nq, max(k, 0)), -1, np.int64))
+        kf = min(max(k, k * max(self.refine, 1)), self.n)
+        ef = max(self.ef_search, kf)
+        cutoff = max(4 * kf, self.ef_search)
+
+        def _exact_keyed(i: int, key: int) -> None:
+            rows = np.flatnonzero((self._keys == key) & ~self._dead)
+            if rows.size == 0:
+                return
+            sims = self._corpus[rows] @ queries[i]
+            take = np.lexsort((rows, -sims))[:kf]
+            idx[i, : len(take)] = rows[take]
+            vals[i, : len(take)] = sims[take]
+
+        with self._lock:
+            # plan per query, postgres-style: selective keys take the
+            # exact scan (cheap + EXACT); everything else walks the graph
+            counts = np.array(
+                [self._key_counts.get(int(key), 0) for key in qk], np.int64)
+            keyed = qk != WILDCARD_KEY
+            exact_plan = keyed & (counts <= cutoff)
+            graph_plan = np.flatnonzero(~exact_plan)
+            vals = np.full((nq, kf), NEG_INF, np.float32)
+            idx = np.full((nq, kf), -1, np.int64)
+            if graph_plan.size:
+                gvals, gidx = self._core.search(
+                    queries[graph_plan], qk[graph_plan], kf, ef)
+                vals[graph_plan] = gvals
+                idx[graph_plan] = gidx
+            for i in np.flatnonzero(exact_plan):
+                _exact_keyed(i, int(qk[i]))
+            # under-fill insurance for non-selective keyed queries: a
+            # beam that found fewer matches than the per-key live count
+            # promises gets finished exactly (rare — a huge key almost
+            # always fills the beam)
+            for i in graph_plan:
+                key = int(qk[i])
+                if key == WILDCARD_KEY:
+                    continue
+                if int((idx[i] >= 0).sum()) < min(kf, counts[i]):
+                    idx[i] = -1
+                    vals[i] = NEG_INF
+                    _exact_keyed(i, key)
+        if kf > k:  # refine over-fetch: scores are already exact, trim
+            vals, idx = vals[:, :k], idx[:, :k]
+        return vals, idx
+
+    # -- persistence (pgvector's on-disk index analogue) --------------------------
+
+    def save(self, path) -> None:
+        """Persist the graph + metadata; ``load`` verifies the corpus
+        fingerprint so a stale file can never serve old vectors."""
+        with self._lock:
+            blob = np.frombuffer(self._core.serialize(), np.uint8)
+            meta = json.dumps({
+                "dim": self.dim, "m": self.m,
+                "ef_construction": self.ef_construction,
+                "ef_search": self.ef_search, "seed": self.seed,
+                "n": self.n, "vocab": self.vocab,
+                "fingerprint": _corpus_fingerprint(self._corpus),
+            })
+            np.savez_compressed(
+                path, blob=blob, meta=np.frombuffer(
+                    meta.encode("utf-8"), np.uint8),
+                keys=self._keys, dead=self._dead,
+            )
+
+    @classmethod
+    def load(cls, path, corpus_embeddings: np.ndarray,
+             ef_search: Optional[int] = None, refine: int = 0):
+        """Rehydrate from :meth:`save`; raises ``ValueError`` when the
+        file does not match the passed corpus (the caller rebuilds)."""
+        with np.load(path) as z:
+            meta = json.loads(bytes(z["meta"]).decode("utf-8"))
+            blob = bytes(z["blob"])
+            keys = z["keys"]
+            dead = z["dead"]
+        rows = _normalize(np.asarray(corpus_embeddings, np.float32))
+        if meta["n"] != len(rows) or meta["dim"] != rows.shape[1]:
+            raise ValueError(
+                f"HNSW cache holds n={meta['n']} dim={meta['dim']}, "
+                f"corpus is n={len(rows)} dim={rows.shape[1]}")
+        if meta["fingerprint"] != _corpus_fingerprint(rows):
+            raise ValueError("HNSW cache fingerprint does not match the "
+                             "corpus; rebuilding")
+        core = load_hnsw_core(blob, meta["dim"], meta["seed"])
+        if core is None:
+            raise ValueError("HNSW cache blob unreadable (or native "
+                             "library unavailable)")
+        index = cls(
+            rows, m=meta["m"], ef_construction=meta["ef_construction"],
+            ef_search=int(ef_search if ef_search is not None
+                          else meta["ef_search"]),
+            seed=meta["seed"], refine=refine,
+            _core=core, _vocab=meta["vocab"], _keys=keys,
+        )
+        index._dead = np.asarray(dead, bool)
+        index._rebuild_key_counts()
+        return index

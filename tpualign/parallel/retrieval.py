@@ -1230,6 +1230,10 @@ def build_index(
     ivf_probes: Optional[int] = None,
     ivf_cache: Optional[str] = None,
     refine: int = 0,
+    hnsw_m: int = 16,
+    hnsw_ef_construction: int = 64,
+    hnsw_ef_search: int = 40,
+    hnsw_cache: Optional[str] = None,
 ):
     """Index factory honoring the ``RETRIEVAL_INDEX`` config knob.
 
@@ -1253,6 +1257,12 @@ def build_index(
     ``ivf_cache`` (the ``IVF_CACHE`` knob) persists the trained IVF
     structure like pgvector's on-disk index: load if the file matches
     the corpus, else build and save (k-means runs once per corpus).
+
+    "hnsw" -> :class:`~tpualign.parallel.hnsw.HNSWIndex` — the
+    reference's PRIMARY pgvector index (ref:src/setup_vector_db.py:155-170)
+    as a host-native C++ graph, for the no-TPU / single-query
+    lowest-latency corner; ``hnsw_cache`` (``HNSW_CACHE``) persists the
+    built graph the same way.
     """
     if index_type == "ivf" and len(corpus_embeddings) == 0:
         # an empty schema must still serve (all-sentinel results, like
@@ -1317,9 +1327,58 @@ def build_index(
                 index.save(ivf_cache)
                 log.info("IVF index structure cached to %s", ivf_cache)
             return index
+    elif index_type == "hnsw":
+        import os
+
+        from tpualign.parallel.hnsw import HNSWIndex
+
+        # Host-native graph index (the reference's PRIMARY pgvector index,
+        # ref:src/setup_vector_db.py:155-170): single-process by design —
+        # the graph walk is data-dependent branching, a CPU workload. A
+        # mesh or quantized precision request falls through to the knobs
+        # that DO apply there, loudly.
+        if mesh is not None and dict(mesh.shape).get("data", 1) > 1:
+            log.warning(
+                "RETRIEVAL_INDEX=hnsw is a host-native single-process "
+                "index; the mesh is ignored (use 'exact' or 'ivf' to "
+                "shard the corpus across devices)"
+            )
+        if precision != "fp32":
+            log.warning(
+                "RETRIEVAL_INDEX=hnsw stores fp32 graph entries (as "
+                "pgvector does); RETRIEVAL_PRECISION=%s is ignored",
+                precision,
+            )
+        if recall_target is not None:
+            log.warning(
+                "RETRIEVAL_RECALL_TARGET does not calibrate the HNSW "
+                "graph; tune HNSW_EF_SEARCH instead (recall rises with "
+                "ef_search at linear cost)"
+            )
+        if hnsw_cache and os.path.exists(hnsw_cache):
+            try:
+                loaded = HNSWIndex.load(
+                    hnsw_cache, corpus_embeddings,
+                    ef_search=hnsw_ef_search, refine=refine,
+                )
+                return loaded
+            except Exception as e:  # stale/mismatched cache: rebuild
+                log.warning(
+                    "HNSW cache %s unusable (%s); rebuilding", hnsw_cache, e
+                )
+        index = HNSWIndex(
+            corpus_embeddings, corpus_manuals, corpus_pages,
+            m=hnsw_m, ef_construction=hnsw_ef_construction,
+            ef_search=hnsw_ef_search, refine=refine,
+        )
+        if hnsw_cache:
+            index.save(hnsw_cache)
+            log.info("HNSW graph cached to %s", hnsw_cache)
+        return index
     elif index_type != "exact":
         raise ValueError(
-            f"retrieval_index must be 'exact' or 'ivf', got {index_type!r}"
+            f"retrieval_index must be 'exact', 'ivf' or 'hnsw', "
+            f"got {index_type!r}"
         )
     return RetrievalIndex(
         corpus_embeddings, corpus_manuals, corpus_pages, mesh=mesh,

@@ -284,6 +284,10 @@ class RetrievalService:
         refine: int = 0,
         query_cache: int = 1024,
         model_info: Optional[dict] = None,
+        hnsw_m: int = 16,
+        hnsw_ef_construction: int = 64,
+        hnsw_ef_search: int = 40,
+        hnsw_cache: Optional[str] = None,
     ):
         self.schema = schema
         self.chunk_ids = list(chunk_ids)
@@ -307,6 +311,8 @@ class RetrievalService:
             recall_target=recall_target, index_type=index_type,
             ivf_lists=ivf_lists, ivf_probes=ivf_probes,
             precision=precision, ivf_cache=ivf_cache, refine=refine,
+            hnsw_m=hnsw_m, hnsw_ef_construction=hnsw_ef_construction,
+            hnsw_ef_search=hnsw_ef_search, hnsw_cache=hnsw_cache,
         )
         # request coalescing: concurrent searches (and text encodes) merge
         # into one device dispatch each (None disables — library callers
@@ -568,6 +574,14 @@ class RetrievalService:
                 "calibrated_target": getattr(
                     self.index, "calibrated_target", None),
             }
+        if hasattr(self.index, "ef_search"):  # HNSW geometry
+            out["hnsw"] = {
+                "m": self.index.m,
+                "ef_construction": self.index.ef_construction,
+                "ef_search": self.index.ef_search,
+                "live": self.index.live,
+                "memory_bytes": self.index.memory_bytes(),
+            }
         if self.coalescer is not None:
             out["coalescer"] = self.coalescer.stats()
         if self._encode_coalescer is not None:
@@ -585,19 +599,27 @@ class RetrievalService:
         return out
 
 
-def build_index_artifact(config, schema: str, cache_path: str):
-    """Offline IVF build + persist (``tpualign index``).
+def build_index_artifact(config, schema: str, cache_path: str,
+                         index_type: Optional[str] = None):
+    """Offline ANN build + persist (``tpualign index``).
 
     The reference created its ANN index at SETUP time, not query time
-    (ref:src/setup_vector_db.py:155-190); this is that step for the TPU
-    IVF index: k-means over the schema's chunk corpus, probe calibration
-    if ``RETRIEVAL_RECALL_TARGET`` is configured, and the trained
-    structure saved to ``cache_path`` — serve starts point ``IVF_CACHE``
-    at it and skip the build. Idempotent: an existing matching artifact
-    is loaded (and recalibrated only if the target changed).
+    (ref:src/setup_vector_db.py:155-190); this is that step for the
+    configured ``RETRIEVAL_INDEX``: IVF (k-means over the schema's chunk
+    corpus, probe calibration if ``RETRIEVAL_RECALL_TARGET`` is
+    configured) or HNSW (the native graph build), with the structure
+    saved to ``cache_path`` — serve starts point ``IVF_CACHE`` /
+    ``HNSW_CACHE`` at it and skip the build. Idempotent: an existing
+    matching artifact is loaded (IVF is recalibrated only if the target
+    changed). ``RETRIEVAL_INDEX=exact`` has no artifact, so it builds
+    the IVF one (the pre-round-3 behavior).
     """
     from tpualign.parallel.retrieval import build_index
 
+    if index_type is None:
+        index_type = getattr(config, "retrieval_index", "exact")
+    if index_type == "exact":
+        index_type = "ivf"
     store = EmbeddingStore(config.store.root,
                            embed_dim=config.model.embed_dim)
     if not store.has_embeddings(schema):
@@ -610,13 +632,17 @@ def build_index_artifact(config, schema: str, cache_path: str):
         chunk_emb,
         [c["manual_id"] for c in chunks],
         [c.get("page") for c in chunks],
-        index_type="ivf",
+        index_type=index_type,
         ivf_lists=getattr(config, "ivf_lists", None),
         ivf_probes=getattr(config, "ivf_probes", None),
         precision=getattr(config, "retrieval_precision", "fp32"),
         recall_target=getattr(config, "retrieval_recall_target", None),
-        ivf_cache=cache_path,
+        ivf_cache=cache_path if index_type == "ivf" else None,
         refine=getattr(config, "retrieval_refine", 0),
+        hnsw_m=getattr(config, "hnsw_m", 16),
+        hnsw_ef_construction=getattr(config, "hnsw_ef_construction", 64),
+        hnsw_ef_search=getattr(config, "hnsw_ef_search", 40),
+        hnsw_cache=cache_path if index_type == "hnsw" else None,
     )
 
 
@@ -661,6 +687,10 @@ def build_service(config, schema: str, mesh=None, text_tower: bool = True) -> Re
         ivf_cache=getattr(config, "ivf_cache", None),
         refine=getattr(config, "retrieval_refine", 0),
         query_cache=getattr(config, "serve_query_cache", 1024),
+        hnsw_m=getattr(config, "hnsw_m", 16),
+        hnsw_ef_construction=getattr(config, "hnsw_ef_construction", 64),
+        hnsw_ef_search=getattr(config, "hnsw_ef_search", 40),
+        hnsw_cache=getattr(config, "hnsw_cache", None),
         model_info={
             "name": config.model.model_name,
             "quant": config.model.quant,
