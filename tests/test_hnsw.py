@@ -161,6 +161,61 @@ def test_load_rejects_stale_corpus(tmp_path):
         HNSWIndex.load(tmp_path / "g.npz", c[:200])
 
 
+def test_corrupt_cache_blob_fails_load_not_crash(tmp_path):
+    """A corrupted/truncated graph blob must raise ValueError from load
+    (the factory then rebuilds) — never segfault the serving daemon.
+    Exercises the deserializer's range checks: truncation, flipped
+    header fields, hostile row counts, and out-of-range neighbor ids."""
+    import numpy as np
+    from tpualign.parallel.hnsw import HNSWIndex
+
+    c, cman, cpage, _ = make_corpus(n=120, d=16)
+    path = tmp_path / "g.npz"
+    make_index(c, cman, cpage).save(path)
+    with np.load(path) as z:
+        blob = bytearray(bytes(z["blob"]))
+        meta, keys, dead = bytes(z["meta"]), z["keys"], z["dead"]
+
+    def rewrite(mutated: bytes, out):
+        np.savez_compressed(out, blob=np.frombuffer(mutated, np.uint8),
+                            meta=np.frombuffer(meta, np.uint8),
+                            keys=keys, dead=dead)
+
+    cases = {
+        "truncated": bytes(blob[: len(blob) // 3]),
+        "bad_magic": b"\x00" * 8 + bytes(blob[8:]),
+        # dim field (first int32 after the 8-byte magic) -> negative
+        "neg_dim": bytes(blob[:8]) + (-5).to_bytes(4, "little", signed=True)
+        + bytes(blob[12:]),
+        # huge row count n (int64 at offset 8+4*4+4=28)
+        "huge_n": bytes(blob[:28]) + (1 << 40).to_bytes(8, "little")
+        + bytes(blob[36:]),
+        # garbage tail (neighbor ids / trailing count corrupted)
+        "garbage_tail": bytes(blob[:-64]) + b"\xff" * 64,
+    }
+    for name, mutated in cases.items():
+        bad = tmp_path / f"{name}.npz"
+        rewrite(mutated, bad)
+        with pytest.raises(ValueError):
+            HNSWIndex.load(bad, c)
+
+
+def test_stale_corrupt_cache_triggers_rebuild(tmp_path):
+    """build_index with a corrupt HNSW_CACHE file silently rebuilds and
+    refreshes the cache instead of crashing or serving garbage."""
+    c, cman, cpage, q = make_corpus(n=200, d=16)
+    cache = tmp_path / "s.hnsw.npz"
+    build_index(c, cman, cpage, index_type="hnsw", hnsw_cache=str(cache))
+    cache.write_bytes(b"not a real npz file")
+    idx = build_index(c, cman, cpage, index_type="hnsw",
+                      hnsw_cache=str(cache))
+    vals, pos = idx.search(q[:2], k=3, global_search=True)
+    assert (pos >= 0).all()
+    from tpualign.parallel.hnsw import HNSWIndex
+
+    assert HNSWIndex.load(cache, c).n == 200  # cache was refreshed
+
+
 def test_build_deterministic():
     c, cman, cpage, q = make_corpus(n=800)
     a = make_index(c, cman, cpage, seed=3)

@@ -170,6 +170,8 @@ class HnswCore:
         self.dim = int(dim)
         self._handle = _handle if _handle is not None else lib.tpua_hnsw_create(
             dim, m, ef_construction, seed)
+        if not self._handle:  # native side rejected the geometry
+            raise ValueError(f"invalid HNSW geometry (dim={dim}, m={m})")
 
     def __len__(self) -> int:
         return int(self._lib.tpua_hnsw_count(self._handle))

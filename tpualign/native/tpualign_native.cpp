@@ -374,12 +374,13 @@ extern "C" {
 
 void* tpua_hnsw_create(int32_t dim, int32_t m, int32_t ef_construction,
                        uint64_t seed) {
+  if (dim <= 0 || dim > (1 << 20)) return nullptr;
   auto* h = new Hnsw();
   h->dim = dim;
-  h->M = m;
-  h->Mmax0 = 2 * m;
-  h->efc = ef_construction;
-  h->ml = 1.0 / std::log(static_cast<double>(m));
+  h->M = std::max(m, 2);  // m<2 would make the level multiplier diverge
+  h->Mmax0 = 2 * h->M;
+  h->efc = std::max(ef_construction, 1);
+  h->ml = 1.0 / std::log(static_cast<double>(h->M));
   h->rng.seed(seed);
   return h;
 }
@@ -555,8 +556,13 @@ void* tpua_hnsw_deserialize(const char* buf, int64_t size, uint64_t seed) {
   uint64_t magic = 0;
   if (!get(p, end, &magic) || magic != kHnswMagic) return nullptr;
   auto* h = new Hnsw();
+  // A corrupt/truncated cache must fail the load (Python falls back to a
+  // rebuild), never crash the serving daemon: every header field that
+  // later sizes an allocation or indexes an array is range-checked.
   if (!get(p, end, &h->dim) || !get(p, end, &h->M) || !get(p, end, &h->efc) ||
-      !get(p, end, &h->entry) || !get(p, end, &h->max_level)) {
+      !get(p, end, &h->entry) || !get(p, end, &h->max_level) ||
+      h->dim <= 0 || h->dim > (1 << 20) || h->M < 2 || h->M > 4096 ||
+      h->efc < 0 || h->max_level < -1 || h->max_level > 64) {
     delete h;
     return nullptr;
   }
@@ -564,8 +570,12 @@ void* tpua_hnsw_deserialize(const char* buf, int64_t size, uint64_t seed) {
   h->ml = 1.0 / std::log(static_cast<double>(h->M));
   h->rng.seed(seed);
   int64_t n = 0;
-  if (!get(p, end, &n) || n < 0 ||
-      p + n * (h->dim * 4 + 8 + 1 + 4) > end) {
+  // Compare via (end - p) rather than p + bytes: a hostile n could
+  // overflow the pointer sum, which is UB before the check even runs.
+  const int64_t per_row = int64_t{h->dim} * 4 + 8 + 1 + 4;
+  if (!get(p, end, &n) || n < 0 || n >= (int64_t{1} << 31) ||
+      h->entry >= n || (h->entry < 0 && n > 0) ||
+      (end - p) < n * per_row) {
     delete h;
     return nullptr;
   }
@@ -584,17 +594,27 @@ void* tpua_hnsw_deserialize(const char* buf, int64_t size, uint64_t seed) {
   h->links.resize(n);
   int64_t nlinks = 0;
   for (int64_t i = 0; i < n; ++i) {
+    if (h->levels[i] < 0 || h->levels[i] > 64) {
+      delete h;
+      return nullptr;
+    }
     h->links[i].resize(h->levels[i] + 1);
     for (auto& layer : h->links[i]) {
       int32_t cnt = 0;
       if (!get(p, end, &cnt) || cnt < 0 ||
-          p + static_cast<int64_t>(cnt) * sizeof(int32_t) > end) {
+          (end - p) < static_cast<int64_t>(cnt) * 4) {
         delete h;
         return nullptr;
       }
       layer.resize(cnt);
       std::memcpy(layer.data(), p, cnt * sizeof(int32_t));
       p += cnt * sizeof(int32_t);
+      for (int32_t v : layer) {  // a bad neighbor id would read OOB later
+        if (v < 0 || v >= n) {
+          delete h;
+          return nullptr;
+        }
+      }
       ++nlinks;
     }
   }
