@@ -277,8 +277,9 @@ def test_build_index_factory_routes_and_caches(tmp_path, monkeypatch):
 
 
 def test_build_index_warns_on_inapplicable_knobs(monkeypatch):
-    """precision/recall_target don't apply to the host graph — the
-    factory must say so loudly rather than silently ignore them."""
+    """precision doesn't apply to the host graph, and an explicit
+    HNSW_EF_SEARCH overrides recall-target calibration — the factory
+    must say both loudly rather than silently ignore them."""
     import tpualign.parallel.retrieval as retrieval_mod
 
     warnings = []
@@ -286,10 +287,67 @@ def test_build_index_warns_on_inapplicable_knobs(monkeypatch):
         retrieval_mod.log, "warning",
         lambda msg, *a: warnings.append(msg % a if a else msg))
     c, cman, cpage, _ = make_corpus(n=200)
-    build_index(c, cman, cpage, index_type="hnsw", precision="int8",
-                recall_target=0.95)
+    idx = build_index(c, cman, cpage, index_type="hnsw", precision="int8",
+                      recall_target=0.95, hnsw_ef_search=33)
     msgs = " ".join(warnings)
-    assert "fp32" in msgs and "HNSW_EF_SEARCH" in msgs
+    assert "fp32" in msgs and "RETRIEVAL_RECALL_TARGET" in msgs
+    assert idx.ef_search == 33  # explicit ef wins, no calibration ran
+    assert not hasattr(idx, "calibrated_target")
+
+
+def test_recall_target_calibrates_ef():
+    """RETRIEVAL_RECALL_TARGET with no explicit ef picks the smallest
+    doubling-ladder ef whose measured recall@10 meets the target — the
+    same 'this recall, whatever the index' contract exact/ivf honor."""
+    c, cman, cpage, q = make_corpus(n=3000)
+    strict = build_index(c, cman, cpage, index_type="hnsw",
+                         recall_target=0.95)
+    assert strict.calibrated_target == 0.95
+    assert strict.ef_search >= 40  # ladder starts at the pgvector default
+    assert global_recall(strict, q, c) >= 0.85  # held-out queries
+    loose = build_index(c, cman, cpage, index_type="hnsw",
+                        recall_target=0.5)
+    assert loose.ef_search <= strict.ef_search
+
+
+def test_calibration_persists_and_recalibrates_on_target_change(tmp_path):
+    """The calibrated ef rides the cache; a changed target recalibrates
+    and refreshes the artifact (mirrors the IVF cache contract)."""
+    from tpualign.parallel.hnsw import HNSWIndex
+
+    c, cman, cpage, _ = make_corpus(n=1200)
+    cache = str(tmp_path / "cal.hnsw.npz")
+    a = build_index(c, cman, cpage, index_type="hnsw",
+                    recall_target=0.9, hnsw_cache=cache)
+    b = build_index(c, cman, cpage, index_type="hnsw",
+                    recall_target=0.9, hnsw_cache=cache)
+    assert b.ef_search == a.ef_search
+    assert b.calibrated_target == 0.9
+    d = build_index(c, cman, cpage, index_type="hnsw",
+                    recall_target=0.3, hnsw_cache=cache)
+    assert d.calibrated_target == 0.3
+    assert d.ef_search <= a.ef_search
+    # the refreshed cache now carries the new calibration
+    reloaded = HNSWIndex.load(cache, c)
+    assert reloaded.ef_search == d.ef_search
+    assert reloaded.calibrated_target == 0.3
+
+
+def test_calibrate_caps_at_ef_max(monkeypatch):
+    """An unreachable target stops at the pgvector ef cap (1000) with a
+    loud warning instead of degenerating into a full scan."""
+    import tpualign.parallel.hnsw as hnsw_mod
+
+    warnings = []
+    monkeypatch.setattr(
+        hnsw_mod.log, "warning",
+        lambda msg, *a: warnings.append(msg % a if a else msg))
+    monkeypatch.setattr(hnsw_mod.HNSWIndex, "EF_MAX", 64)
+    c, cman, cpage, _ = make_corpus(n=2000, d=128)
+    idx = make_index(c, cman, cpage)
+    ef = idx.calibrate(1.0, sample=16)
+    assert ef == 64
+    assert any("unreachable" in m for m in warnings)
 
 
 def test_refine_overfetch_lifts_wildcard_recall():
@@ -336,8 +394,9 @@ def test_config_hnsw_knobs():
     assert cfg.hnsw_cache == "/tmp/g.npz"
     # defaults are pgvector's
     base = load_config(env_file=None)
-    assert (base.hnsw_m, base.hnsw_ef_construction, base.hnsw_ef_search) == \
-        (16, 64, 40)
+    assert (base.hnsw_m, base.hnsw_ef_construction) == (16, 64)
+    # None = auto ef: pgvector's 40, or calibrated to the recall target
+    assert base.hnsw_ef_search is None
     assert base.hnsw_cache is None
 
 

@@ -360,11 +360,13 @@ class PipelineConfig:
     # IVF geometry (None = sqrt(N) lists, lists//8 probes)
     ivf_lists: Optional[int] = None
     ivf_probes: Optional[int] = None
-    # HNSW geometry — pgvector's defaults (m=16, ef_construction=64,
-    # hnsw.ef_search=40); recall rises with ef_search at linear cost
+    # HNSW geometry — pgvector's defaults (m=16, ef_construction=64).
+    # ef_search None = auto: pgvector's 40, or calibrated to
+    # RETRIEVAL_RECALL_TARGET when that is set; an explicit value wins
+    # (recall rises with ef_search at linear cost)
     hnsw_m: int = 16
     hnsw_ef_construction: int = 64
-    hnsw_ef_search: int = 40
+    hnsw_ef_search: Optional[int] = None
     # Persist the built HNSW graph here (pgvector's on-disk index
     # analogue): loaded when its fingerprint matches the corpus,
     # rebuilt + re-saved otherwise. None = rebuild at each serve start.
@@ -598,7 +600,10 @@ def load_config(
         ivf_cache=_env(env, "IVF_CACHE", "") or None,
         hnsw_m=int(_env(env, "HNSW_M", "16")),
         hnsw_ef_construction=int(_env(env, "HNSW_EF_CONSTRUCTION", "64")),
-        hnsw_ef_search=int(_env(env, "HNSW_EF_SEARCH", "40")),
+        hnsw_ef_search=(
+            int(_env(env, "HNSW_EF_SEARCH", ""))
+            if _env(env, "HNSW_EF_SEARCH", "") else None
+        ),
         hnsw_cache=_env(env, "HNSW_CACHE", "") or None,
         image_preprocess=_env(env, "IMAGE_PREPROCESS", "host"),
         image_preprocess_bucket=int(

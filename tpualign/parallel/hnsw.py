@@ -123,7 +123,10 @@ class HNSWIndex:
             self.vocab = dict(_vocab or {})
             self._keys = np.asarray(_keys, np.int64)
             self._dead = np.zeros(len(self._keys), bool)
-            self._corpus = _normalize(rows)
+            # load() already normalized; renormalizing is NOT
+            # bit-idempotent (unit norms land at 1±eps), and a changed
+            # corpus would break the fingerprint on save-after-load
+            self._corpus = rows
             self.n = len(self._keys)
         else:
             if corpus_manuals is not None:
@@ -258,11 +261,13 @@ class HNSWIndex:
     def search_encoded(
         self, queries: np.ndarray, qk: np.ndarray, k: int,
         strategy: str = "auto",
+        ef: Optional[int] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Host-array search with pre-encoded keys (the serving
         coalescer's level). Results: similarity desc, position asc on
         ties, ``-1`` / ``NEG_INF`` padding — the device paths'
-        contract."""
+        contract. ``ef`` overrides the instance beam width for one call
+        (the calibration ladder's hook)."""
         queries = _normalize(queries)
         qk = np.asarray(qk, np.int64)
         nq = len(queries)
@@ -270,7 +275,7 @@ class HNSWIndex:
             return (np.full((nq, max(k, 0)), NEG_INF, np.float32),
                     np.full((nq, max(k, 0)), -1, np.int64))
         kf = min(max(k, k * max(self.refine, 1)), self.n)
-        ef = max(self.ef_search, kf)
+        ef = max(self.ef_search if ef is None else int(ef), kf)
         cutoff = max(4 * kf, self.ef_search)
 
         def _exact_keyed(i: int, key: int) -> None:
@@ -315,6 +320,74 @@ class HNSWIndex:
             vals, idx = vals[:, :k], idx[:, :k]
         return vals, idx
 
+    # -- calibration ---------------------------------------------------------------
+
+    # pgvector caps hnsw.ef_search at 1000; same ceiling here so the
+    # ladder can't degenerate into a full scan (use 'exact' for that).
+    EF_MAX = 1000
+
+    def calibrate(self, recall_target: float, k: int = 10,
+                  sample: int = 128) -> int:
+        """Pick the smallest ``ef_search`` whose measured recall@k meets
+        ``recall_target``, and set it as the default. pgvector makes the
+        user guess ``hnsw.ef_search`` (the reference never measures
+        recall, ref:src/setup_vector_db.py:155-170); this measures it:
+        a doubling ef ladder over a deterministic in-corpus sample of
+        wildcard queries, scored against the exact brute-force top-k of
+        the live rows (the same protocol as :meth:`IVFIndex.calibrate`,
+        but empirical — graph recall has no closed form). Unlike IVF's
+        analytic pass this walks the graph once per rung, which is cheap
+        (S·ef·log n distance evals); the exact ground truth is the
+        O(S·n·d) term, done once.
+
+        If the target is unreachable at ``EF_MAX`` (uniform random
+        high-d corpora — the known proximity-graph worst case), the cap
+        is kept and the achieved recall logged; callers wanting exact
+        guarantees should use the 'exact' index. Returns the chosen ef.
+        """
+        if not 0.0 < recall_target <= 1.0:
+            raise ValueError(f"recall_target in (0, 1], got {recall_target}")
+        live_pos = np.flatnonzero(~self._dead)
+        n_live = live_pos.size
+        if n_live == 0:
+            return self.ef_search
+        s = min(int(sample), n_live)
+        sel = live_pos[(np.arange(s, dtype=np.int64) * n_live) // s]
+        q = self._corpus[sel]
+        kk = min(k, n_live)
+        # exact ground truth over live rows (argpartition: ties across
+        # the k-th boundary shift measured recall by <1/k, irrelevant
+        # for picking an ef rung)
+        sims = q @ self._corpus[live_pos].T
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        truth = [set(live_pos[row].tolist()) for row in part]
+        qk = np.full(s, WILDCARD_KEY, np.int64)
+        ef, achieved = max(kk, min(self.ef_search, self.EF_MAX)), 0.0
+        while True:
+            _, idx = self.search_encoded(q, qk, kk, ef=ef)
+            achieved = float(np.mean(
+                [len(truth[i] & set(idx[i].tolist())) / kk
+                 for i in range(s)]))
+            if achieved >= recall_target or ef >= self.EF_MAX:
+                break
+            ef = min(ef * 2, self.EF_MAX)
+        if achieved < recall_target:
+            log.warning(
+                "HNSW calibration: recall@%d %.4f at the ef cap %d — "
+                "target %.3f unreachable on this corpus (graph-hostile "
+                "geometry); use RETRIEVAL_INDEX=exact for guarantees",
+                kk, achieved, ef, recall_target,
+            )
+        else:
+            log.info(
+                "HNSW calibration: ef_search=%d reaches recall@%d %.4f "
+                "(target %.3f, %d sample queries)",
+                ef, kk, achieved, recall_target, s,
+            )
+        self.ef_search = int(ef)
+        self.calibrated_target = float(recall_target)
+        return int(ef)
+
     # -- persistence (pgvector's on-disk index analogue) --------------------------
 
     def save(self, path) -> None:
@@ -328,6 +401,8 @@ class HNSWIndex:
                 "ef_search": self.ef_search, "seed": self.seed,
                 "n": self.n, "vocab": self.vocab,
                 "fingerprint": _corpus_fingerprint(self._corpus),
+                "calibrated_target": getattr(self, "calibrated_target",
+                                             None),
             })
             np.savez_compressed(
                 path, blob=blob, meta=np.frombuffer(
@@ -366,4 +441,6 @@ class HNSWIndex:
         )
         index._dead = np.asarray(dead, bool)
         index._rebuild_key_counts()
+        if meta.get("calibrated_target") is not None and ef_search is None:
+            index.calibrated_target = meta["calibrated_target"]
         return index

@@ -1232,7 +1232,7 @@ def build_index(
     refine: int = 0,
     hnsw_m: int = 16,
     hnsw_ef_construction: int = 64,
-    hnsw_ef_search: int = 40,
+    hnsw_ef_search: Optional[int] = None,
     hnsw_cache: Optional[str] = None,
 ):
     """Index factory honoring the ``RETRIEVAL_INDEX`` config knob.
@@ -1349,11 +1349,18 @@ def build_index(
                 "pgvector does); RETRIEVAL_PRECISION=%s is ignored",
                 precision,
             )
-        if recall_target is not None:
+        # HNSW_EF_SEARCH=None means auto: pgvector's default 40, or the
+        # calibrated ef when RETRIEVAL_RECALL_TARGET is set (the same
+        # "this recall, whatever the index" contract exact/ivf honor).
+        # An explicit ef wins over the target, loudly.
+        auto_ef = hnsw_ef_search is None
+        eff_ef = 40 if auto_ef else int(hnsw_ef_search)
+        calibrate = recall_target is not None and auto_ef
+        if recall_target is not None and not auto_ef:
             log.warning(
-                "RETRIEVAL_RECALL_TARGET does not calibrate the HNSW "
-                "graph; tune HNSW_EF_SEARCH instead (recall rises with "
-                "ef_search at linear cost)"
+                "HNSW_EF_SEARCH=%d overrides RETRIEVAL_RECALL_TARGET "
+                "calibration; unset it to auto-pick ef for the target",
+                eff_ef,
             )
         if hnsw_cache and os.path.exists(hnsw_cache):
             try:
@@ -1361,6 +1368,12 @@ def build_index(
                     hnsw_cache, corpus_embeddings,
                     ef_search=hnsw_ef_search, refine=refine,
                 )
+                if calibrate and getattr(
+                        loaded, "calibrated_target", None) != recall_target:
+                    # target changed since the cache was written:
+                    # recalibrate (cheap) and refresh the artifact
+                    loaded.calibrate(recall_target)
+                    loaded.save(hnsw_cache)
                 return loaded
             except Exception as e:  # stale/mismatched cache: rebuild
                 log.warning(
@@ -1369,8 +1382,10 @@ def build_index(
         index = HNSWIndex(
             corpus_embeddings, corpus_manuals, corpus_pages,
             m=hnsw_m, ef_construction=hnsw_ef_construction,
-            ef_search=hnsw_ef_search, refine=refine,
+            ef_search=eff_ef, refine=refine,
         )
+        if calibrate:
+            index.calibrate(recall_target)
         if hnsw_cache:
             index.save(hnsw_cache)
             log.info("HNSW graph cached to %s", hnsw_cache)

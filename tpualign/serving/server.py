@@ -286,7 +286,7 @@ class RetrievalService:
         model_info: Optional[dict] = None,
         hnsw_m: int = 16,
         hnsw_ef_construction: int = 64,
-        hnsw_ef_search: int = 40,
+        hnsw_ef_search: Optional[int] = None,
         hnsw_cache: Optional[str] = None,
     ):
         self.schema = schema
@@ -581,6 +581,8 @@ class RetrievalService:
                 "ef_search": self.index.ef_search,
                 "live": self.index.live,
                 "memory_bytes": self.index.memory_bytes(),
+                "calibrated_target": getattr(
+                    self.index, "calibrated_target", None),
             }
         if self.coalescer is not None:
             out["coalescer"] = self.coalescer.stats()
@@ -641,7 +643,7 @@ def build_index_artifact(config, schema: str, cache_path: str,
         refine=getattr(config, "retrieval_refine", 0),
         hnsw_m=getattr(config, "hnsw_m", 16),
         hnsw_ef_construction=getattr(config, "hnsw_ef_construction", 64),
-        hnsw_ef_search=getattr(config, "hnsw_ef_search", 40),
+        hnsw_ef_search=getattr(config, "hnsw_ef_search", None),
         hnsw_cache=cache_path if index_type == "hnsw" else None,
     )
 
@@ -689,7 +691,7 @@ def build_service(config, schema: str, mesh=None, text_tower: bool = True) -> Re
         query_cache=getattr(config, "serve_query_cache", 1024),
         hnsw_m=getattr(config, "hnsw_m", 16),
         hnsw_ef_construction=getattr(config, "hnsw_ef_construction", 64),
-        hnsw_ef_search=getattr(config, "hnsw_ef_search", 40),
+        hnsw_ef_search=getattr(config, "hnsw_ef_search", None),
         hnsw_cache=getattr(config, "hnsw_cache", None),
         model_info={
             "name": config.model.model_name,
