@@ -2,6 +2,7 @@
 
 import json
 import threading
+import urllib.error
 import urllib.request
 
 import numpy as np
@@ -1085,3 +1086,134 @@ def test_query_cache_disabled_and_lru_eviction():
     svc2.search_text(["a"], k=3)
     assert calls2 == ["a", "b", "c", "a"]
     assert svc2.stats()["query_cache"]["size"] == 2
+
+
+# -- multi-schema daemon (the reference's one-Postgres-many-schemas surface,
+#    ref:src/setup_vector_db.py:89) ---------------------------------------------
+
+
+def _two_schema_server():
+    from tpualign.serving.server import _ServiceBox, serve_schemas
+
+    rng = np.random.default_rng(11)
+    d = 16
+
+    def mk(tag, n):
+        emb = rng.normal(size=(n, d)).astype(np.float32)
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        ids = [f"{tag}_c{i}" for i in range(n)]
+        return RetrievalService(
+            emb, ids, ["m"] * n, [1] * n, schema=tag,
+            coalesce_window_ms=None,
+        ), emb
+
+    a, emb_a = mk("vanilla_clip", 8)
+    b, emb_b = mk("clip_lexical", 12)
+    boxes = {
+        "vanilla_clip": _ServiceBox(a),
+        "clip_lexical": _ServiceBox(
+            b, fetch=lambda: (
+                [f"clip_lexical_c{i}" for i in range(12)] + ["extra"],
+                ["m"] * 13, [1] * 13,
+                np.concatenate([emb_b, emb_b[:1] * -1.0]),
+            )),
+    }
+    httpd = serve_schemas(boxes, "vanilla_clip", host="127.0.0.1", port=0)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    return httpd, emb_a, emb_b
+
+
+def _post(base, path, payload, timeout=60):
+    req = urllib.request.Request(
+        f"{base}{path}", data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return json.loads(r.read())
+
+
+def test_multi_schema_routing():
+    """One endpoint, several schemas: requests route by their 'schema'
+    field; omitted = default; unknown = 400 listing what's served
+    (pgvector serves all four schemas from one database — so do we)."""
+    httpd, emb_a, emb_b = _two_schema_server()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        # default schema (omitted field)
+        out = _post(base, "/search", {
+            "embeddings": emb_a[3:4].tolist(), "global": True, "k": 2})
+        assert out["results"][0][0]["chunk_id"] == "vanilla_clip_c3"
+        # explicit routing to the second schema
+        out = _post(base, "/search", {
+            "embeddings": emb_b[5:6].tolist(), "global": True, "k": 2,
+            "schema": "clip_lexical"})
+        assert out["results"][0][0]["chunk_id"] == "clip_lexical_c5"
+        # stats routes too, and lists the served schemas
+        with urllib.request.urlopen(
+                f"{base}/stats?schema=clip_lexical", timeout=30) as r:
+            st = json.loads(r.read())
+        assert st["schema"] == "clip_lexical" and st["corpus_size"] == 12
+        assert st["schemas"] == ["clip_lexical", "vanilla_clip"]
+        # unknown schema -> 400 with the available list
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _post(base, "/search", {
+                "embeddings": emb_a[:1].tolist(), "schema": "nope"})
+        assert exc.value.code == 400
+        assert "clip_lexical" in json.loads(exc.value.read())["error"]
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
+def test_multi_schema_mutation_and_sync_isolated():
+    """/add and /sync with a schema field mutate only that schema's
+    index; per-schema metrics stay separate."""
+    httpd, emb_a, emb_b = _two_schema_server()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        new = (-emb_a[:1]).tolist()
+        out = _post(base, "/add", {
+            "schema": "vanilla_clip", "chunk_ids": ["x0"],
+            "manuals": ["m"], "pages": [1], "embeddings": new})
+        assert out["added"] == 1
+        with urllib.request.urlopen(
+                f"{base}/stats?schema=vanilla_clip", timeout=30) as r:
+            assert json.loads(r.read())["corpus_size"] == 9
+        with urllib.request.urlopen(
+                f"{base}/stats?schema=clip_lexical", timeout=30) as r:
+            st_b = json.loads(r.read())
+        assert st_b["corpus_size"] == 12  # untouched
+        # sync is wired on clip_lexical only; routes by body field
+        out = _post(base, "/sync", {"schema": "clip_lexical"})
+        assert out["synced"] and out["added"] == 1
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _post(base, "/sync", {})  # default schema has no fetch
+        assert exc.value.code == 500
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
+def test_single_schema_serve_unchanged():
+    """serve() (one schema) keeps its surface: no 'schemas' key in
+    /stats, schema field optional, wrong schema still 400s."""
+    rng = np.random.default_rng(12)
+    emb = rng.normal(size=(6, 16)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    svc = RetrievalService(emb, [f"c{i}" for i in range(6)], ["m"] * 6,
+                           [1] * 6, schema="vanilla_clip",
+                           coalesce_window_ms=None)
+    httpd = serve(svc, host="127.0.0.1", port=0)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        with urllib.request.urlopen(f"{base}/stats", timeout=30) as r:
+            st = json.loads(r.read())
+        assert "schemas" not in st
+        out = _post(base, "/search", {
+            "embeddings": emb[2:3].tolist(), "global": True, "k": 1,
+            "schema": "vanilla_clip"})
+        assert out["results"][0][0]["chunk_id"] == "c2"
+    finally:
+        httpd.shutdown()
+        httpd.server_close()

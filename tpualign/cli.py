@@ -167,7 +167,13 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         "serve", help="retrieval daemon: device-resident index over HTTP/JSON"
     )
     _add_common(p_serve)
-    p_serve.add_argument("--schema", default="vanilla_clip", choices=SCHEMAS)
+    p_serve.add_argument(
+        "--schema", default="vanilla_clip",
+        help="schema to serve; a comma list or 'all' serves several "
+        "schemas from one endpoint (requests route by their 'schema' "
+        "field; the first listed — or vanilla_clip for 'all' — is the "
+        "default), sharing one text tower",
+    )
     p_serve.add_argument("--host", default="127.0.0.1")
     p_serve.add_argument("--port", type=int, default=8321)
     p_serve.add_argument(
@@ -348,7 +354,10 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         return 0
 
     if args.command == "serve":
-        from tpualign.serving import build_service, serve as make_server
+        from tpualign.serving import build_service
+        from tpualign.serving.server import (
+            _ServiceBox, fetch_snapshot, serve_schemas,
+        )
 
         config = _config_from(args)
         mesh = None
@@ -356,22 +365,70 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             from tpualign.parallel.mesh import default_mesh
 
             mesh = default_mesh(config.mesh)
-        service = build_service(
-            config, args.schema, mesh=mesh,
-            text_tower=not args.no_text_tower,
-        )
-        from tpualign.serving.server import fetch_snapshot
+        if args.schema == "all":
+            schemas = list(SCHEMAS)
+        else:
+            schemas = [s.strip() for s in args.schema.split(",") if s.strip()]
+            bad = [s for s in schemas if s not in SCHEMAS]
+            if bad:
+                print(f"unknown schema(s) {bad}; choose from {list(SCHEMAS)}")
+                return 1
+        multi = len(schemas) > 1
 
-        httpd = make_server(
-            service, host=args.host, port=args.port,
-            rebuild=lambda: build_service(
-                config, args.schema, mesh=mesh,
-                text_tower=not args.no_text_tower,
-            ),
-            fetch=(None if mesh is not None
-                   else lambda: fetch_snapshot(config, args.schema)),
-        )
-        print(f"tpualign serve: {service.stats()} on "
+        def _schema_config(schema: str):
+            """Per-schema index-cache paths: several schemas sharing one
+            IVF_CACHE/HNSW_CACHE file would clobber each other (the
+            cache embeds one corpus fingerprint)."""
+            if not multi:
+                return config
+            import dataclasses
+
+            kw = {}
+            for field in ("ivf_cache", "hnsw_cache"):
+                path = getattr(config, field, None)
+                if path:
+                    kw[field] = f"{path}.{schema}"
+            return dataclasses.replace(config, **kw) if kw else config
+
+        encoder = None
+        if not args.no_text_tower:
+            from tpualign.parallel.embed import EmbedEngine
+
+            engine = EmbedEngine(
+                config.model, mesh=mesh, batch_size=64,
+                text_buckets=getattr(config, "text_buckets", (16, 32, 77)),
+            )
+            encoder = engine.encode_text_batch
+
+        boxes = {}
+        for schema in schemas:
+            cfg_s = _schema_config(schema)
+            try:
+                service = build_service(cfg_s, schema, mesh=mesh,
+                                        encoder=encoder,
+                                        text_tower=not args.no_text_tower)
+            except ValueError as e:
+                if args.schema == "all":  # serve what exists, say so
+                    print(f"skipping {schema}: {e}")
+                    continue
+                print(f"error: {e}")
+                return 1
+            boxes[schema] = _ServiceBox(
+                service,
+                rebuild=lambda cfg=cfg_s, s=schema: build_service(
+                    cfg, s, mesh=mesh, encoder=encoder,
+                    text_tower=not args.no_text_tower,
+                ),
+                fetch=(None if mesh is not None else
+                       lambda cfg=cfg_s, s=schema: fetch_snapshot(cfg, s)),
+            )
+        if not boxes:
+            print(f"no schema has embeddings in {config.store.root}")
+            return 1
+        default = schemas[0] if schemas[0] in boxes else sorted(boxes)[0]
+        httpd = serve_schemas(boxes, default, host=args.host, port=args.port)
+        print(f"tpualign serve [{', '.join(sorted(boxes))}; default "
+              f"{default}]: {boxes[default].service.stats()} on "
               f"http://{args.host}:{httpd.server_address[1]}")
         try:
             httpd.serve_forever()

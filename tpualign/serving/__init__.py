@@ -7,6 +7,7 @@ from tpualign.serving.server import (
     build_index_artifact,
     build_service,
     serve,
+    serve_schemas,
 )
 
 __all__ = [
@@ -16,4 +17,5 @@ __all__ = [
     "build_index_artifact",
     "build_service",
     "serve",
+    "serve_schemas",
 ]

@@ -32,7 +32,7 @@ import threading
 import time
 from collections import deque
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Callable, List, Optional, Sequence
+from typing import Callable, Dict, List, Optional, Sequence
 
 import numpy as np
 
@@ -648,15 +648,21 @@ def build_index_artifact(config, schema: str, cache_path: str,
     )
 
 
-def build_service(config, schema: str, mesh=None, text_tower: bool = True) -> RetrievalService:
-    """Service over the store configured in ``config`` (CLI entry)."""
+def build_service(config, schema: str, mesh=None, text_tower: bool = True,
+                  encoder: Optional[Callable] = None) -> RetrievalService:
+    """Service over the store configured in ``config`` (CLI entry).
+
+    ``encoder``: pre-built text encode callable to share across
+    services — a multi-schema daemon loads ONE text tower for all its
+    schemas (the reference re-loads the CLIP model once per schema,
+    ref:src/run_pipeline.py:260-265 × ref:src/insert_clip_embeddings.py:250-252).
+    """
     store = EmbeddingStore(config.store.root, embed_dim=config.model.embed_dim)
     if not store.has_embeddings(schema):
         raise ValueError(f"schema {schema} has no embeddings in {config.store.root}")
     chunks = store.chunks(schema)
     chunk_ids, chunk_emb = store.embedding_matrix(schema, "text_chunks")
-    encoder = None
-    if text_tower:
+    if encoder is None and text_tower:
         from tpualign.parallel.embed import EmbedEngine
 
         engine = EmbedEngine(
@@ -774,7 +780,35 @@ class _ServiceBox:
             return out
 
 
-def _make_handler(box: "_ServiceBox"):
+class _ServiceRegistry:
+    """Schema → :class:`_ServiceBox` routing table. The reference's
+    PostgreSQL serves every experimental schema from one endpoint
+    (ref:src/setup_vector_db.py:89: four schemas in one database;
+    ref:src/evaluate_alignments.py:109-143 queries any of them per
+    call) — this gives the daemon the same surface: requests carry an
+    optional ``"schema"`` field and route to that schema's service;
+    omitted means the default schema, so single-schema deployments are
+    unchanged."""
+
+    def __init__(self, boxes: Dict[str, "_ServiceBox"], default: str):
+        if default not in boxes:
+            raise ValueError(f"default schema {default!r} not in "
+                             f"{sorted(boxes)}")
+        self.boxes = dict(boxes)
+        self.default = default
+
+    def get(self, schema: Optional[str]) -> "_ServiceBox":
+        name = schema or self.default
+        try:
+            return self.boxes[name]
+        except KeyError:
+            raise ValueError(
+                f"schema {name!r} is not served (available: "
+                f"{sorted(self.boxes)})"
+            ) from None
+
+
+def _make_handler(registry: "_ServiceRegistry"):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # route to our logger, not stderr
             log.debug("http: " + fmt, *args)
@@ -788,19 +822,37 @@ def _make_handler(box: "_ServiceBox"):
             self.wfile.write(body)
 
         def do_GET(self):
+            from urllib.parse import parse_qs, urlsplit
+
+            parts = urlsplit(self.path)
+            try:
+                q = parse_qs(parts.query)
+                box = registry.get((q.get("schema") or [None])[0])
+            except ValueError as e:
+                self._reply(400, {"error": str(e)})
+                return
             service = box.service
-            if self.path == "/healthz":
+            if parts.path == "/healthz":
                 self._reply(200, service.stats())
-            elif self.path == "/stats":
+            elif parts.path == "/stats":
                 payload = service.stats()
                 payload["metrics"] = service.metrics.snapshot()
+                if len(registry.boxes) > 1:
+                    payload["schemas"] = sorted(registry.boxes)
                 self._reply(200, payload)
             else:
-                self._reply(404, {"error": f"unknown path {self.path}"})
+                self._reply(404, {"error": f"unknown path {parts.path}"})
 
         def do_POST(self):
-            service = box.service
             t0 = time.perf_counter()
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                box = registry.get(req.get("schema"))
+            except (ValueError, TypeError, json.JSONDecodeError) as e:
+                self._reply(400, {"error": str(e)})
+                return
+            service = box.service
             if self.path == "/reload":
                 try:
                     stats = box.reload()
@@ -820,8 +872,6 @@ def _make_handler(box: "_ServiceBox"):
                     self._reply(500, {"synced": False, "error": str(e)})
                 return
             try:
-                length = int(self.headers.get("Content-Length", "0"))
-                req = json.loads(self.rfile.read(length) or b"{}")
                 k = int(req.get("k", 10))
                 if self.path == "/add":
                     out = service.add_chunks(
@@ -908,8 +958,25 @@ def serve(
     ``POST /sync`` (incremental reload through the insert/delete paths;
     see :func:`fetch_chunks`).
     """
+    box = _ServiceBox(service, rebuild, fetch)
+    return serve_schemas({service.schema: box}, service.schema, host, port)
+
+
+def serve_schemas(
+    boxes: Dict[str, "_ServiceBox"], default: str,
+    host: str = "127.0.0.1", port: int = 8321,
+) -> ThreadingHTTPServer:
+    """Multi-schema daemon: one endpoint serving several schemas, the
+    way the reference's single PostgreSQL holds all four experimental
+    schemas (ref:src/setup_vector_db.py:89). Requests route by their
+    optional ``"schema"`` field (``?schema=`` on GET); omitted =
+    ``default``. Each schema keeps its own index, metrics, and
+    reload/sync hooks — share one text tower across their services via
+    :func:`build_service`'s ``encoder`` argument (the reference reloads
+    the model once per schema instead, ref:src/run_pipeline.py:260-265).
+    """
     return _Server(
-        (host, port), _make_handler(_ServiceBox(service, rebuild, fetch))
+        (host, port), _make_handler(_ServiceRegistry(boxes, default))
     )
 
 
