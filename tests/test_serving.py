@@ -1217,3 +1217,84 @@ def test_single_schema_serve_unchanged():
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+
+# -- query-by-image serving ------------------------------------------------------
+
+
+class _StubEngine:
+    class variant:
+        image_size = 32
+
+    def encode_image_batch(self, arrs):
+        # deterministic "embedding": channel means, unit-normed
+        flat = arrs.reshape(len(arrs), -1, 3).mean(axis=1)
+        return flat / np.linalg.norm(flat, axis=1, keepdims=True)
+
+
+def _png_bytes(color):
+    import io
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (48, 40), color).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def test_make_image_bytes_encoder_decodes_and_rejects():
+    from tpualign.serving.server import make_image_bytes_encoder
+
+    enc = make_image_bytes_encoder(_StubEngine())
+    out = enc([_png_bytes((255, 0, 0)), _png_bytes((0, 0, 255))])
+    assert out.shape == (2, 3)
+    # CLIP mean/std normalization shifts channel means, but the image's
+    # own color channel still dominates
+    assert np.argmax(out[0]) == 0 and np.argmax(out[1]) == 2
+    with pytest.raises(ValueError, match=r"undecodable query image \[1\]"):
+        enc([_png_bytes((0, 255, 0)), b"not an image"])
+
+
+def test_search_image_bytes_http_roundtrip():
+    """POST /search_image_bytes: base64 images -> decode -> image tower
+    -> chunk search; ad-hoc query images the reference cannot serve
+    (its queries require a DB row, ref:src/evaluate_alignments.py:109-143)."""
+    import base64
+
+    from tpualign.serving.server import make_image_bytes_encoder
+
+    enc = make_image_bytes_encoder(_StubEngine())
+    # corpus aligned with the stub embedding space: red/green/blue axes
+    corpus = np.eye(3, dtype=np.float32)
+    svc = RetrievalService(
+        corpus, ["red", "green", "blue"], ["m"] * 3, [1] * 3,
+        image_encoder=enc, coalesce_window_ms=None,
+    )
+    assert svc.stats()["image_query"] is True
+    res = svc.search_image_bytes([_png_bytes((0, 255, 0))], k=1)
+    assert res[0][0]["chunk_id"] == "green"
+
+    httpd = serve(svc, host="127.0.0.1", port=0)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        out = _post(base, "/search_image_bytes", {
+            "images_b64": [
+                base64.b64encode(_png_bytes((255, 0, 0))).decode(),
+                base64.b64encode(_png_bytes((0, 0, 255))).decode(),
+            ], "k": 1})
+        got = [r[0]["chunk_id"] for r in out["results"]]
+        assert got == ["red", "blue"]
+        # undecodable payload -> 400, not a crash
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _post(base, "/search_image_bytes", {
+                "images_b64": [base64.b64encode(b"junk").decode()]})
+        assert exc.value.code == 400
+        # no image encoder -> clear 400 too
+        svc.image_encoder = None
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _post(base, "/search_image_bytes", {
+                "images_b64": [base64.b64encode(_png_bytes((1, 2, 3))).decode()]})
+        assert exc.value.code == 400
+    finally:
+        httpd.shutdown()
+        httpd.server_close()

@@ -390,15 +390,17 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
                     kw[field] = f"{path}.{schema}"
             return dataclasses.replace(config, **kw) if kw else config
 
-        encoder = None
+        encoder = img_encoder = None
         if not args.no_text_tower:
             from tpualign.parallel.embed import EmbedEngine
+            from tpualign.serving.server import make_image_bytes_encoder
 
             engine = EmbedEngine(
                 config.model, mesh=mesh, batch_size=64,
                 text_buckets=getattr(config, "text_buckets", (16, 32, 77)),
             )
             encoder = engine.encode_text_batch
+            img_encoder = make_image_bytes_encoder(engine)
 
         boxes = {}
         for schema in schemas:
@@ -406,6 +408,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             try:
                 service = build_service(cfg_s, schema, mesh=mesh,
                                         encoder=encoder,
+                                        image_encoder=img_encoder,
                                         text_tower=not args.no_text_tower)
             except ValueError as e:
                 if args.schema == "all":  # serve what exists, say so
@@ -417,6 +420,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
                 service,
                 rebuild=lambda cfg=cfg_s, s=schema: build_service(
                     cfg, s, mesh=mesh, encoder=encoder,
+                    image_encoder=img_encoder,
                     text_tower=not args.no_text_tower,
                 ),
                 fetch=(None if mesh is not None else

@@ -271,6 +271,8 @@ class RetrievalService:
         schema: str = "vanilla_clip",
         mesh=None,
         text_encoder: Optional[Callable[[List[str]], np.ndarray]] = None,
+        image_encoder: Optional[
+            Callable[[Sequence[bytes]], np.ndarray]] = None,
         images: Optional[Sequence[dict]] = None,
         image_embeddings: Optional[np.ndarray] = None,
         weak_lookup: Optional[dict] = None,
@@ -328,6 +330,7 @@ class RetrievalService:
             else None
         )
         self.text_encoder = text_encoder
+        self.image_encoder = image_encoder
         # stored-image queries (the reference's canonical query pattern,
         # ref:src/evaluate_alignments.py:109-143) + weak-score reranking
         self._images = {img["image_id"]: i for i, img in enumerate(images or [])}
@@ -503,6 +506,28 @@ class RetrievalService:
             with self._qc_lock:
                 self._query_cache.clear()
 
+    def search_image_bytes(
+        self,
+        images: Sequence[bytes],
+        manual: Optional[str] = None,
+        page: Optional[int] = None,
+        k: int = 10,
+        global_search: bool = True,
+    ) -> List[List[dict]]:
+        """Top chunks for NEW images supplied as encoded bytes
+        (PNG/JPEG/...): decode + parity-grade preprocess on host, encode
+        on the image tower, search. The reference can only query images
+        already inserted into the DB
+        (ref:src/evaluate_alignments.py:109-143); this serves ad-hoc
+        query images — the other half of text↔image retrieval."""
+        if self.image_encoder is None:
+            raise RuntimeError(
+                "no image encoder loaded (serve --no-text-tower?)")
+        q = np.asarray(self.image_encoder(list(images)), np.float32)
+        manuals = None if global_search else [manual] * len(q)
+        pages = None if global_search else [page] * len(q)
+        return self.search_embeddings(q, manuals, pages, k, global_search)
+
     def search_text(
         self,
         texts: List[str],
@@ -558,6 +583,7 @@ class RetrievalService:
             "dim": self.index.dim,
             "text_search": self.text_encoder is not None,
             "image_search": self._image_embs is not None,
+            "image_query": self.image_encoder is not None,
             "num_images": len(self._image_meta),
             "mesh": dict(self.index.mesh.shape) if self.index.mesh else None,
             "index": type(self.index).__name__,
@@ -648,13 +674,42 @@ def build_index_artifact(config, schema: str, cache_path: str,
     )
 
 
+def make_image_bytes_encoder(engine) -> Callable:
+    """Query-image encode callable for :meth:`search_image_bytes`:
+    PNG/JPEG bytes -> host decode + parity-grade preprocess
+    (torchvision bicubic+antialias semantics) -> image tower. An
+    undecodable blob raises ValueError (a 400 at the HTTP layer, not a
+    placeholder — ad-hoc queries must fail loudly, unlike corpus
+    ingestion's skip-and-continue)."""
+    import io
+
+    from tpualign.ops.preprocess import preprocess_host
+
+    size = engine.variant.image_size
+
+    def encode(blobs: Sequence[bytes]) -> np.ndarray:
+        from PIL import Image
+
+        arrs = []
+        for i, blob in enumerate(blobs):
+            try:
+                with Image.open(io.BytesIO(blob)) as im:
+                    arrs.append(preprocess_host(im, size))
+            except Exception as e:
+                raise ValueError(f"undecodable query image [{i}]: {e}")
+        return engine.encode_image_batch(np.stack(arrs))
+
+    return encode
+
+
 def build_service(config, schema: str, mesh=None, text_tower: bool = True,
-                  encoder: Optional[Callable] = None) -> RetrievalService:
+                  encoder: Optional[Callable] = None,
+                  image_encoder: Optional[Callable] = None) -> RetrievalService:
     """Service over the store configured in ``config`` (CLI entry).
 
-    ``encoder``: pre-built text encode callable to share across
-    services — a multi-schema daemon loads ONE text tower for all its
-    schemas (the reference re-loads the CLIP model once per schema,
+    ``encoder`` / ``image_encoder``: pre-built encode callables to share
+    across services — a multi-schema daemon loads ONE tower pair for all
+    its schemas (the reference re-loads the CLIP model once per schema,
     ref:src/run_pipeline.py:260-265 × ref:src/insert_clip_embeddings.py:250-252).
     """
     store = EmbeddingStore(config.store.root, embed_dim=config.model.embed_dim)
@@ -670,6 +725,8 @@ def build_service(config, schema: str, mesh=None, text_tower: bool = True,
             text_buckets=getattr(config, "text_buckets", (16, 32, 77)),
         )
         encoder = engine.encode_text_batch
+        if image_encoder is None:
+            image_encoder = make_image_bytes_encoder(engine)
 
     images = store.images(schema)
     img_ids, img_emb = store.embedding_matrix(schema, "images")
@@ -684,6 +741,7 @@ def build_service(config, schema: str, mesh=None, text_tower: bool = True,
         [c["manual_id"] for c in chunks],
         [c.get("page") for c in chunks],
         schema=schema, mesh=mesh, text_encoder=encoder,
+        image_encoder=image_encoder,
         images=image_meta, image_embeddings=img_emb,
         weak_lookup=build_weak_lookup(store.alignments(schema)),
         recall_target=getattr(config, "retrieval_recall_target", None),
@@ -904,6 +962,17 @@ def _make_handler(registry: "_ServiceRegistry"):
                         k=k,
                         rerank_alpha=req.get("rerank"),
                         global_search=bool(req.get("global", False)),
+                    )
+                elif self.path == "/search_image_bytes":
+                    import base64
+
+                    blobs = [base64.b64decode(s) for s in req["images_b64"]]
+                    results = service.search_image_bytes(
+                        blobs,
+                        manual=req.get("manual"),
+                        page=req.get("page"),
+                        k=k,
+                        global_search=bool(req.get("global", True)),
                     )
                 elif self.path == "/search_text":
                     results = service.search_text(
