@@ -445,3 +445,46 @@ def test_recall_on_low_intrinsic_dim_manifold():
     q = unit((rng.normal(size=(32, idim)) @ basis.T).astype(np.float32))
     index = make_index(x, None, None)
     assert global_recall(index, q, x) >= 0.85
+
+
+def test_deserializer_fuzz_never_crashes():
+    """Randomized corruption fuzz over the serialized graph: every
+    mutation either loads (rare — a benign byte) or fails cleanly;
+    the process must never crash (the daemon loads these blobs).
+    Deterministic seed; ~200 mutations across truncations, bit flips,
+    and field-aligned int overwrites."""
+    from tpualign.native.bindings import load_hnsw_core
+
+    c, cman, cpage, _ = make_corpus(n=150, d=24)
+    idx = make_index(c, cman, cpage)
+    blob = idx._core.serialize()
+    rng = np.random.default_rng(42)
+    outcomes = {"loaded": 0, "rejected": 0}
+    for trial in range(200):
+        mutated = bytearray(blob)
+        kind = trial % 4
+        if kind == 0:  # truncate
+            mutated = mutated[: int(rng.integers(0, len(blob)))]
+        elif kind == 1:  # flip random bytes
+            for _ in range(int(rng.integers(1, 8))):
+                mutated[int(rng.integers(0, len(mutated)))] ^= int(
+                    rng.integers(1, 256))
+        elif kind == 2:  # overwrite an aligned int32 with an extreme
+            off = int(rng.integers(0, max(1, len(mutated) // 4 - 1))) * 4
+            val = int(rng.choice([-1, 2**31 - 1, -(2**31), 2**20]))
+            mutated[off:off + 4] = int(val).to_bytes(4, "little", signed=True)
+        else:  # swap two random slices
+            a, b = sorted(int(rng.integers(0, len(mutated))) for _ in "ab")
+            mutated[a:b] = mutated[a:b][::-1]
+        core = load_hnsw_core(bytes(mutated), idx.dim, seed=0)
+        if core is None:
+            outcomes["rejected"] += 1
+        else:
+            # a survivor must still be walkable without crashing
+            q = c[:2]
+            core.search(q, np.full(2, -3, np.int64), 5, 40)
+            outcomes["loaded"] += 1
+    # the invariant is "no crash"; most structural mutations must be
+    # rejected, while bit flips inside vector data legitimately load
+    assert outcomes["rejected"] >= 100, outcomes
+    assert outcomes["loaded"] + outcomes["rejected"] == 200
