@@ -1298,3 +1298,53 @@ def test_search_image_bytes_http_roundtrip():
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+
+def test_add_by_text_embeds_on_daemon_tower():
+    """POST /add with 'texts' instead of 'embeddings': the daemon embeds
+    on its own text tower, so inserted chunks rank exactly where a
+    search for the same text lands."""
+    rng = np.random.default_rng(21)
+    d = 16
+    emb = rng.normal(size=(8, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+
+    table = {}
+
+    def fake_encoder(texts):
+        out = []
+        for t in texts:
+            if t not in table:
+                v = rng.normal(size=d).astype(np.float32)
+                table[t] = v / np.linalg.norm(v)
+            out.append(table[t])
+        return np.stack(out)
+
+    svc = RetrievalService(emb, [f"c{i}" for i in range(8)], ["m"] * 8,
+                           [1] * 8, text_encoder=fake_encoder,
+                           coalesce_window_ms=None)
+    out = svc.add_chunks_text(["fresh"], ["m"], [1], ["de nieuwe pomp"])
+    assert out["added"] == 1 and out["corpus_size"] == 9
+    res = svc.search_text(["de nieuwe pomp"], k=1)
+    assert res[0][0]["chunk_id"] == "fresh"
+    assert res[0][0]["score"] > 0.999
+
+    httpd = serve(svc, host="127.0.0.1", port=0)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        out = _post(base, "/add", {
+            "chunk_ids": ["fresh2"], "manuals": ["m"], "pages": [1],
+            "texts": ["nog een onderdeel"]})
+        assert out["added"] == 1
+        res = _post(base, "/search_text", {"texts": ["nog een onderdeel"],
+                                           "k": 1})
+        assert res["results"][0][0]["chunk_id"] == "fresh2"
+        # mismatched lengths -> 400
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _post(base, "/add", {"chunk_ids": ["a", "b"], "manuals": ["m"],
+                                 "pages": [1], "texts": ["x"]})
+        assert exc.value.code == 400
+    finally:
+        httpd.shutdown()
+        httpd.server_close()

@@ -382,6 +382,28 @@ class RetrievalService:
         self._query_cache_clear()  # cached rankings predate the insert
         return {"added": len(emb), "corpus_size": self.index.n}
 
+    def add_chunks_text(
+        self,
+        chunk_ids: Sequence[str],
+        manuals: Sequence[str],
+        pages: Sequence[Optional[int]],
+        texts: Sequence[str],
+    ) -> dict:
+        """Insert-by-content: the daemon embeds raw chunk texts on its
+        own text tower, then inserts — callers need no model of their
+        own (the reference's INSERT path likewise receives rows whose
+        embeddings the pipeline computed,
+        ref:src/insert_clip_embeddings.py:328-353; here the daemon IS
+        the pipeline's tower)."""
+        if self.text_encoder is None:
+            raise RuntimeError(
+                "no text encoder loaded (serve --no-text-tower?)")
+        if len(texts) != len(chunk_ids):
+            raise ValueError("chunk_ids and texts must have matching "
+                             "lengths")
+        emb = np.asarray(self.text_encoder(list(texts)), np.float32)
+        return self.add_chunks(chunk_ids, manuals, pages, emb)
+
     def live_chunk_ids(self) -> set:
         """Currently-servable chunk ids (added minus tombstoned)."""
         return set(self.chunk_ids) - self._removed_ids
@@ -932,10 +954,17 @@ def _make_handler(registry: "_ServiceRegistry"):
             try:
                 k = int(req.get("k", 10))
                 if self.path == "/add":
-                    out = service.add_chunks(
-                        req["chunk_ids"], req["manuals"], req.get("pages"),
-                        np.asarray(req["embeddings"], np.float32),
-                    )
+                    if "embeddings" in req:
+                        out = service.add_chunks(
+                            req["chunk_ids"], req["manuals"],
+                            req.get("pages"),
+                            np.asarray(req["embeddings"], np.float32),
+                        )
+                    else:  # insert-by-content: daemon embeds the texts
+                        out = service.add_chunks_text(
+                            req["chunk_ids"], req["manuals"],
+                            req.get("pages"), req["texts"],
+                        )
                     service.metrics.record(
                         self.path, out["added"], time.perf_counter() - t0
                     )
