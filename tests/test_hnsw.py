@@ -187,6 +187,17 @@ def test_corrupt_cache_blob_fails_load_not_crash(tmp_path):
         # dim field (first int32 after the 8-byte magic) -> negative
         "neg_dim": bytes(blob[:8]) + (-5).to_bytes(4, "little", signed=True)
         + bytes(blob[12:]),
+        # efc=0 (int32 at offset 16): the create path clamps efc>=1, so
+        # a loaded graph with efc 0 would hand search_layer an empty
+        # beam on the next insert
+        "zero_efc": bytes(blob[:16]) + (0).to_bytes(4, "little")
+        + bytes(blob[20:]),
+        # max_level (int32 at offset 24) above the entry node's actual
+        # level: passes pure range checks but the first search indexes
+        # links[entry][max_level] past the vector's end (the segfault a
+        # field-only validator misses)
+        "max_level_bump": bytes(blob[:24]) + (64).to_bytes(4, "little")
+        + bytes(blob[28:]),
         # huge row count n (int64 at offset 8+4*4+4=28)
         "huge_n": bytes(blob[:28]) + (1 << 40).to_bytes(8, "little")
         + bytes(blob[36:]),
@@ -312,25 +323,35 @@ def test_recall_target_calibrates_ef():
 
 def test_calibration_persists_and_recalibrates_on_target_change(tmp_path):
     """The calibrated ef rides the cache; a changed target recalibrates
-    and refreshes the artifact (mirrors the IVF cache contract)."""
+    (UP *and* DOWN — the ladder restarts at the pgvector default, not
+    the cached ef) and refreshes the artifact; unsetting the target
+    resets the loaded graph to the auto default instead of serving a
+    calibration nobody asked for."""
     from tpualign.parallel.hnsw import HNSWIndex
 
-    c, cman, cpage, _ = make_corpus(n=1200)
+    # high ambient dim + tight target: genuinely needs ef > 40
+    c, cman, cpage, _ = make_corpus(n=1500, d=384)
     cache = str(tmp_path / "cal.hnsw.npz")
     a = build_index(c, cman, cpage, index_type="hnsw",
-                    recall_target=0.9, hnsw_cache=cache)
+                    recall_target=0.98, hnsw_cache=cache)
+    assert a.ef_search > 40, a.ef_search
     b = build_index(c, cman, cpage, index_type="hnsw",
-                    recall_target=0.9, hnsw_cache=cache)
+                    recall_target=0.98, hnsw_cache=cache)
     assert b.ef_search == a.ef_search
-    assert b.calibrated_target == 0.9
+    assert b.calibrated_target == 0.98
+    # LOWERED target: the recalibration must come back down
     d = build_index(c, cman, cpage, index_type="hnsw",
-                    recall_target=0.3, hnsw_cache=cache)
-    assert d.calibrated_target == 0.3
-    assert d.ef_search <= a.ef_search
+                    recall_target=0.2, hnsw_cache=cache)
+    assert d.calibrated_target == 0.2
+    assert d.ef_search < a.ef_search, (d.ef_search, a.ef_search)
     # the refreshed cache now carries the new calibration
     reloaded = HNSWIndex.load(cache, c)
     assert reloaded.ef_search == d.ef_search
-    assert reloaded.calibrated_target == 0.3
+    assert reloaded.calibrated_target == 0.2
+    # target unset: auto means the default 40, not the cached ef
+    e = build_index(c, cman, cpage, index_type="hnsw", hnsw_cache=cache)
+    assert e.ef_search == 40
+    assert getattr(e, "calibrated_target", None) is None
 
 
 def test_calibrate_caps_at_ef_max(monkeypatch):

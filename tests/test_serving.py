@@ -1,6 +1,7 @@
 """Serving daemon tests: device-resident service + HTTP/JSON roundtrip."""
 
 import json
+import os
 import threading
 import urllib.error
 import urllib.request
@@ -700,12 +701,16 @@ def test_cli_index_builds_artifact(tmp_path, capsys):
     store.save(["vanilla_clip"])
 
     cache = tmp_path / "vanilla.ivf.npz"
+    # cache paths are schema-namespaced uniformly (index cmd + serve),
+    # inserted before the extension; the printed info carries the
+    # final path
+    stored = tmp_path / "vanilla.ivf.vanilla_clip.npz"
     rc = main(["index", "--schema", "vanilla_clip",
                "--store-dir", str(tmp_path / "store"),
                "--cache", str(cache)])
-    assert rc == 0 and cache.exists()
+    assert rc == 0 and stored.exists() and not cache.exists()
     meta = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert meta["n"] == 64 and meta["cache"] == str(cache)
+    assert meta["n"] == 64 and meta["cache"] == str(stored)
 
     calls = []
     orig = ivf_mod._kmeans
@@ -1348,3 +1353,97 @@ def test_add_by_text_embeds_on_daemon_tower():
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+
+def test_non_dict_json_body_gets_400():
+    """A JSON array/scalar body must 400 with a JSON error payload —
+    not drop the connection (review finding: req.get on a list raised
+    AttributeError past the handler's catch)."""
+    emb = np.eye(4, dtype=np.float32)
+    svc = RetrievalService(emb, list("abcd"), ["m"] * 4, [1] * 4,
+                           coalesce_window_ms=None)
+    httpd = serve(svc, host="127.0.0.1", port=0)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        for payload in (b"[1, 2]", b"5", b"null", b'"text"'):
+            req = urllib.request.Request(
+                f"{base}/search", data=payload,
+                headers={"Content-Type": "application/json"})
+            with pytest.raises(urllib.error.HTTPError) as exc:
+                urllib.request.urlopen(req, timeout=30)
+            assert exc.value.code == 400
+            assert "JSON object" in json.loads(exc.value.read())["error"]
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
+def test_schema_cache_path_namespacing():
+    """One configured cache path serves several schemas without
+    clobbering; paths already naming the schema (tpualign index's
+    default artifact) pass through so offline builds and serve starts
+    agree."""
+    from tpualign.serving.server import schema_cache_path
+
+    assert schema_cache_path(None, "vanilla_clip") is None
+    # inserted BEFORE .npz (np.savez appends .npz to other names,
+    # which would desync writer and reader)
+    assert schema_cache_path("/x/g.npz", "vanilla_clip") == \
+        "/x/g.vanilla_clip.npz"
+    assert schema_cache_path("/x/vanilla_clip.hnsw.npz", "vanilla_clip") == \
+        "/x/vanilla_clip.hnsw.npz"
+    # schema in a DIRECTORY component doesn't count
+    assert schema_cache_path("/data/clip_lexical/g.npz", "clip_lexical") == \
+        "/data/clip_lexical/g.clip_lexical.npz"
+    assert schema_cache_path("noext", "s") == "noext.s"
+
+
+def test_offline_index_artifact_feeds_serve(tmp_path, monkeypatch):
+    """tpualign index writes the artifact at the same path build_service
+    later reads (review finding: the multi-schema suffix previously
+    diverged from the offline builder, forcing a silent rebuild)."""
+    import tpualign.parallel.hnsw as hnsw_mod
+    from tpualign.config import load_config
+    from tpualign.serving import build_index_artifact, build_service
+    from tpualign.serving.server import schema_cache_path
+    from tpualign.store import EmbeddingStore
+    from tpualign.native import native_available
+
+    if not native_available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(9)
+    store = EmbeddingStore(tmp_path / "store", embed_dim=512)
+    store.setup(["vanilla_clip"])
+    emb = rng.normal(size=(40, 512)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    store.insert_images("vanilla_clip", [
+        {"image_id": f"i{k}", "manual_id": "m", "page": 1,
+         "bbox": [0, 0, 1, 1], "bbox_source": "native", "caption": None,
+         "filename": None, "image_type": "raster_image"}
+        for k in range(40)], emb)
+    store.insert_chunks("vanilla_clip", [
+        {"chunk_id": f"c{k}", "manual_id": "m", "page": 1,
+         "bbox": [0, 0, 1, 1], "text": f"t{k}"} for k in range(40)], emb)
+    store.save(["vanilla_clip"])
+
+    base_cache = str(tmp_path / "g.hnsw.npz")
+    cfg = load_config(env_file=None, overrides={
+        "STORE_DIR": str(tmp_path / "store"), "RETRIEVAL_INDEX": "hnsw",
+        "HNSW_CACHE": base_cache})
+    # offline build at the namespaced path (what cmd_index now does)
+    path = schema_cache_path(base_cache, "vanilla_clip")
+    build_index_artifact(cfg, "vanilla_clip", path)
+    assert os.path.exists(path)
+
+    builds = []
+    orig = hnsw_mod.make_hnsw_core
+
+    def spy(*a, **kw):
+        builds.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(hnsw_mod, "make_hnsw_core", spy)
+    svc = build_service(cfg, "vanilla_clip", text_tower=False)
+    assert not builds, "serve start must load the offline artifact"
+    assert svc.stats()["index"] == "HNSWIndex"

@@ -323,15 +323,17 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         import os
 
         from tpualign.serving import build_index_artifact
+        from tpualign.serving.server import schema_cache_path
 
         config = _config_from(args)
         kind = getattr(config, "retrieval_index", "exact")
         if kind == "exact":
             kind = "ivf"  # exact search has no offline artifact
-        cache = args.cache or (
+        cache = schema_cache_path(args.cache or (
             getattr(config, "hnsw_cache", None) if kind == "hnsw"
             else getattr(config, "ivf_cache", None)
-        ) or os.path.join(config.store.root, f"{args.schema}.{kind}.npz")
+        ) or os.path.join(config.store.root, f"{args.schema}.{kind}.npz"),
+            args.schema)
         index = build_index_artifact(config, args.schema, cache)
         import json as _json
 
@@ -373,22 +375,24 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             if bad:
                 print(f"unknown schema(s) {bad}; choose from {list(SCHEMAS)}")
                 return 1
-        multi = len(schemas) > 1
+        # Check the store BEFORE paying the tower load (minutes on a
+        # relay-attached chip): a serve that would exit with "no
+        # embeddings" must exit before EmbedEngine, not after.
+        from tpualign.store import EmbeddingStore
 
-        def _schema_config(schema: str):
-            """Per-schema index-cache paths: several schemas sharing one
-            IVF_CACHE/HNSW_CACHE file would clobber each other (the
-            cache embeds one corpus fingerprint)."""
-            if not multi:
-                return config
-            import dataclasses
-
-            kw = {}
-            for field in ("ivf_cache", "hnsw_cache"):
-                path = getattr(config, field, None)
-                if path:
-                    kw[field] = f"{path}.{schema}"
-            return dataclasses.replace(config, **kw) if kw else config
+        probe = EmbeddingStore(config.store.root,
+                               embed_dim=config.model.embed_dim)
+        missing = [s for s in schemas if not probe.has_embeddings(s)]
+        if missing and args.schema != "all":
+            print(f"error: schema(s) {missing} have no embeddings in "
+                  f"{config.store.root}")
+            return 1
+        for s in missing:
+            print(f"skipping {s}: no embeddings in {config.store.root}")
+        schemas = [s for s in schemas if s not in missing]
+        if not schemas:
+            print(f"no schema has embeddings in {config.store.root}")
+            return 1
 
         encoder = img_encoder = None
         if not args.no_text_tower:
@@ -404,31 +408,20 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
 
         boxes = {}
         for schema in schemas:
-            cfg_s = _schema_config(schema)
-            try:
-                service = build_service(cfg_s, schema, mesh=mesh,
-                                        encoder=encoder,
-                                        image_encoder=img_encoder,
-                                        text_tower=not args.no_text_tower)
-            except ValueError as e:
-                if args.schema == "all":  # serve what exists, say so
-                    print(f"skipping {schema}: {e}")
-                    continue
-                print(f"error: {e}")
-                return 1
+            service = build_service(config, schema, mesh=mesh,
+                                    encoder=encoder,
+                                    image_encoder=img_encoder,
+                                    text_tower=not args.no_text_tower)
             boxes[schema] = _ServiceBox(
                 service,
-                rebuild=lambda cfg=cfg_s, s=schema: build_service(
-                    cfg, s, mesh=mesh, encoder=encoder,
+                rebuild=lambda s=schema: build_service(
+                    config, s, mesh=mesh, encoder=encoder,
                     image_encoder=img_encoder,
                     text_tower=not args.no_text_tower,
                 ),
                 fetch=(None if mesh is not None else
-                       lambda cfg=cfg_s, s=schema: fetch_snapshot(cfg, s)),
+                       lambda s=schema: fetch_snapshot(config, s)),
             )
-        if not boxes:
-            print(f"no schema has embeddings in {config.store.root}")
-            return 1
         default = schemas[0] if schemas[0] in boxes else sorted(boxes)[0]
         httpd = serve_schemas(boxes, default, host=args.host, port=args.port)
         print(f"tpualign serve [{', '.join(sorted(boxes))}; default "

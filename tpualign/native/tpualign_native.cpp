@@ -562,7 +562,9 @@ void* tpua_hnsw_deserialize(const char* buf, int64_t size, uint64_t seed) {
   if (!get(p, end, &h->dim) || !get(p, end, &h->M) || !get(p, end, &h->efc) ||
       !get(p, end, &h->entry) || !get(p, end, &h->max_level) ||
       h->dim <= 0 || h->dim > (1 << 20) || h->M < 2 || h->M > 4096 ||
-      h->efc < 0 || h->max_level < -1 || h->max_level > 64) {
+      h->efc < 1 || h->max_level < -1 || h->max_level > 64) {
+    // efc < 1 would hand search_layer an empty beam on the next insert
+    // (res.top() on an empty priority_queue); create clamps it too.
     delete h;
     return nullptr;
   }
@@ -591,6 +593,13 @@ void* tpua_hnsw_deserialize(const char* buf, int64_t size, uint64_t seed) {
   h->levels.resize(n);
   std::memcpy(h->levels.data(), p, n * sizeof(int32_t));
   p += n * sizeof(int32_t);
+  // The greedy descent starts at links[entry][max_level]; an entry
+  // whose own level is below the header's max_level indexes past its
+  // links vector on the FIRST search.
+  if (n > 0 && h->levels[h->entry] < h->max_level) {
+    delete h;
+    return nullptr;
+  }
   h->links.resize(n);
   int64_t nlinks = 0;
   for (int64_t i = 0; i < n; ++i) {
@@ -599,7 +608,8 @@ void* tpua_hnsw_deserialize(const char* buf, int64_t size, uint64_t seed) {
       return nullptr;
     }
     h->links[i].resize(h->levels[i] + 1);
-    for (auto& layer : h->links[i]) {
+    for (int32_t layer_idx = 0; layer_idx <= h->levels[i]; ++layer_idx) {
+      auto& layer = h->links[i][layer_idx];
       int32_t cnt = 0;
       if (!get(p, end, &cnt) || cnt < 0 ||
           (end - p) < static_cast<int64_t>(cnt) * 4) {
@@ -609,8 +619,11 @@ void* tpua_hnsw_deserialize(const char* buf, int64_t size, uint64_t seed) {
       layer.resize(cnt);
       std::memcpy(layer.data(), p, cnt * sizeof(int32_t));
       p += cnt * sizeof(int32_t);
-      for (int32_t v : layer) {  // a bad neighbor id would read OOB later
-        if (v < 0 || v >= n) {
+      for (int32_t v : layer) {
+        // a bad id reads OOB later; a layer-L neighbor whose own level
+        // is < L crashes the walk when it hops there and indexes
+        // links[v][L]
+        if (v < 0 || v >= n || h->levels[v] < layer_idx) {
           delete h;
           return nullptr;
         }

@@ -362,7 +362,11 @@ class HNSWIndex:
         part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
         truth = [set(live_pos[row].tolist()) for row in part]
         qk = np.full(s, WILDCARD_KEY, np.int64)
-        ef, achieved = max(kk, min(self.ef_search, self.EF_MAX)), 0.0
+        # Ladder restarts from pgvector's default, NOT the instance ef:
+        # a recalibration after the target was LOWERED must be able to
+        # come back down (the instance ef may hold a previous, larger
+        # calibration loaded from the cache).
+        ef, achieved = max(kk, min(40, self.EF_MAX)), 0.0
         while True:
             _, idx = self.search_encoded(q, qk, kk, ef=ef)
             achieved = float(np.mean(

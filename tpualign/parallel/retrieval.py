@@ -1374,6 +1374,19 @@ def build_index(
                     # recalibrate (cheap) and refresh the artifact
                     loaded.calibrate(recall_target)
                     loaded.save(hnsw_cache)
+                elif (recall_target is None and auto_ef and getattr(
+                        loaded, "calibrated_target", None) is not None):
+                    # the cache was calibrated under a target that is no
+                    # longer set: auto means pgvector's default, not a
+                    # calibration nobody asked for
+                    log.info(
+                        "HNSW cache held ef=%d calibrated for target "
+                        "%.3f, but RETRIEVAL_RECALL_TARGET is unset; "
+                        "serving the default ef=40",
+                        loaded.ef_search, loaded.calibrated_target,
+                    )
+                    loaded.ef_search = 40
+                    loaded.calibrated_target = None
                 return loaded
             except Exception as e:  # stale/mismatched cache: rebuild
                 log.warning(

@@ -649,6 +649,29 @@ class RetrievalService:
         return out
 
 
+def schema_cache_path(path: Optional[str], schema: str) -> Optional[str]:
+    """Namespace an index-cache path by schema: one configured
+    ``IVF_CACHE``/``HNSW_CACHE`` serves several schemas (each cache
+    embeds one corpus fingerprint, so sharing a file means clobbering).
+    Paths already carrying the schema in their filename — like
+    ``tpualign index``'s default ``<schema>.<kind>.npz`` — pass through
+    unchanged, so offline-built artifacts and serve starts agree. The
+    schema is inserted BEFORE the extension (``g.hnsw.npz`` ->
+    ``g.hnsw.<schema>.npz``): ``np.savez`` appends ``.npz`` to names
+    not ending in it, so a trailing suffix would silently write a
+    different file than the loader checks."""
+    if not path:
+        return path
+    import os
+
+    base = os.path.basename(path)
+    if schema in base:
+        return path
+    root, ext = os.path.splitext(base)
+    new = f"{root}.{schema}{ext}" if ext else f"{base}.{schema}"
+    return os.path.join(os.path.dirname(path), new)
+
+
 def build_index_artifact(config, schema: str, cache_path: str,
                          index_type: Optional[str] = None):
     """Offline ANN build + persist (``tpualign index``).
@@ -772,13 +795,15 @@ def build_service(config, schema: str, mesh=None, text_tower: bool = True,
         ivf_lists=getattr(config, "ivf_lists", None),
         ivf_probes=getattr(config, "ivf_probes", None),
         precision=getattr(config, "retrieval_precision", "fp32"),
-        ivf_cache=getattr(config, "ivf_cache", None),
+        ivf_cache=schema_cache_path(getattr(config, "ivf_cache", None),
+                                    schema),
         refine=getattr(config, "retrieval_refine", 0),
         query_cache=getattr(config, "serve_query_cache", 1024),
         hnsw_m=getattr(config, "hnsw_m", 16),
         hnsw_ef_construction=getattr(config, "hnsw_ef_construction", 64),
         hnsw_ef_search=getattr(config, "hnsw_ef_search", None),
-        hnsw_cache=getattr(config, "hnsw_cache", None),
+        hnsw_cache=schema_cache_path(getattr(config, "hnsw_cache", None),
+                                     schema),
         model_info={
             "name": config.model.model_name,
             "quant": config.model.quant,
@@ -928,6 +953,11 @@ def _make_handler(registry: "_ServiceRegistry"):
             try:
                 length = int(self.headers.get("Content-Length", "0"))
                 req = json.loads(self.rfile.read(length) or b"{}")
+                if not isinstance(req, dict):
+                    raise ValueError(
+                        f"request body must be a JSON object, got "
+                        f"{type(req).__name__}"
+                    )
                 box = registry.get(req.get("schema"))
             except (ValueError, TypeError, json.JSONDecodeError) as e:
                 self._reply(400, {"error": str(e)})
