@@ -1447,3 +1447,98 @@ def test_offline_index_artifact_feeds_serve(tmp_path, monkeypatch):
     svc = build_service(cfg, "vanilla_clip", text_tower=False)
     assert not builds, "serve start must load the offline artifact"
     assert svc.stats()["index"] == "HNSWIndex"
+
+
+def test_bearer_token_auth():
+    """SERVE_TOKEN: every endpoint except /healthz 401s without the
+    bearer token (the reference's pgvector endpoint is credentialed,
+    ref:.env.example DB_USER/DB_PASSWORD; an exposed daemon must be
+    too); correct token works end-to-end; notify_sync-style posts
+    without the header fail rather than mutate."""
+    emb = np.eye(4, dtype=np.float32)
+    svc = RetrievalService(emb, list("abcd"), ["m"] * 4, [1] * 4,
+                           coalesce_window_ms=None)
+    httpd = serve(svc, host="127.0.0.1", port=0, token="s3cret")
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        # /healthz stays open for liveness probes
+        with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+            assert json.loads(r.read())["status"] == "ok"
+        # everything else 401s: GET and POST, wrong and missing token
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(f"{base}/stats", timeout=30)
+        assert exc.value.code == 401
+        for hdrs in ({}, {"Authorization": "Bearer wrong"},
+                     {"Authorization": "s3cret"}):
+            req = urllib.request.Request(
+                f"{base}/search",
+                data=json.dumps({"embeddings": emb[:1].tolist(),
+                                 "global": True}).encode(),
+                headers={"Content-Type": "application/json", **hdrs})
+            with pytest.raises(urllib.error.HTTPError) as exc:
+                urllib.request.urlopen(req, timeout=30)
+            assert exc.value.code == 401
+        # the right token serves normally
+        ok = {"Authorization": "Bearer s3cret",
+              "Content-Type": "application/json"}
+        req = urllib.request.Request(
+            f"{base}/search",
+            data=json.dumps({"embeddings": emb[1:2].tolist(),
+                             "global": True, "k": 1}).encode(),
+            headers=ok)
+        with urllib.request.urlopen(req, timeout=30) as r:
+            out = json.loads(r.read())
+        assert out["results"][0][0]["chunk_id"] == "b"
+        req = urllib.request.Request(f"{base}/stats", headers=ok)
+        with urllib.request.urlopen(req, timeout=30) as r:
+            assert json.loads(r.read())["corpus_size"] == 4
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
+def test_no_token_stays_open():
+    emb = np.eye(3, dtype=np.float32)
+    svc = RetrievalService(emb, list("abc"), ["m"] * 3, [1] * 3,
+                           coalesce_window_ms=None)
+    httpd = serve(svc, host="127.0.0.1", port=0)  # no token configured
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        with urllib.request.urlopen(f"{base}/stats", timeout=30) as r:
+            assert json.loads(r.read())["status"] == "ok"
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
+def test_config_serve_token():
+    from tpualign.config import load_config
+
+    cfg = load_config(env_file=None, overrides={"SERVE_TOKEN": "tok"})
+    assert cfg.serve_token == "tok"
+    assert load_config(env_file=None).serve_token is None
+
+
+def test_notify_sync_carries_token():
+    """ingest --notify against a token-protected daemon authenticates
+    with the shared .env SERVE_TOKEN."""
+    from tpualign.pipeline import notify_sync
+
+    rng = np.random.default_rng(31)
+    emb = rng.normal(size=(4, 8)).astype(np.float32)
+    svc = RetrievalService(emb, [f"c{i}" for i in range(4)], ["m"] * 4,
+                           [1] * 4, coalesce_window_ms=None)
+    snap = ([f"c{i}" for i in range(4)] + ["c4"], ["m"] * 5, [1] * 5,
+            np.concatenate([emb, emb[:1]]))
+    srv = serve(svc, port=0, fetch=lambda: snap, token="tok")
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        assert notify_sync(base) is None  # no token -> 401 -> None
+        out = notify_sync(base, token="tok")
+        assert out is not None and out["added"] == 1
+    finally:
+        srv.shutdown()
+        srv.server_close()

@@ -305,7 +305,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         if ingested and args.notify:
             from tpualign.pipeline import notify_sync
 
-            notify_sync(args.notify)
+            notify_sync(args.notify,
+                        token=getattr(pipe.config, "serve_token", None))
         print(f"ingested {len(ingested)} file(s); "
               f"{summary.get('skipped_unchanged', 0)} unchanged")
         return 0
@@ -423,7 +424,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
                        lambda s=schema: fetch_snapshot(config, s)),
             )
         default = schemas[0] if schemas[0] in boxes else sorted(boxes)[0]
-        httpd = serve_schemas(boxes, default, host=args.host, port=args.port)
+        httpd = serve_schemas(boxes, default, host=args.host, port=args.port,
+                              token=getattr(config, "serve_token", None))
         print(f"tpualign serve [{', '.join(sorted(boxes))}; default "
               f"{default}]: {boxes[default].service.stats()} on "
               f"http://{args.host}:{httpd.server_address[1]}")

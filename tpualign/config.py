@@ -415,6 +415,12 @@ class PipelineConfig:
     # 0 = off): repeated /search_text queries skip BOTH the text-tower
     # encode and the corpus sweep; invalidated on corpus mutation
     serve_query_cache: int = 1024
+    # serving bearer token (SERVE_TOKEN): when set, every endpoint
+    # except /healthz requires "Authorization: Bearer <token>" — the
+    # analogue of the reference's DB_PASSWORD (its pgvector endpoint is
+    # credentialed; an exposed daemon must be too). None = open
+    # (loopback-only deployments).
+    serve_token: Optional[str] = None
 
     def replace(self, **kw) -> "PipelineConfig":
         return dataclasses.replace(self, **kw)
@@ -616,4 +622,5 @@ def load_config(
             not in ("off", "none", "") else None
         ),
         serve_query_cache=int(_env(env, "SERVE_QUERY_CACHE", "1024")),
+        serve_token=_env(env, "SERVE_TOKEN", "") or None,
     )

@@ -42,17 +42,23 @@ from tpualign.weaksup import compute_alignments
 log = get_logger("pipeline")
 
 
-def notify_sync(base_url: str, timeout: float = 60.0) -> Optional[dict]:
+def notify_sync(base_url: str, timeout: float = 60.0,
+                token: Optional[str] = None) -> Optional[dict]:
     """POST ``/sync`` to a running ``tpualign serve`` so it picks up the
     store delta incrementally (no rebuild). Failures log and return
-    None — ingestion must never die because the server is down."""
+    None — ingestion must never die because the server is down.
+    ``token``: the daemon's ``SERVE_TOKEN``, when it requires one
+    (defaults to this process's own config, so an ingest and a serve
+    sharing one .env just work)."""
     import json as _json
     import urllib.request
 
     url = base_url.rstrip("/") + "/sync"
+    headers = {"Content-Type": "application/json"}
+    if token:
+        headers["Authorization"] = f"Bearer {token}"
     try:
-        req = urllib.request.Request(url, b"{}",
-                                     {"Content-Type": "application/json"})
+        req = urllib.request.Request(url, b"{}", headers)
         with urllib.request.urlopen(req, timeout=timeout) as r:
             out = _json.loads(r.read())
         log.info("serve sync: +%s -%s (corpus %s)", out.get("added"),
@@ -406,7 +412,8 @@ class Pipeline:
                 if summary.get("ingested"):
                     log.info("Ingested: %s", ", ".join(summary["ingested"]))
                     if notify:
-                        notify_sync(notify)
+                        notify_sync(notify, token=getattr(
+                            self.config, "serve_token", None))
             except KeyboardInterrupt:
                 raise
             except Exception as e:

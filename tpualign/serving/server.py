@@ -913,7 +913,8 @@ class _ServiceRegistry:
             ) from None
 
 
-def _make_handler(registry: "_ServiceRegistry"):
+def _make_handler(registry: "_ServiceRegistry",
+                  token: Optional[str] = None):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # route to our logger, not stderr
             log.debug("http: " + fmt, *args)
@@ -926,10 +927,26 @@ def _make_handler(registry: "_ServiceRegistry"):
             self.end_headers()
             self.wfile.write(body)
 
+        def _authorized(self) -> bool:
+            """Bearer-token check (SERVE_TOKEN) — the analogue of the
+            reference's credentialed pgvector endpoint
+            (ref:.env.example:5-9: DB_USER/DB_PASSWORD). /healthz stays
+            open for liveness probes; everything else 401s without the
+            token. Constant-time compare."""
+            if token is None:
+                return True
+            import hmac
+
+            got = self.headers.get("Authorization", "")
+            return hmac.compare_digest(got, f"Bearer {token}")
+
         def do_GET(self):
             from urllib.parse import parse_qs, urlsplit
 
             parts = urlsplit(self.path)
+            if parts.path != "/healthz" and not self._authorized():
+                self._reply(401, {"error": "missing or bad bearer token"})
+                return
             try:
                 q = parse_qs(parts.query)
                 box = registry.get((q.get("schema") or [None])[0])
@@ -950,6 +967,9 @@ def _make_handler(registry: "_ServiceRegistry"):
 
         def do_POST(self):
             t0 = time.perf_counter()
+            if not self._authorized():
+                self._reply(401, {"error": "missing or bad bearer token"})
+                return
             try:
                 length = int(self.headers.get("Content-Length", "0"))
                 req = json.loads(self.rfile.read(length) or b"{}")
@@ -1074,6 +1094,7 @@ def serve(
     service: RetrievalService, host: str = "127.0.0.1", port: int = 8321,
     rebuild: Optional[Callable[[], RetrievalService]] = None,
     fetch: Optional[Callable[[], tuple]] = None,
+    token: Optional[str] = None,
 ) -> ThreadingHTTPServer:
     """Create (but do not start) the HTTP server; call ``serve_forever`` on
     the result, or use it with a thread in tests.
@@ -1087,12 +1108,14 @@ def serve(
     see :func:`fetch_chunks`).
     """
     box = _ServiceBox(service, rebuild, fetch)
-    return serve_schemas({service.schema: box}, service.schema, host, port)
+    return serve_schemas({service.schema: box}, service.schema, host, port,
+                         token=token)
 
 
 def serve_schemas(
     boxes: Dict[str, "_ServiceBox"], default: str,
     host: str = "127.0.0.1", port: int = 8321,
+    token: Optional[str] = None,
 ) -> ThreadingHTTPServer:
     """Multi-schema daemon: one endpoint serving several schemas, the
     way the reference's single PostgreSQL holds all four experimental
@@ -1104,7 +1127,8 @@ def serve_schemas(
     the model once per schema instead, ref:src/run_pipeline.py:260-265).
     """
     return _Server(
-        (host, port), _make_handler(_ServiceRegistry(boxes, default))
+        (host, port),
+        _make_handler(_ServiceRegistry(boxes, default), token=token),
     )
 
 
