@@ -509,3 +509,96 @@ def test_deserializer_fuzz_never_crashes():
     # rejected, while bit flips inside vector data legitimately load
     assert outcomes["rejected"] >= 100, outcomes
     assert outcomes["loaded"] + outcomes["rejected"] == 200
+
+
+# -- fp16 entries (pgvector's halfvec analogue) ---------------------------------
+
+
+def test_fp16_halves_memory_and_keeps_recall():
+    """precision='fp16' stores half-precision graph entries AND scan
+    copy (pgvector's halfvec): ~half the host RAM, recall within noise
+    of fp32 (unit vectors lose ~1e-3 per component, far below the
+    beam's approximation error)."""
+    c, cman, cpage, q = make_corpus(n=2500)
+    f32 = make_index(c, cman, cpage, ef_search=120)
+    f16 = make_index(c, cman, cpage, ef_search=120, precision="fp16")
+    assert f16.precision == "fp16"
+    m32, m16 = f32.memory_bytes(), f16.memory_bytes()
+    assert m16 < 0.62 * m32, (m16, m32)
+    r32 = global_recall(f32, q, c)
+    r16 = global_recall(f16, q, c)
+    assert r16 >= r32 - 0.05, (r16, r32)
+    # scores are fp32 dots over the rounded vectors: close to fp32's
+    v32, _ = f32.search(q[:4], k=3, global_search=True)
+    v16, _ = f16.search(q[:4], k=3, global_search=True)
+    np.testing.assert_allclose(v16, v32, atol=5e-3)
+
+
+def test_fp16_keyed_exact_matches_rounded_oracle():
+    """Keyed (selective) queries stay EXACT over the fp16-rounded
+    stored vectors — same contract as fp32, same arithmetic as the
+    graph walk."""
+    c, cman, cpage, q = make_corpus(n=800)
+    index = make_index(c, cman, cpage, precision="fp16")
+    vals, idx = index.search(q, ["m1"] * len(q), [2] * len(q), k=10)
+    ck, vocab = encode_keys(cman, cpage, {})
+    qk, _ = encode_keys(["m1"] * len(q), [2] * len(q), vocab)
+    rounded = unit(c).astype(np.float16).astype(np.float32)
+    ovals, oidx = numpy_oracle(unit(q), qk, rounded, ck, 10)
+    np.testing.assert_array_equal(idx, oidx)
+    np.testing.assert_allclose(vals, ovals, rtol=0, atol=1e-5)
+
+
+def test_fp16_save_load_add_remove_roundtrip(tmp_path):
+    from tpualign.parallel.hnsw import HNSWIndex
+
+    c, cman, cpage, q = make_corpus(n=400)
+    index = make_index(c, cman, cpage, precision="fp16")
+    extra = unit(np.random.default_rng(3).normal(size=(10, c.shape[1]))
+                 .astype(np.float32))
+    index.add(extra, ["new"] * 10, [1] * 10)
+    index.remove([0, 1])
+    path = tmp_path / "g16.npz"
+    index.save(path)
+    loaded = HNSWIndex.load(path, np.concatenate([c, extra]))
+    assert loaded.precision == "fp16"
+    assert loaded.n == 410 and loaded.live == 408
+    for kw in (dict(global_search=True),
+               dict(query_manuals=["new"] * len(q),
+                    query_pages=[1] * len(q))):
+        v0, p0 = index.search(q, k=5, **kw)
+        v1, p1 = loaded.search(q, k=5, **kw)
+        np.testing.assert_array_equal(p0, p1)
+        np.testing.assert_allclose(v0, v1, atol=1e-6)
+    # save-after-load keeps fingerprinting consistent (fp16 rounding
+    # happens once, not per roundtrip)
+    loaded.save(path)
+    again = HNSWIndex.load(path, np.concatenate([c, extra]))
+    assert again.n == 410
+
+
+def test_fp16_factory_routing_and_cache_precision(tmp_path, monkeypatch):
+    """RETRIEVAL_PRECISION=fp16 reaches the graph; a cache built at the
+    other precision is rebuilt, not served; int rungs warn and fall
+    back to fp32."""
+    import tpualign.parallel.retrieval as retrieval_mod
+
+    c, cman, cpage, _ = make_corpus(n=300)
+    cache = str(tmp_path / "p.hnsw.npz")
+    a = build_index(c, cman, cpage, index_type="hnsw", precision="fp16",
+                    hnsw_cache=cache)
+    assert a.precision == "fp16"
+    b = build_index(c, cman, cpage, index_type="hnsw", precision="fp16",
+                    hnsw_cache=cache)
+    assert b.precision == "fp16"
+    # precision change -> cache rejected, rebuilt at fp32
+    f32 = build_index(c, cman, cpage, index_type="hnsw", precision="fp32",
+                      hnsw_cache=cache)
+    assert f32.precision == "fp32"
+    warnings = []
+    monkeypatch.setattr(
+        retrieval_mod.log, "warning",
+        lambda msg, *x: warnings.append(msg % x if x else msg))
+    w = build_index(c, cman, cpage, index_type="hnsw", precision="int8")
+    assert w.precision == "fp32"
+    assert any("halfvec" in m for m in warnings)

@@ -384,7 +384,9 @@ class PipelineConfig:
     # "int2" (packed four-per-byte, 4-level values: 16x capacity at
     # ~5e-2-level noise — the extreme-capacity rung; composes with
     # exact, streaming, mesh, and IVF; pair it with RETRIEVAL_REFINE
-    # for exact final rankings). Evaluation always uses exact fp32.
+    # for exact final rankings). RETRIEVAL_INDEX=hnsw instead takes
+    # "fp16" (pgvector's halfvec: half the host RAM, ~1e-3 rounding)
+    # and warns on the int rungs. Evaluation always uses exact fp32.
     retrieval_precision: str = "fp32"
     # Refine stage (FAISS refine / rescore-after-quantization parity):
     # with a quantized precision (or a recall_target), each search

@@ -49,6 +49,7 @@ def _load():
         lib.tpua_bpe_word.restype = ctypes.c_int32
         lib.tpua_hnsw_create.argtypes = [
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_uint64,
+            ctypes.c_int32,
         ]
         lib.tpua_hnsw_create.restype = ctypes.c_void_p
         lib.tpua_hnsw_destroy.argtypes = [ctypes.c_void_p]
@@ -162,14 +163,14 @@ class HnswCore:
     Not thread-safe — callers serialize (HNSWIndex holds the lock)."""
 
     def __init__(self, dim: int, m: int, ef_construction: int, seed: int,
-                 _handle=None):
+                 half: bool = False, _handle=None):
         lib = _load()
         if lib is None:
             raise ImportError("native library unavailable")
         self._lib = lib
         self.dim = int(dim)
         self._handle = _handle if _handle is not None else lib.tpua_hnsw_create(
-            dim, m, ef_construction, seed)
+            dim, m, ef_construction, seed, 1 if half else 0)
         if not self._handle:  # native side rejected the geometry
             raise ValueError(f"invalid HNSW geometry (dim={dim}, m={m})")
 
@@ -228,10 +229,12 @@ class HnswCore:
 
 
 def make_hnsw_core(dim: int, m: int, ef_construction: int,
-                   seed: int) -> Optional[HnswCore]:
-    """HnswCore or None when the native library is unavailable."""
+                   seed: int, half: bool = False) -> Optional[HnswCore]:
+    """HnswCore or None when the native library is unavailable.
+    ``half``: store fp16 graph entries (pgvector's halfvec analogue;
+    half the host RAM, queries stay fp32)."""
     try:
-        return HnswCore(dim, m, ef_construction, seed)
+        return HnswCore(dim, m, ef_construction, seed, half=half)
     except ImportError:
         return None
 

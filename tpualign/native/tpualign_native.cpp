@@ -193,15 +193,76 @@ namespace {
 // matches every live row).
 constexpr int64_t kWildcard = -3;
 
+// fp16 storage (pgvector's halfvec analogue): hardware conversion when
+// the compiler provides _Float16 (GCC>=12 on x86-64; uses F16C under
+// -march=native), portable bit manipulation otherwise.
+#if defined(__FLT16_MANT_DIG__)
+static inline float half_to_float(uint16_t h) {
+  _Float16 f;
+  std::memcpy(&f, &h, 2);
+  return static_cast<float>(f);
+}
+static inline uint16_t float_to_half(float x) {
+  _Float16 f = static_cast<_Float16>(x);
+  uint16_t h;
+  std::memcpy(&h, &f, 2);
+  return h;
+}
+#else
+static inline float half_to_float(uint16_t h) {
+  const uint32_t sign = (h & 0x8000u) << 16;
+  uint32_t exp = (h >> 10) & 0x1f;
+  uint32_t mant = h & 0x3ffu;
+  uint32_t bits;
+  if (exp == 0) {
+    if (mant == 0) {
+      bits = sign;  // +-0
+    } else {        // subnormal: normalize
+      exp = 127 - 15 + 1;
+      while ((mant & 0x400u) == 0) {
+        mant <<= 1;
+        --exp;
+      }
+      bits = sign | (exp << 23) | ((mant & 0x3ffu) << 13);
+    }
+  } else if (exp == 0x1f) {  // inf/nan
+    bits = sign | 0x7f800000u | (mant << 13);
+  } else {
+    bits = sign | ((exp - 15 + 127) << 23) | (mant << 13);
+  }
+  float f;
+  std::memcpy(&f, &bits, 4);
+  return f;
+}
+static inline uint16_t float_to_half(float x) {
+  uint32_t bits;
+  std::memcpy(&bits, &x, 4);
+  const uint16_t sign = static_cast<uint16_t>((bits >> 16) & 0x8000u);
+  int32_t exp = static_cast<int32_t>((bits >> 23) & 0xffu) - 127 + 15;
+  uint32_t mant = bits & 0x7fffffu;
+  if (exp >= 0x1f) return sign | 0x7c00u;  // overflow -> inf
+  if (exp <= 0) {                          // subnormal/underflow
+    if (exp < -10) return sign;
+    mant |= 0x800000u;
+    const uint32_t shift = static_cast<uint32_t>(14 - exp);
+    return sign | static_cast<uint16_t>(mant >> shift);
+  }
+  return sign |
+         static_cast<uint16_t>((exp << 10) | (mant >> 13));
+}
+#endif
+
 struct Hnsw {
   int32_t dim = 0;
   int32_t M = 16;        // layer>0 degree bound; layer 0 uses 2M
   int32_t Mmax0 = 32;
   int32_t efc = 64;      // beam width during construction
+  bool half = false;     // fp16 entries (pgvector halfvec analogue)
   double ml = 0.0;       // level multiplier 1/ln(M)
   std::mt19937_64 rng;
 
-  std::vector<float> data;      // n*dim, caller-normalized
+  std::vector<float> data;      // n*dim (fp32 mode), caller-normalized
+  std::vector<uint16_t> data16; // n*dim (fp16 mode)
   std::vector<int64_t> keys;    // encoded manual+page key per row
   std::vector<uint8_t> dead;    // tombstones (skipped in results only)
   std::vector<int32_t> levels;  // top layer per node
@@ -217,10 +278,25 @@ struct Hnsw {
   int64_t n() const { return static_cast<int64_t>(levels.size()); }
 
   float sim(const float* q, int32_t v) const {
-    const float* p = data.data() + static_cast<int64_t>(v) * dim;
     float s = 0.f;
-    for (int32_t i = 0; i < dim; ++i) s += q[i] * p[i];
+    if (half) {
+      const uint16_t* p = data16.data() + static_cast<int64_t>(v) * dim;
+      for (int32_t i = 0; i < dim; ++i) s += q[i] * half_to_float(p[i]);
+    } else {
+      const float* p = data.data() + static_cast<int64_t>(v) * dim;
+      for (int32_t i = 0; i < dim; ++i) s += q[i] * p[i];
+    }
     return s;
+  }
+
+  // Decode node v's vector for use AS a query (build-path node-to-node
+  // sims). Caller owns the scratch so nested decodes can't alias.
+  const float* node_vec(int32_t v, std::vector<float>& scratch) const {
+    if (!half) return data.data() + static_cast<int64_t>(v) * dim;
+    scratch.resize(dim);
+    const uint16_t* p = data16.data() + static_cast<int64_t>(v) * dim;
+    for (int32_t i = 0; i < dim; ++i) scratch[i] = half_to_float(p[i]);
+    return scratch.data();
   }
 };
 
@@ -288,9 +364,10 @@ std::vector<int32_t> select_neighbors(Hnsw& h, std::vector<ScoredNode> cands,
               return a.second < b.second;
             });
   std::vector<int32_t> kept;
+  std::vector<float> scratch;
   for (const auto& c : cands) {
     if (static_cast<int32_t>(kept.size()) >= m) break;
-    const float* cv = h.data.data() + static_cast<int64_t>(c.second) * h.dim;
+    const float* cv = h.node_vec(c.second, scratch);
     bool ok = true;
     for (int32_t r : kept) {
       if (h.sim(cv, r) > c.first) {  // closer to a kept neighbor than to q
@@ -312,7 +389,8 @@ void link(Hnsw& h, int32_t node, int32_t layer,
     back.push_back(node);
     if (static_cast<int32_t>(back.size()) > cap) {
       // re-select with the same diversity heuristic
-      const float* vv = h.data.data() + static_cast<int64_t>(v) * h.dim;
+      std::vector<float> scratch;
+      const float* vv = h.node_vec(v, scratch);
       std::vector<ScoredNode> cands;
       cands.reserve(back.size());
       for (int32_t u : back) cands.emplace_back(h.sim(vv, u), u);
@@ -323,7 +401,14 @@ void link(Hnsw& h, int32_t node, int32_t layer,
 
 void insert_one(Hnsw& h, int64_t row) {
   const int32_t node = static_cast<int32_t>(row);
-  const float* q = h.data.data() + row * h.dim;
+  // own copy: select_neighbors decodes into its own scratch, but q must
+  // stay valid across layers regardless of storage precision
+  std::vector<float> qbuf;
+  const float* q = h.node_vec(node, qbuf);
+  if (!h.half) {
+    qbuf.assign(q, q + h.dim);
+    q = qbuf.data();
+  }
   std::uniform_real_distribution<double> uni(0.0, 1.0);
   double u = uni(h.rng);
   if (u < 1e-12) u = 1e-12;
@@ -373,9 +458,10 @@ void insert_one(Hnsw& h, int64_t row) {
 extern "C" {
 
 void* tpua_hnsw_create(int32_t dim, int32_t m, int32_t ef_construction,
-                       uint64_t seed) {
+                       uint64_t seed, int32_t half) {
   if (dim <= 0 || dim > (1 << 20)) return nullptr;
   auto* h = new Hnsw();
+  h->half = half != 0;
   h->dim = dim;
   h->M = std::max(m, 2);  // m<2 would make the level multiplier diverge
   h->Mmax0 = 2 * h->M;
@@ -397,7 +483,13 @@ int64_t tpua_hnsw_add(void* handle, const float* vecs, const int64_t* keys,
                       int64_t n) {
   auto* h = static_cast<Hnsw*>(handle);
   const int64_t base = h->n();
-  h->data.insert(h->data.end(), vecs, vecs + n * h->dim);
+  if (h->half) {
+    h->data16.reserve(h->data16.size() + n * h->dim);
+    for (int64_t i = 0; i < n * h->dim; ++i)
+      h->data16.push_back(float_to_half(vecs[i]));
+  } else {
+    h->data.insert(h->data.end(), vecs, vecs + n * h->dim);
+  }
   h->keys.insert(h->keys.end(), keys, keys + n);
   h->dead.insert(h->dead.end(), n, 0);
   h->levels.resize(base + n, 0);
@@ -487,7 +579,9 @@ void tpua_hnsw_search(void* handle, const float* queries,
 // --- persistence (mirrors pgvector's on-disk index; format is private) ---
 
 namespace {
-constexpr uint64_t kHnswMagic = 0x48'4e'53'57'00'00'00'01ULL;  // "HNSW"+v1
+// v2 added the precision flag (fp16 entries); v1 caches fail the magic
+// check and the factory rebuilds them.
+constexpr uint64_t kHnswMagic = 0x48'4e'53'57'00'00'00'02ULL;  // "HNSW"+v2
 
 template <typename T>
 void put(std::string& buf, const T& v) {
@@ -506,9 +600,9 @@ extern "C" {
 
 int64_t tpua_hnsw_serialize_size(void* handle) {
   auto* h = static_cast<Hnsw*>(handle);
-  int64_t sz = sizeof(uint64_t) + 5 * sizeof(int32_t) + 2 * sizeof(int64_t);
+  int64_t sz = sizeof(uint64_t) + 6 * sizeof(int32_t) + 2 * sizeof(int64_t);
   const int64_t n = h->n();
-  sz += n * h->dim * sizeof(float);   // data
+  sz += n * h->dim * (h->half ? 2 : 4);  // data
   sz += n * sizeof(int64_t);          // keys
   sz += n;                            // dead
   sz += n * sizeof(int32_t);          // levels
@@ -528,11 +622,16 @@ void tpua_hnsw_serialize(void* handle, char* out) {
   put(buf, h->efc);
   put(buf, h->entry);
   put(buf, h->max_level);
+  put(buf, static_cast<int32_t>(h->half ? 1 : 0));
   const int64_t n = h->n();
   put(buf, n);
   int64_t nlinks = 0;
-  buf.append(reinterpret_cast<const char*>(h->data.data()),
-             n * h->dim * sizeof(float));
+  if (h->half)
+    buf.append(reinterpret_cast<const char*>(h->data16.data()),
+               n * h->dim * sizeof(uint16_t));
+  else
+    buf.append(reinterpret_cast<const char*>(h->data.data()),
+               n * h->dim * sizeof(float));
   buf.append(reinterpret_cast<const char*>(h->keys.data()),
              n * sizeof(int64_t));
   buf.append(reinterpret_cast<const char*>(h->dead.data()), n);
@@ -559,31 +658,41 @@ void* tpua_hnsw_deserialize(const char* buf, int64_t size, uint64_t seed) {
   // A corrupt/truncated cache must fail the load (Python falls back to a
   // rebuild), never crash the serving daemon: every header field that
   // later sizes an allocation or indexes an array is range-checked.
+  int32_t half = 0;
   if (!get(p, end, &h->dim) || !get(p, end, &h->M) || !get(p, end, &h->efc) ||
       !get(p, end, &h->entry) || !get(p, end, &h->max_level) ||
+      !get(p, end, &half) ||
       h->dim <= 0 || h->dim > (1 << 20) || h->M < 2 || h->M > 4096 ||
-      h->efc < 1 || h->max_level < -1 || h->max_level > 64) {
+      h->efc < 1 || h->max_level < -1 || h->max_level > 64 ||
+      (half != 0 && half != 1)) {
     // efc < 1 would hand search_layer an empty beam on the next insert
     // (res.top() on an empty priority_queue); create clamps it too.
     delete h;
     return nullptr;
   }
+  h->half = half == 1;
   h->Mmax0 = 2 * h->M;
   h->ml = 1.0 / std::log(static_cast<double>(h->M));
   h->rng.seed(seed);
   int64_t n = 0;
   // Compare via (end - p) rather than p + bytes: a hostile n could
   // overflow the pointer sum, which is UB before the check even runs.
-  const int64_t per_row = int64_t{h->dim} * 4 + 8 + 1 + 4;
+  const int64_t elem = h->half ? 2 : 4;
+  const int64_t per_row = int64_t{h->dim} * elem + 8 + 1 + 4;
   if (!get(p, end, &n) || n < 0 || n >= (int64_t{1} << 31) ||
       h->entry >= n || (h->entry < 0 && n > 0) ||
       (end - p) < n * per_row) {
     delete h;
     return nullptr;
   }
-  h->data.resize(n * h->dim);
-  std::memcpy(h->data.data(), p, n * h->dim * sizeof(float));
-  p += n * h->dim * sizeof(float);
+  if (h->half) {
+    h->data16.resize(n * h->dim);
+    std::memcpy(h->data16.data(), p, n * h->dim * sizeof(uint16_t));
+  } else {
+    h->data.resize(n * h->dim);
+    std::memcpy(h->data.data(), p, n * h->dim * sizeof(float));
+  }
+  p += n * h->dim * elem;
   h->keys.resize(n);
   std::memcpy(h->keys.data(), p, n * sizeof(int64_t));
   p += n * sizeof(int64_t);

@@ -84,11 +84,13 @@ class HNSWIndex:
     search_encoded / add / remove / save / load, ``n`` / ``dim`` /
     ``vocab`` / ``precision`` / ``mesh`` attributes) so the serving
     daemon, CLI, and evaluator drive it interchangeably. Host-side and
-    single-process by design; ``precision`` is always fp32 (pgvector
-    does not quantize its HNSW entries either).
+    single-process by design. ``precision``: "fp32" (pgvector's
+    ``vector`` type) or "fp16" (its ``halfvec``) — fp16 halves the
+    host RAM of both the graph entries and the exact-scan copy;
+    queries stay fp32 and scores are fp32 dots against the rounded
+    stored vectors, exactly halfvec's semantics.
     """
 
-    precision = "fp32"
     mesh = None
 
     def __init__(
@@ -101,12 +103,21 @@ class HNSWIndex:
         ef_search: int = 40,
         seed: int = 0,
         refine: int = 0,
+        precision: str = "fp32",
         _core=None,
         _vocab: Optional[Dict[str, int]] = None,
         _keys: Optional[np.ndarray] = None,
     ):
         from tpualign.parallel.retrieval import encode_keys
 
+        if precision not in ("fp32", "fp16"):
+            raise ValueError(
+                f"HNSW precision must be 'fp32' or 'fp16' (pgvector's "
+                f"vector/halfvec); got {precision!r} — the int rungs "
+                f"live on the exact/IVF TPU paths"
+            )
+        self.precision = precision
+        self._dtype = np.float16 if precision == "fp16" else np.float32
         rows = np.asarray(corpus_embeddings, np.float32)
         if rows.ndim != 2:
             rows = rows.reshape(0, rows.shape[-1] if rows.size else 1)
@@ -123,10 +134,11 @@ class HNSWIndex:
             self.vocab = dict(_vocab or {})
             self._keys = np.asarray(_keys, np.int64)
             self._dead = np.zeros(len(self._keys), bool)
-            # load() already normalized; renormalizing is NOT
-            # bit-idempotent (unit norms land at 1±eps), and a changed
-            # corpus would break the fingerprint on save-after-load
-            self._corpus = rows
+            # load() already normalized (and rounded to the stored
+            # dtype); renormalizing is NOT bit-idempotent (unit norms
+            # land at 1±eps), and a changed corpus would break the
+            # fingerprint on save-after-load
+            self._corpus = np.asarray(corpus_embeddings, self._dtype)
             self.n = len(self._keys)
         else:
             if corpus_manuals is not None:
@@ -136,7 +148,8 @@ class HNSWIndex:
             else:
                 self.vocab = {}
                 keys = np.zeros(len(rows), np.int64)
-            core = make_hnsw_core(self.dim, m, ef_construction, seed)
+            core = make_hnsw_core(self.dim, m, ef_construction, seed,
+                                  half=precision == "fp16")
             if core is None:
                 raise RuntimeError(
                     "RETRIEVAL_INDEX=hnsw needs the native library "
@@ -144,11 +157,12 @@ class HNSWIndex:
                     "or 'ivf'"
                 )
             self._core = core
-            self._corpus = _normalize(rows)
+            normalized = _normalize(rows)
+            self._corpus = normalized.astype(self._dtype)
             self._keys = keys
             self._dead = np.zeros(len(rows), bool)
             if len(rows):
-                core.add(self._corpus, keys)
+                core.add(normalized, keys)
             self.n = len(rows)
         self._rebuild_key_counts()
 
@@ -197,16 +211,18 @@ class HNSWIndex:
         else:
             keys = np.zeros(len(rows), np.int64)
         rows = _normalize(rows)
+        stored = rows.astype(self._dtype)
         with self._lock:
             if self.n == 0 and self.dim != rows.shape[1]:
                 # empty-index bootstrap: adopt the first batch's dim
                 self.dim = int(rows.shape[1])
                 self._core = make_hnsw_core(
-                    self.dim, self.m, self.ef_construction, self.seed)
-                self._corpus = rows.copy()
+                    self.dim, self.m, self.ef_construction, self.seed,
+                    half=self.precision == "fp16")
+                self._corpus = stored
             else:
-                self._corpus = (rows.copy() if self.n == 0 else
-                                np.concatenate([self._corpus, rows]))
+                self._corpus = (stored if self.n == 0 else
+                                np.concatenate([self._corpus, stored]))
             self._core.add(rows, keys)
             self._keys = np.concatenate([self._keys, keys])
             self._dead = np.concatenate(
@@ -282,7 +298,11 @@ class HNSWIndex:
             rows = np.flatnonzero((self._keys == key) & ~self._dead)
             if rows.size == 0:
                 return
-            sims = self._corpus[rows] @ queries[i]
+            # fp16 corpora upcast the (small) selected slice: scores are
+            # fp32 dots over the rounded stored vectors, matching the
+            # graph walk's arithmetic
+            sims = (self._corpus[rows].astype(np.float32, copy=False)
+                    @ queries[i])
             take = np.lexsort((rows, -sims))[:kf]
             idx[i, : len(take)] = rows[take]
             vals[i, : len(take)] = sims[take]
@@ -353,12 +373,17 @@ class HNSWIndex:
             return self.ef_search
         s = min(int(sample), n_live)
         sel = live_pos[(np.arange(s, dtype=np.int64) * n_live) // s]
-        q = self._corpus[sel]
+        q = self._corpus[sel].astype(np.float32, copy=False)
         kk = min(k, n_live)
-        # exact ground truth over live rows (argpartition: ties across
-        # the k-th boundary shift measured recall by <1/k, irrelevant
-        # for picking an ef rung)
-        sims = q @ self._corpus[live_pos].T
+        # exact ground truth over live rows, blockwise so an fp16
+        # corpus never upcasts whole (argpartition: ties across the
+        # k-th boundary shift measured recall by <1/k, irrelevant for
+        # picking an ef rung)
+        sims = np.empty((s, n_live), np.float32)
+        for lo in range(0, n_live, 65536):
+            block = live_pos[lo:lo + 65536]
+            sims[:, lo:lo + len(block)] = (
+                q @ self._corpus[block].astype(np.float32, copy=False).T)
         part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
         truth = [set(live_pos[row].tolist()) for row in part]
         qk = np.full(s, WILDCARD_KEY, np.int64)
@@ -404,6 +429,7 @@ class HNSWIndex:
                 "ef_construction": self.ef_construction,
                 "ef_search": self.ef_search, "seed": self.seed,
                 "n": self.n, "vocab": self.vocab,
+                "precision": self.precision,
                 "fingerprint": _corpus_fingerprint(self._corpus),
                 "calibrated_target": getattr(self, "calibrated_target",
                                              None),
@@ -424,7 +450,12 @@ class HNSWIndex:
             blob = bytes(z["blob"])
             keys = z["keys"]
             dead = z["dead"]
+        precision = meta.get("precision", "fp32")
         rows = _normalize(np.asarray(corpus_embeddings, np.float32))
+        if precision == "fp16":
+            # the cache fingerprints the fp16-ROUNDED corpus (that is
+            # what it stores); round the same way before comparing
+            rows = rows.astype(np.float16)
         if meta["n"] != len(rows) or meta["dim"] != rows.shape[1]:
             raise ValueError(
                 f"HNSW cache holds n={meta['n']} dim={meta['dim']}, "
@@ -440,7 +471,7 @@ class HNSWIndex:
             rows, m=meta["m"], ef_construction=meta["ef_construction"],
             ef_search=int(ef_search if ef_search is not None
                           else meta["ef_search"]),
-            seed=meta["seed"], refine=refine,
+            seed=meta["seed"], refine=refine, precision=precision,
             _core=core, _vocab=meta["vocab"], _keys=keys,
         )
         index._dead = np.asarray(dead, bool)

@@ -720,6 +720,8 @@ class RetrievalIndex:
             raise ValueError(
                 f"precision must be fp32, int8, int4 or int2, "
                 f"got {precision!r}"
+                + (" (fp16/halfvec is the RETRIEVAL_INDEX=hnsw rung)"
+                   if precision == "fp16" else "")
             )
         self.precision = precision
         if recall_target is not None and not (0.0 < recall_target <= 1.0):
@@ -1343,12 +1345,16 @@ def build_index(
                 "index; the mesh is ignored (use 'exact' or 'ivf' to "
                 "shard the corpus across devices)"
             )
-        if precision != "fp32":
+        hnsw_precision = precision
+        if precision not in ("fp32", "fp16"):
             log.warning(
-                "RETRIEVAL_INDEX=hnsw stores fp32 graph entries (as "
-                "pgvector does); RETRIEVAL_PRECISION=%s is ignored",
+                "RETRIEVAL_INDEX=hnsw stores fp32 ('vector') or fp16 "
+                "('halfvec') graph entries, as pgvector does; "
+                "RETRIEVAL_PRECISION=%s is ignored (the int rungs live "
+                "on the exact/IVF TPU paths)",
                 precision,
             )
+            hnsw_precision = "fp32"
         # HNSW_EF_SEARCH=None means auto: pgvector's default 40, or the
         # calibrated ef when RETRIEVAL_RECALL_TARGET is set (the same
         # "this recall, whatever the index" contract exact/ivf honor).
@@ -1368,6 +1374,11 @@ def build_index(
                     hnsw_cache, corpus_embeddings,
                     ef_search=hnsw_ef_search, refine=refine,
                 )
+                if loaded.precision != hnsw_precision:
+                    raise ValueError(
+                        f"cache precision {loaded.precision} != "
+                        f"requested {hnsw_precision}"
+                    )
                 if calibrate and getattr(
                         loaded, "calibrated_target", None) != recall_target:
                     # target changed since the cache was written:
@@ -1395,7 +1406,7 @@ def build_index(
         index = HNSWIndex(
             corpus_embeddings, corpus_manuals, corpus_pages,
             m=hnsw_m, ef_construction=hnsw_ef_construction,
-            ef_search=eff_ef, refine=refine,
+            ef_search=eff_ef, refine=refine, precision=hnsw_precision,
         )
         if calibrate:
             index.calibrate(recall_target)
