@@ -1542,3 +1542,59 @@ def test_notify_sync_carries_token():
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_cli_query_uses_configured_index_and_artifact(tmp_path, capsys,
+                                                      monkeypatch):
+    """tpualign query honors RETRIEVAL_INDEX + the offline cache: with a
+    prebuilt HNSW artifact, the one-shot query loads the graph instead
+    of rebuilding (HNSW's exact single-query regime)."""
+    import tpualign.parallel.hnsw as hnsw_mod
+    from tpualign.cli import main
+    from tpualign.native import native_available
+    from tpualign.serving import build_index_artifact
+    from tpualign.serving.server import schema_cache_path
+    from tpualign.config import load_config
+    from tpualign.store import EmbeddingStore
+
+    if not native_available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(17)
+    store = EmbeddingStore(tmp_path / "store", embed_dim=512)
+    store.setup(["vanilla_clip"])
+    emb = rng.normal(size=(30, 512)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    store.insert_images("vanilla_clip", [
+        {"image_id": f"i{k}", "manual_id": "m", "page": 1,
+         "bbox": [0, 0, 1, 1], "bbox_source": "native", "caption": None,
+         "filename": None, "image_type": "raster_image"}
+        for k in range(30)], emb)
+    store.insert_chunks("vanilla_clip", [
+        {"chunk_id": f"c{k}", "manual_id": "m", "page": 1,
+         "bbox": [0, 0, 1, 1], "text": f"t{k}"} for k in range(30)], emb)
+    store.save(["vanilla_clip"])
+
+    cache = str(tmp_path / "g.hnsw.npz")
+    cfg = load_config(env_file=None, overrides={
+        "STORE_DIR": str(tmp_path / "store"), "RETRIEVAL_INDEX": "hnsw",
+        "HNSW_CACHE": cache})
+    build_index_artifact(
+        cfg, "vanilla_clip", schema_cache_path(cache, "vanilla_clip"))
+
+    builds = []
+    orig = hnsw_mod.make_hnsw_core
+
+    def spy(*a, **kw):
+        builds.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(hnsw_mod, "make_hnsw_core", spy)
+    monkeypatch.setenv("RETRIEVAL_INDEX", "hnsw")
+    monkeypatch.setenv("HNSW_CACHE", cache)
+    monkeypatch.setenv("STORE_DIR", str(tmp_path / "store"))
+    rc = main(["query", "--env-file", "/nonexistent", "--image-id", "i4",
+               "--store-dir", str(tmp_path / "store"), "-k", "3"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert not builds, "query must load the offline artifact, not rebuild"
+    assert "c4" in out  # image i4's chunk embedding is identical -> top-1

@@ -460,7 +460,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
 
 def _run_query(args) -> int:
 
-    from tpualign.parallel.retrieval import RetrievalIndex
+    from tpualign.parallel.retrieval import RetrievalIndex, build_index
     from tpualign.store import EmbeddingStore
 
     config = _config_from(args)
@@ -484,10 +484,29 @@ def _run_query(args) -> int:
             print(f"unknown image_id {args.image_id}")
             return 1
         img = images[pos]
-        index = RetrievalIndex(
+        # honor the configured index for the chunk corpus: a one-shot
+        # CLI query is exactly HNSW/IVF's single-query regime, and an
+        # offline artifact (tpualign index + HNSW_CACHE/IVF_CACHE)
+        # makes it instant — otherwise exact is the right default
+        from tpualign.serving.server import schema_cache_path
+
+        index = build_index(
             chunk_emb,
             [c["manual_id"] for c in chunks],
             [c.get("page") for c in chunks],
+            index_type=getattr(config, "retrieval_index", "exact"),
+            precision=getattr(config, "retrieval_precision", "fp32"),
+            recall_target=getattr(config, "retrieval_recall_target", None),
+            refine=getattr(config, "retrieval_refine", 0),
+            ivf_lists=getattr(config, "ivf_lists", None),
+            ivf_probes=getattr(config, "ivf_probes", None),
+            ivf_cache=schema_cache_path(
+                getattr(config, "ivf_cache", None), schema),
+            hnsw_m=getattr(config, "hnsw_m", 16),
+            hnsw_ef_construction=getattr(config, "hnsw_ef_construction", 64),
+            hnsw_ef_search=getattr(config, "hnsw_ef_search", None),
+            hnsw_cache=schema_cache_path(
+                getattr(config, "hnsw_cache", None), schema),
         )
         vals, idx = index.search(
             img_emb[pos:pos + 1], [img["manual_id"]], [img.get("page")], args.k,
