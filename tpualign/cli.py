@@ -409,10 +409,16 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
 
         boxes = {}
         for schema in schemas:
-            service = build_service(config, schema, mesh=mesh,
-                                    encoder=encoder,
-                                    image_encoder=img_encoder,
-                                    text_tower=not args.no_text_tower)
+            try:
+                service = build_service(config, schema, mesh=mesh,
+                                        encoder=encoder,
+                                        image_encoder=img_encoder,
+                                        text_tower=not args.no_text_tower)
+            except ValueError as e:
+                # configuration errors (bad precision/index/recall
+                # combos) exit cleanly, not with a traceback
+                print(f"error building {schema}: {e}")
+                return 1
             boxes[schema] = _ServiceBox(
                 service,
                 rebuild=lambda s=schema: build_service(
@@ -484,29 +490,33 @@ def _run_query(args) -> int:
             print(f"unknown image_id {args.image_id}")
             return 1
         img = images[pos]
-        # honor the configured index for the chunk corpus: a one-shot
-        # CLI query is exactly HNSW/IVF's single-query regime, and an
-        # offline artifact (tpualign index + HNSW_CACHE/IVF_CACHE)
-        # makes it instant — otherwise exact is the right default
-        from tpualign.serving.server import schema_cache_path
+        # honor the configured index for the chunk corpus ONLY when a
+        # prebuilt artifact exists (tpualign index + HNSW_CACHE/
+        # IVF_CACHE): a one-shot query must never pay a from-scratch
+        # graph/k-means build it cannot even persist — exact is the
+        # right default otherwise
+        import os as _os
 
+        from tpualign.serving.server import index_kwargs
+
+        kw = index_kwargs(config, schema)
+        has_artifact = (
+            (kw["index_type"] == "hnsw" and kw["hnsw_cache"]
+             and _os.path.exists(kw["hnsw_cache"]))
+            or (kw["index_type"] == "ivf" and kw["ivf_cache"]
+                and _os.path.exists(kw["ivf_cache"]))
+        )
+        if kw["index_type"] != "exact" and not has_artifact:
+            print(f"(no prebuilt {kw['index_type']} artifact — run "
+                  f"`tpualign index` to create one; using exact search)")
+            kw["index_type"] = "exact"
+            if kw["precision"] == "fp16":  # the hnsw-only rung
+                kw["precision"] = "fp32"
         index = build_index(
             chunk_emb,
             [c["manual_id"] for c in chunks],
             [c.get("page") for c in chunks],
-            index_type=getattr(config, "retrieval_index", "exact"),
-            precision=getattr(config, "retrieval_precision", "fp32"),
-            recall_target=getattr(config, "retrieval_recall_target", None),
-            refine=getattr(config, "retrieval_refine", 0),
-            ivf_lists=getattr(config, "ivf_lists", None),
-            ivf_probes=getattr(config, "ivf_probes", None),
-            ivf_cache=schema_cache_path(
-                getattr(config, "ivf_cache", None), schema),
-            hnsw_m=getattr(config, "hnsw_m", 16),
-            hnsw_ef_construction=getattr(config, "hnsw_ef_construction", 64),
-            hnsw_ef_search=getattr(config, "hnsw_ef_search", None),
-            hnsw_cache=schema_cache_path(
-                getattr(config, "hnsw_cache", None), schema),
+            **kw,
         )
         vals, idx = index.search(
             img_emb[pos:pos + 1], [img["manual_id"]], [img.get("page")], args.k,

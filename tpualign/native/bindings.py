@@ -214,8 +214,13 @@ class HnswCore:
         )
         return vals, idx
 
+    def serialized_size(self) -> int:
+        """Blob size in bytes WITHOUT building the blob (an O(n) link
+        walk; used for memory reporting in hot stats paths)."""
+        return int(self._lib.tpua_hnsw_serialize_size(self._handle))
+
     def serialize(self) -> bytes:
-        size = int(self._lib.tpua_hnsw_serialize_size(self._handle))
+        size = self.serialized_size()
         buf = ctypes.create_string_buffer(size)
         self._lib.tpua_hnsw_serialize(self._handle, buf)
         return buf.raw

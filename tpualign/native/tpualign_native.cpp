@@ -235,20 +235,33 @@ static inline float half_to_float(uint16_t h) {
   return f;
 }
 static inline uint16_t float_to_half(float x) {
+  // Round to nearest even, matching hardware F16C and numpy's
+  // astype(float16): truncation would bias graph entries toward zero
+  // and diverge from the Python-side scan copy.
   uint32_t bits;
   std::memcpy(&bits, &x, 4);
   const uint16_t sign = static_cast<uint16_t>((bits >> 16) & 0x8000u);
-  int32_t exp = static_cast<int32_t>((bits >> 23) & 0xffu) - 127 + 15;
+  const uint32_t fexp = (bits >> 23) & 0xffu;
   uint32_t mant = bits & 0x7fffffu;
+  if (fexp == 0xffu) return sign | 0x7c00u | (mant ? 0x200u : 0u);
+  const int32_t exp = static_cast<int32_t>(fexp) - 127 + 15;
   if (exp >= 0x1f) return sign | 0x7c00u;  // overflow -> inf
-  if (exp <= 0) {                          // subnormal/underflow
+  uint32_t half, rem, halfway;
+  if (exp <= 0) {  // subnormal/underflow
     if (exp < -10) return sign;
     mant |= 0x800000u;
     const uint32_t shift = static_cast<uint32_t>(14 - exp);
-    return sign | static_cast<uint16_t>(mant >> shift);
+    half = mant >> shift;
+    rem = mant & ((1u << shift) - 1u);
+    halfway = 1u << (shift - 1);
+  } else {
+    half = (static_cast<uint32_t>(exp) << 10) | (mant >> 13);
+    rem = mant & 0x1fffu;
+    halfway = 0x1000u;
   }
-  return sign |
-         static_cast<uint16_t>((exp << 10) | (mant >> 13));
+  if (rem > halfway || (rem == halfway && (half & 1u))) ++half;
+  // a rounding carry rolls cleanly into the exponent (incl. to inf)
+  return sign | static_cast<uint16_t>(half);
 }
 #endif
 

@@ -177,10 +177,11 @@ class HNSWIndex:
         return int((~self._dead).sum())
 
     def memory_bytes(self) -> int:
-        """Host-RAM footprint: the serialized graph (vectors + links)
-        plus the fp32 scan copy used for exact filtered completion."""
+        """Host-RAM footprint: the graph (vectors + links, sized
+        without materializing the blob — /stats polls this) plus the
+        scan copy used for exact filtered completion."""
         with self._lock:
-            blob = len(self._core.serialize()) if self.n else 0
+            blob = self._core.serialized_size() if self.n else 0
         return blob + self._corpus.nbytes
 
     # -- mutation (pgvector INSERT/DELETE parity) ---------------------------------

@@ -672,6 +672,29 @@ def schema_cache_path(path: Optional[str], schema: str) -> Optional[str]:
     return os.path.join(os.path.dirname(path), new)
 
 
+def index_kwargs(config, schema: str) -> dict:
+    """The config→index-factory kwarg set, assembled ONCE: build_service,
+    build_index_artifact, and the CLI one-shot query all drive
+    :func:`build_index` (or :class:`RetrievalService`, which forwards)
+    with exactly these names — a new retrieval knob threads through
+    here or it silently applies to some paths and not others."""
+    return dict(
+        recall_target=getattr(config, "retrieval_recall_target", None),
+        index_type=getattr(config, "retrieval_index", "exact"),
+        ivf_lists=getattr(config, "ivf_lists", None),
+        ivf_probes=getattr(config, "ivf_probes", None),
+        precision=getattr(config, "retrieval_precision", "fp32"),
+        ivf_cache=schema_cache_path(getattr(config, "ivf_cache", None),
+                                    schema),
+        refine=getattr(config, "retrieval_refine", 0),
+        hnsw_m=getattr(config, "hnsw_m", 16),
+        hnsw_ef_construction=getattr(config, "hnsw_ef_construction", 64),
+        hnsw_ef_search=getattr(config, "hnsw_ef_search", None),
+        hnsw_cache=schema_cache_path(getattr(config, "hnsw_cache", None),
+                                     schema),
+    )
+
+
 def build_index_artifact(config, schema: str, cache_path: str,
                          index_type: Optional[str] = None):
     """Offline ANN build + persist (``tpualign index``).
@@ -701,21 +724,17 @@ def build_index_artifact(config, schema: str, cache_path: str,
         )
     chunks = store.chunks(schema)
     _, chunk_emb = store.embedding_matrix(schema, "text_chunks")
+    kw = index_kwargs(config, schema)
+    kw.update(
+        index_type=index_type,
+        ivf_cache=cache_path if index_type == "ivf" else None,
+        hnsw_cache=cache_path if index_type == "hnsw" else None,
+    )
     return build_index(
         chunk_emb,
         [c["manual_id"] for c in chunks],
         [c.get("page") for c in chunks],
-        index_type=index_type,
-        ivf_lists=getattr(config, "ivf_lists", None),
-        ivf_probes=getattr(config, "ivf_probes", None),
-        precision=getattr(config, "retrieval_precision", "fp32"),
-        recall_target=getattr(config, "retrieval_recall_target", None),
-        ivf_cache=cache_path if index_type == "ivf" else None,
-        refine=getattr(config, "retrieval_refine", 0),
-        hnsw_m=getattr(config, "hnsw_m", 16),
-        hnsw_ef_construction=getattr(config, "hnsw_ef_construction", 64),
-        hnsw_ef_search=getattr(config, "hnsw_ef_search", None),
-        hnsw_cache=cache_path if index_type == "hnsw" else None,
+        **kw,
     )
 
 
@@ -789,21 +808,9 @@ def build_service(config, schema: str, mesh=None, text_tower: bool = True,
         image_encoder=image_encoder,
         images=image_meta, image_embeddings=img_emb,
         weak_lookup=build_weak_lookup(store.alignments(schema)),
-        recall_target=getattr(config, "retrieval_recall_target", None),
         coalesce_window_ms=getattr(config, "serve_coalesce_ms", 2.0),
-        index_type=getattr(config, "retrieval_index", "exact"),
-        ivf_lists=getattr(config, "ivf_lists", None),
-        ivf_probes=getattr(config, "ivf_probes", None),
-        precision=getattr(config, "retrieval_precision", "fp32"),
-        ivf_cache=schema_cache_path(getattr(config, "ivf_cache", None),
-                                    schema),
-        refine=getattr(config, "retrieval_refine", 0),
         query_cache=getattr(config, "serve_query_cache", 1024),
-        hnsw_m=getattr(config, "hnsw_m", 16),
-        hnsw_ef_construction=getattr(config, "hnsw_ef_construction", 64),
-        hnsw_ef_search=getattr(config, "hnsw_ef_search", None),
-        hnsw_cache=schema_cache_path(getattr(config, "hnsw_cache", None),
-                                     schema),
+        **index_kwargs(config, schema),
         model_info={
             "name": config.model.model_name,
             "quant": config.model.quant,
@@ -938,7 +945,17 @@ def _make_handler(registry: "_ServiceRegistry",
             import hmac
 
             got = self.headers.get("Authorization", "")
-            return hmac.compare_digest(got, f"Bearer {token}")
+            # compare BYTES: compare_digest raises TypeError on
+            # non-ASCII str inputs, which would drop the connection
+            # instead of 401ing (and a non-ASCII SERVE_TOKEN would
+            # break every request). http.server latin-1-decodes
+            # headers, so re-encoding latin-1 recovers the client's
+            # wire bytes; the token compares as utf-8 (the canonical
+            # wire encoding for it).
+            return hmac.compare_digest(
+                got.encode("latin-1", "replace"),
+                f"Bearer {token}".encode("utf-8"),
+            )
 
         def do_GET(self):
             from urllib.parse import parse_qs, urlsplit
@@ -955,7 +972,11 @@ def _make_handler(registry: "_ServiceRegistry",
                 return
             service = box.service
             if parts.path == "/healthz":
-                self._reply(200, service.stats())
+                # minimal and lock-free: /healthz is auth-exempt for
+                # liveness probes, so it must neither leak corpus
+                # metadata nor take the index lock (stats() computes
+                # memory figures there)
+                self._reply(200, {"status": "ok", "schema": service.schema})
             elif parts.path == "/stats":
                 payload = service.stats()
                 payload["metrics"] = service.metrics.snapshot()
