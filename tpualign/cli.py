@@ -539,7 +539,9 @@ def _run_query(args) -> int:
         return 0
 
     if args.text:
-        # new capability: text -> images over the whole corpus
+        # new capability: text -> images over the whole corpus.
+        # Always exact: this searches the IMAGE corpus, and offline
+        # artifacts (tpualign index) cover the chunk corpus only.
         from tpualign.parallel.embed import EmbedEngine
 
         images = store.images(schema)
