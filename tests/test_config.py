@@ -131,3 +131,35 @@ def test_text_buckets_from_env():
     assert cfg.text_buckets == (24, 77)
     off = load_config(env_file=None, overrides={"TEXT_BUCKETS": "off"})
     assert off.text_buckets is None
+
+
+def test_env_example_parses_and_inline_comments_stripped(tmp_path,
+                                                         monkeypatch):
+    """The checked-in .env.example must load verbatim (python-dotenv
+    strips whitespace-preceded inline comments; so do we), and quoted
+    values keep their '#'."""
+    import os
+    from pathlib import Path
+
+    from tpualign.config import load_config, load_env_file
+
+    for k in list(os.environ):
+        if k.startswith(("CLIP_", "RETRIEVAL_", "HNSW_", "IVF_", "SERVE_",
+                         "TRAIN_", "DISTILL_", "MESH_", "LORA_", "BATCH_")):
+            monkeypatch.delenv(k, raising=False)
+    example = Path(__file__).resolve().parents[1] / ".env.example"
+    snapshot = dict(os.environ)  # load_env_file setdefaults globally
+    try:
+        cfg = load_config(env_file=str(example))
+    finally:
+        os.environ.clear()
+        os.environ.update(snapshot)
+    assert cfg.mesh.data == 1 and cfg.retrieval_index == "exact"
+    assert cfg.hnsw_ef_search is None and cfg.serve_token is None
+
+    env = tmp_path / "e.env"
+    env.write_text('A=1 # comment\nB="x # kept"\nC=plain#nohash\n')
+    out = load_env_file(str(env))
+    assert out["A"] == "1"
+    assert out["B"] == "x # kept"
+    assert out["C"] == "plain#nohash"  # no whitespace -> not a comment

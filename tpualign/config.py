@@ -454,6 +454,13 @@ def load_env_file(path: str = ".env") -> dict:
         value = value.strip()
         if len(value) >= 2 and value[0] == value[-1] and value[0] in "\"'":
             value = value[1:-1]
+        elif value.startswith("#"):
+            value = ""  # `KEY= # comment`: empty value, inline comment
+        elif " #" in value:
+            # python-dotenv semantics: an UNQUOTED value ends at the
+            # first whitespace-preceded '#' (inline comment); quote
+            # values that legitimately contain ' #'
+            value = value.split(" #", 1)[0].rstrip()
         out[key] = value
         os.environ.setdefault(key, value)
     return out
@@ -529,7 +536,8 @@ def load_config(
     train = TrainConfig(
         learning_rate=float(_env(env, "LEARNING_RATE", "1e-5")),
         weight_decay=float(_env(env, "WEIGHT_DECAY", "0.2")),
-        batch_size=int(_env(env, "TRAIN_BATCH_SIZE", _env(env, "BATCH_SIZE", "256"))),
+        batch_size=int(_env(env, "TRAIN_BATCH_SIZE", "")
+                       or _env(env, "BATCH_SIZE", "256") or "256"),
         warmup_steps=int(_env(env, "WARMUP_STEPS", "200")),
         total_steps=int(_env(env, "TOTAL_STEPS", "2000")),
         weak_score_temperature=float(_env(env, "WEAK_SCORE_TEMPERATURE", "0.5")),
