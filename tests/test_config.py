@@ -158,8 +158,12 @@ def test_env_example_parses_and_inline_comments_stripped(tmp_path,
     assert cfg.hnsw_ef_search is None and cfg.serve_token is None
 
     env = tmp_path / "e.env"
-    env.write_text('A=1 # comment\nB="x # kept"\nC=plain#nohash\n')
+    env.write_text('A=1 # comment\nB="x # kept"\nC=plain#nohash\n'
+                   'D="y # kept" # and a real comment\nE= # empty\n')
     out = load_env_file(str(env))
     assert out["A"] == "1"
     assert out["B"] == "x # kept"
     assert out["C"] == "plain#nohash"  # no whitespace -> not a comment
+    assert out["D"] == "y # kept"  # quote ends the value, comment drops
+    assert out["E"] == ""
+

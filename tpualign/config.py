@@ -452,8 +452,12 @@ def load_env_file(path: str = ".env") -> dict:
         key, _, value = line.partition("=")
         key = key.strip()
         value = value.strip()
-        if len(value) >= 2 and value[0] == value[-1] and value[0] in "\"'":
-            value = value[1:-1]
+        if value[:1] in "\"'":
+            # quoted value: ends at the matching quote, anything after
+            # (e.g. an inline comment) is dropped; '#' inside is kept
+            close = value.find(value[0], 1)
+            if close != -1:
+                value = value[1:close]
         elif value.startswith("#"):
             value = ""  # `KEY= # comment`: empty value, inline comment
         elif " #" in value:
