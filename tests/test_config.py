@@ -159,11 +159,22 @@ def test_env_example_parses_and_inline_comments_stripped(tmp_path,
 
     env = tmp_path / "e.env"
     env.write_text('A=1 # comment\nB="x # kept"\nC=plain#nohash\n'
-                   'D="y # kept" # and a real comment\nE= # empty\n')
-    out = load_env_file(str(env))
+                   'D="y # kept" # and a real comment\nE= # empty\n'
+                   'F=\nG=#ff0000\nH=30\t# tab comment\n'
+                   'I="pa"ss"word"\n')
+    snapshot = dict(os.environ)  # load_env_file setdefaults globally
+    try:
+        out = load_env_file(str(env))
+    finally:
+        os.environ.clear()
+        os.environ.update(snapshot)
     assert out["A"] == "1"
     assert out["B"] == "x # kept"
     assert out["C"] == "plain#nohash"  # no whitespace -> not a comment
     assert out["D"] == "y # kept"  # quote ends the value, comment drops
     assert out["E"] == ""
+    assert out["F"] == ""  # bare KEY= must not crash
+    assert out["G"] == "#ff0000"  # hash-leading value survives (dotenv)
+    assert out["H"] == "30"  # tab counts as comment whitespace
+    assert out["I"] == 'pa"ss"word'  # interior quotes survive (greedy)
 

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import re
 from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Mapping, Optional, Sequence
@@ -449,22 +450,20 @@ def load_env_file(path: str = ".env") -> dict:
         line = raw.strip()
         if not line or line.startswith("#") or "=" not in line:
             continue
-        key, _, value = line.partition("=")
+        key, _, rhs = line.partition("=")
         key = key.strip()
-        value = value.strip()
-        if value[:1] in "\"'":
-            # quoted value: ends at the matching quote, anything after
-            # (e.g. an inline comment) is dropped; '#' inside is kept
-            close = value.find(value[0], 1)
-            if close != -1:
-                value = value[1:close]
-        elif value.startswith("#"):
-            value = ""  # `KEY= # comment`: empty value, inline comment
-        elif " #" in value:
-            # python-dotenv semantics: an UNQUOTED value ends at the
-            # first whitespace-preceded '#' (inline comment); quote
-            # values that legitimately contain ' #'
-            value = value.split(" #", 1)[0].rstrip()
+        stripped = rhs.strip()
+        if stripped[:1] in ("\"", "'"):
+            # quoted value: closes at the LAST matching quote (interior
+            # quotes survive), anything after — e.g. an inline comment
+            # — is dropped; '#' inside quotes is kept
+            m = re.match(r"^(['\"])(.*)\1", stripped)
+            value = m.group(2) if m else stripped
+        else:
+            # python-dotenv semantics on the UNSTRIPPED value: an
+            # inline comment is '#' preceded by whitespace, so
+            # `KEY= # c` is empty while `KEY=#ff0000` keeps its value
+            value = re.sub(r"\s+#.*", "", rhs).strip()
         out[key] = value
         os.environ.setdefault(key, value)
     return out
