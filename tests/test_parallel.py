@@ -1040,15 +1040,81 @@ def test_add_empty_start_and_new_manual_vocab():
     assert ix.n == 64
 
 
-def test_add_rejects_mesh_and_bad_dim(mesh8):
+def test_add_rejects_bad_dim():
     rng = np.random.default_rng(79)
     c = rng.normal(size=(64, 16)).astype(np.float32)
-    ix = RetrievalIndex(c, ["m"] * 64, [1] * 64, mesh=mesh8)
-    with pytest.raises(NotImplementedError, match="rebuild"):
-        ix.add(c[:2], ["m"] * 2, [1] * 2)
     sx = RetrievalIndex(c, ["m"] * 64, [1] * 64)
     with pytest.raises(ValueError, match="dim"):
         sx.add(np.zeros((2, 8), np.float32), ["m"] * 2, [1] * 2)
+
+
+def test_mesh_add_matches_fresh_build(mesh8):
+    """Sharded incremental add (r3 late — previously a documented
+    NotImplementedError): new rows write into the global tail (key
+    masking makes padding inert wherever it sits), growth re-shards via
+    device_put, and results stay bit-identical to a one-shot combined
+    build on the same mesh — keyed + wildcard, fp32 and int8, across a
+    capacity growth, for gather AND streaming strategies."""
+    rng = np.random.default_rng(101)
+    n, extra, d = 200, 120, 32
+    c = rng.normal(size=(n + extra, d)).astype(np.float32)
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    man = [f"m{i % 4}" for i in range(n + extra)]
+    page = [1 + i % 3 for i in range(n + extra)]
+    q, qm, qp = c[::7][:24], man[::7][:24], page[::7][:24]
+    for prec in ("fp32", "int8"):
+        ix = RetrievalIndex(c[:n], man[:n], page[:n], mesh=mesh8,
+                            precision=prec)
+        for s0, s1 in ((n, n + 40), (n + 40, n + extra)):
+            ix.add(c[s0:s1], man[s0:s1], page[s0:s1])
+        assert ix.n == n + extra
+        assert ix._corpus.shape[0] % 8 == 0  # shard-even capacity
+        assert "data" in str(ix._corpus.sharding.spec)
+        full = RetrievalIndex(c, man, page, mesh=mesh8, precision=prec)
+        for kw in (dict(query_manuals=qm, query_pages=qp),
+                   dict(global_search=True)):
+            v1, i1 = ix.search(q, k=8, strategy="gather", **kw)
+            v2, i2 = full.search(q, k=8, strategy="gather", **kw)
+            # capacities differ (1024-rounded slack vs exact padding),
+            # so per-shard GEMM tiling — and fp32 reduction order —
+            # differs: values match to reduction noise. fp32 rankings
+            # match exactly; int8's dequant GEMM (the CPU-mesh path)
+            # genuinely TIES quantized scores, and reduction noise can
+            # flip tie order between layouts — allow boundary swaps.
+            np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
+                                       atol=2e-5, err_msg=prec)
+            if prec == "fp32":
+                np.testing.assert_array_equal(
+                    np.asarray(i1), np.asarray(i2), err_msg=prec)
+            else:
+                for r1, r2 in zip(np.asarray(i1), np.asarray(i2)):
+                    assert len(set(r1) & set(r2)) >= 7, (r1, r2)
+        # streaming (interpret mode on CPU): layout independence within
+        # the same scoring family — the incremental index's streaming
+        # results must match the one-shot build's streaming results
+        # (comparing streaming to GATHER would mix scoring families:
+        # the int8 kernel quantizes queries differently by design)
+        vs, is_ = ix.search(q, qm, qp, k=8, strategy="streaming")
+        vf, if_ = full.search(q, qm, qp, k=8, strategy="streaming")
+        np.testing.assert_allclose(np.asarray(vs), np.asarray(vf),
+                                   atol=2e-5, err_msg=prec)
+        if prec == "fp32":
+            np.testing.assert_array_equal(np.asarray(is_), np.asarray(if_))
+        else:
+            for r1, r2 in zip(np.asarray(is_), np.asarray(if_)):
+                assert len(set(r1) & set(r2)) >= 7, (r1, r2)
+
+
+def test_mesh_add_empty_start(mesh8):
+    rng = np.random.default_rng(103)
+    d = 16
+    c = rng.normal(size=(48, d)).astype(np.float32)
+    ix = RetrievalIndex(np.zeros((0, d), np.float32), [], [], mesh=mesh8)
+    ix.add(c, ["newman"] * 48, [2] * 48)
+    assert ix.n == 48 and "newman" in ix.vocab
+    assert ix._corpus.shape[0] % 8 == 0
+    _, i = ix.search(c[:4], ["newman"] * 4, [2] * 4, k=3)
+    assert (np.asarray(i)[:, 0] == np.arange(4)).all()
 
 
 def test_remove_tombstones_rows():
@@ -1077,12 +1143,27 @@ def test_remove_tombstones_rows():
         )
 
 
-def test_remove_rejects_mesh(mesh8):
+def test_mesh_remove_tombstones(mesh8):
+    """Sharded remove: a key scatter tombstones rows in their owning
+    shard; results match a fresh mesh build without those rows."""
     rng = np.random.default_rng(93)
-    c = rng.normal(size=(64, 16)).astype(np.float32)
-    ix = RetrievalIndex(c, ["m"] * 64, [1] * 64, mesh=mesh8)
-    with pytest.raises(NotImplementedError, match="rebuild"):
-        ix.remove([0])
+    n, d = 96, 16
+    c = rng.normal(size=(n, d)).astype(np.float32)
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    man = [f"m{i % 2}" for i in range(n)]
+    page = [1] * n
+    ix = RetrievalIndex(c, man, page, mesh=mesh8)
+    assert ix.remove(range(6)) == 6
+    assert ix.remove(range(6)) == 0  # idempotent
+    assert "data" in str(ix._keys.sharding.spec)
+    _, i1 = ix.search(c[:6], man[:6], page[:6], k=3)
+    assert not np.isin(np.asarray(i1), np.arange(6)).any()
+    rest = RetrievalIndex(c[6:], man[6:], page[6:], mesh=mesh8)
+    _, ia = ix.search(c[30:40], man[30:40], page[30:40], k=5)
+    _, ib = rest.search(c[30:40], man[30:40], page[30:40], k=5)
+    np.testing.assert_array_equal(
+        np.where(np.asarray(ia) >= 0, np.asarray(ia) - 6, -1),
+        np.asarray(ib))
 
 
 # ---------------------------------------------------------------------------

@@ -1656,3 +1656,47 @@ def test_auth_handles_non_ascii_header_and_token():
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+
+def test_service_mesh_add_and_sync():
+    """Sharded serving mutations (r3 late): /add-equivalent inserts and
+    /sync deltas work on a mesh-sharded exact index — new chunks become
+    searchable without a rebuild, results match the single-device
+    service."""
+    from tpualign.parallel.mesh import create_mesh
+    from tpualign.serving.server import _ServiceBox
+
+    rng = np.random.default_rng(41)
+    n, d = 64, 16
+    emb = rng.normal(size=(n, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    ids = [f"c{i}" for i in range(n)]
+    manuals = [f"m{i % 2}" for i in range(n)]
+    pages = [1] * n
+    extra = rng.normal(size=(3, d)).astype(np.float32)
+    extra /= np.linalg.norm(extra, axis=1, keepdims=True)
+
+    s1 = RetrievalService(emb, ids, manuals, pages, coalesce_window_ms=None)
+    s8 = RetrievalService(emb, ids, manuals, pages,
+                          mesh=create_mesh(8, 1), coalesce_window_ms=None)
+    for svc in (s1, s8):
+        out = svc.add_chunks(["x0", "x1", "x2"], ["mx"] * 3, [7] * 3, extra)
+        assert out["added"] == 3 and out["corpus_size"] == n + 3
+    r1 = s1.search_embeddings(extra[:2], ["mx"] * 2, [7] * 2, k=2)
+    r8 = s8.search_embeddings(extra[:2], ["mx"] * 2, [7] * 2, k=2)
+    assert [[h["chunk_id"] for h in row] for row in r1] == \
+        [[h["chunk_id"] for h in row] for row in r8]
+    assert r8[0][0]["chunk_id"] == "x0"
+    # removes tombstone on the mesh too
+    assert s8.remove_chunks(["x1"])["removed"] == 1
+    r = s8.search_embeddings(extra[1:2], ["mx"], [7], k=3)
+    assert "x1" not in [h["chunk_id"] for h in r[0]]
+    # /sync delta path drives the same machinery
+    snap = (ids + ["x0", "x2", "fresh"], manuals + ["mx", "mx", "mx"],
+            pages + [7, 7, 7],
+            np.concatenate([emb, extra[:1], extra[2:], -extra[:1]]))
+    box = _ServiceBox(s8, fetch=lambda: snap)
+    out = box.sync()
+    assert out["added"] == 1  # only "fresh" is new
+    r = s8.search_embeddings(-extra[:1], ["mx"], [7], k=1)
+    assert r[0][0]["chunk_id"] == "fresh"

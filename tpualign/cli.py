@@ -426,7 +426,12 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
                     image_encoder=img_encoder,
                     text_tower=not args.no_text_tower,
                 ),
-                fetch=(None if mesh is not None else
+                # /sync needs incremental add: the exact index supports
+                # it on a mesh too (r3 late); sharded IVF still
+                # rebuilds via /reload
+                fetch=(None if (mesh is not None and
+                                getattr(config, "retrieval_index",
+                                        "exact") == "ivf") else
                        lambda s=schema: fetch_snapshot(config, s)),
             )
         default = schemas[0] if schemas[0] in boxes else sorted(boxes)[0]

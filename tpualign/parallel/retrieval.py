@@ -827,16 +827,15 @@ class RetrievalIndex:
         quantization, so results are IDENTICAL (ties included) to an
         index built with the combined corpus in one shot.
 
-        Single-device only: sharded adds would re-balance shards —
-        rebuild from the store on a mesh (``tpualign serve`` /reload).
+        Works on a mesh too (r3 late): every scoring path masks by key
+        (padding rows carry -1 and are inert wherever they sit), so new
+        rows write into the global tail — they land in the last
+        shard(s), unbalanced but correct — and growth re-shards through
+        ``device_put`` (an ICI all-to-all, never the host link). Shard
+        balance is restored at the next rebuild (/reload).
         New manual ids extend the index vocab. All-new-array swap makes
         racing searches see either the old or the new corpus, never a
         mix (growth reallocations included)."""
-        if self.mesh is not None:
-            raise NotImplementedError(
-                "sharded indexes rebuild from the store (POST /reload); "
-                "incremental add is single-device"
-            )
         rows = np.asarray(embeddings, np.float32)
         if rows.ndim != 2:
             raise ValueError(f"embeddings must be (M, D); got {rows.shape}")
@@ -848,10 +847,11 @@ class RetrievalIndex:
         else:
             keys = np.zeros((m,), np.int32)
         if self.n == 0:
-            self._init_from_arrays(rows.shape[1], rows, keys, None,
+            self._init_from_arrays(rows.shape[1], rows, keys, self.mesh,
                                    self.precision, self.recall_target,
                                    self.refine)
-            self._n_cap = self.n
+            if self._corpus is not None:
+                self._n_cap = int(self._corpus.shape[0])
             return
         if rows.shape[1] != self.dim:
             raise ValueError(
@@ -867,33 +867,35 @@ class RetrievalIndex:
         else:
             new_rows, new_scales = rows, None
 
-        cap = getattr(self, "_n_cap", self.n)
+        shards = self.mesh.shape["data"] if self.mesh is not None else 1
+        cap = getattr(self, "_n_cap", int(self._corpus.shape[0]))
         total = self.n + m
         corpus, ckeys = self._corpus, self._keys
         scales = self._corpus_scales
         if total > cap:
             new_cap = _round_up(max(total, int(cap * self.GROWTH)), 1024)
+            new_cap = -(-new_cap // shards) * shards  # shard-even
             grow = new_cap - cap
             # grow ON DEVICE (concat of device array + fresh padding):
-            # the resident corpus never crosses the host link
-            corpus = jnp.concatenate(
-                [corpus, jnp.zeros((grow, corpus.shape[1]), corpus.dtype)]
-            )
-            ckeys = jnp.concatenate(
-                [ckeys, jnp.full((grow,), -1, jnp.int32)]
-            )
+            # the resident corpus never crosses the host link. On a
+            # mesh, explicit out_shardings keep the result P("data", …)
+            # (GSPMD reshards over ICI).
+            corpus = self._grown(corpus, grow, 0.0, P("data", None))
+            ckeys = self._grown(ckeys, grow, -1, P("data"))
             if scales is not None:
-                scales = jnp.concatenate(
-                    [scales, jnp.ones((grow,), jnp.float32)]
-                )
+                scales = self._grown(scales, grow, 1.0, P("data"))
             cap = new_cap
-        corpus = corpus.at[self.n: total].set(jnp.asarray(new_rows))
-        ckeys = ckeys.at[self.n: total].set(jnp.asarray(keys, jnp.int32))
+        corpus = self._tail_write(corpus, jnp.asarray(new_rows), self.n,
+                                  P("data", None))
+        ckeys = self._tail_write(ckeys, jnp.asarray(keys, jnp.int32),
+                                 self.n, P("data"))
         if scales is not None:
-            scales = scales.at[self.n: total].set(jnp.asarray(new_scales))
+            scales = self._tail_write(scales, jnp.asarray(new_scales),
+                                      self.n, P("data"))
         new_fields = {
             "_corpus": corpus, "_keys": ckeys, "_corpus_scales": scales,
-            "n": total, "_n_local": total, "_n_cap": cap,
+            "n": total, "_n_cap": cap,
+            "_n_local": (cap // shards if self.mesh is not None else total),
         }
         if self._refine_corpus is not None:
             new_fields["_refine_corpus"] = np.concatenate(
@@ -903,6 +905,28 @@ class RetrievalIndex:
         # new field SET, never a shape-mismatched mix
         self.__dict__.update(new_fields)
 
+    def _grown(self, arr, grow: int, fill, spec):
+        """``arr`` + ``grow`` fill rows, sharding-pinned on a mesh."""
+        pad = jnp.full((grow, *arr.shape[1:]), fill, arr.dtype)
+        fn = lambda a, p: jnp.concatenate([a, p])  # noqa: E731
+        if self.mesh is None:
+            return fn(arr, pad)
+        return jax.jit(fn, out_shardings=NamedSharding(self.mesh, spec))(
+            arr, pad)
+
+    def _tail_write(self, arr, rows, at: int, spec):
+        """Write ``rows`` at global offset ``at``, sharding-pinned.
+        ``at`` is traced, so repeated same-size adds (the streaming-
+        ingest pattern) reuse one executable."""
+        def fn(a, r, start):
+            idx = (start,) + (jnp.int32(0),) * (a.ndim - 1)
+            return jax.lax.dynamic_update_slice(a, r, idx)
+
+        if self.mesh is None:
+            return arr.at[at: at + rows.shape[0]].set(rows)
+        return jax.jit(fn, out_shardings=NamedSharding(self.mesh, spec))(
+            arr, rows, jnp.int32(at))
+
     def remove(self, corpus_indices) -> int:
         """Tombstone rows (pgvector ``DELETE`` parity): removed rows'
         keys become -2 — a reserved query-padding value no query key can
@@ -911,19 +935,21 @@ class RetrievalIndex:
         (reclaimed at the next rebuild, like pgvector's dead tuples
         before VACUUM). Returns the number of rows newly tombstoned;
         out-of-range and already-removed indices are ignored. Exact at
-        every precision; single-device only."""
-        if self.mesh is not None:
-            raise NotImplementedError(
-                "sharded indexes rebuild from the store (POST /reload); "
-                "incremental remove is single-device"
-            )
+        every precision; works on a mesh too (a key scatter reshards
+        nothing — the tombstone value lands in the owning shard)."""
         idx = np.unique(np.asarray(corpus_indices, np.int64))
         idx = idx[(idx >= 0) & (idx < self.n)]
         if idx.size == 0 or self.n == 0:
             return 0
         d_idx = jnp.asarray(idx)
         before = self._keys[d_idx]
-        keys = self._keys.at[d_idx].set(-2)
+        if self.mesh is None:
+            keys = self._keys.at[d_idx].set(-2)
+        else:
+            keys = jax.jit(
+                lambda k, i: k.at[i].set(-2),
+                out_shardings=NamedSharding(self.mesh, P("data")),
+            )(self._keys, d_idx)
         removed = int(jnp.sum(before != -2))
         self.__dict__.update({"_keys": keys})
         return removed
