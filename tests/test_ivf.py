@@ -691,14 +691,15 @@ def test_sharded_prequantized_scales_gather_per_shard():
     c_i8 = np.clip(np.rint(c / scale[:, None]), -127, 127).astype(np.int8)
     ix = IVFIndex(c_i8, n_lists=64, iters=4, corpus_scales=scale,
                   mesh=_mesh8())
-    ids = np.asarray(ix._ids)
+    ids = np.asarray(ix._ids)  # global corpus ids (r3 late)
     got = np.asarray(ix._scales)
     n_local = n // 8
     total_local = len(ids) // 8
     shard = np.arange(len(ids)) // total_local
-    gid = shard * n_local + np.maximum(ids, 0)
-    expect = scale[np.minimum(gid, n - 1)]
     valid = ids >= 0
+    # every packed id must belong to its own shard's row range
+    assert (ids[valid] // n_local == shard[valid]).all()
+    expect = scale[np.maximum(ids, 0)]
     np.testing.assert_allclose(got[valid], expect[valid], rtol=1e-6)
 
 
@@ -759,12 +760,9 @@ def test_ivf_add_grows_spill_and_stays_exact():
     assert (np.asarray(iq)[:, 0] == np.arange(n, n + 16)).mean() >= 0.9
 
 
-def test_ivf_add_rejects_mesh_and_bad_shapes():
+def test_ivf_add_rejects_bad_shapes():
     rng = np.random.default_rng(87)
     c, _ = make_clustered(rng, n=512, d=16, g=4)
-    ix = IVFIndex(c, n_lists=8, iters=2, mesh=_mesh8())
-    with pytest.raises(NotImplementedError, match="rebuild"):
-        ix.add(c[:2])
     sx = IVFIndex(c, n_lists=8, iters=2)
     with pytest.raises(ValueError, match="must be"):
         sx.add(np.zeros((2, 8), np.float32))
@@ -788,6 +786,92 @@ def test_ivf_remove_and_readd():
     assert not np.isin(np.asarray(i1), [0, 1, 2]).any()
     iv.add(c[:1], man[:1], page[:1])
     _, i2 = iv.search(c[:1], man[:1], page[:1], k=2, n_probes=iv.n_lists)
+    assert np.asarray(i2)[0, 0] == n  # the re-added copy's new id
+
+
+def test_sharded_ivf_add_full_probe_matches_fresh_build():
+    """Sharded IVFIndex.add (r3 late: globally-nearest shard+list
+    routing): FULL per-shard probing after adds must equal a fresh
+    sharded build over the combined corpus — full probes are
+    assignment-independent and the per-row quantization grid is
+    identical — keys and ties included."""
+    rng = np.random.default_rng(90)
+    n, extra, d = 1024, 512, 32
+    c = unit(rng.normal(size=(n + extra, d)).astype(np.float32))
+    man = [f"m{i % 3}" for i in range(n + extra)]
+    page = [1 + i % 4 for i in range(n + extra)]
+    q, qm, qp = c[::17][:40], man[::17][:40], page[::17][:40]
+    for prec in ("fp32", "int8"):
+        ix = IVFIndex(c[:n], man[:n], page[:n], n_lists=32, iters=4,
+                      precision=prec, mesh=_mesh8())
+        ix.add(c[n:n + 200], man[n:n + 200], page[n:n + 200])
+        ix.add(c[n + 200:], man[n + 200:], page[n + 200:])
+        assert ix.n == n + extra
+        fresh = IVFIndex(c, man, page, n_lists=32, iters=4,
+                         precision=prec, mesh=_mesh8())
+        v1, i1 = ix.search(q, qm, qp, k=8, n_probes=ix.n_lists_local)
+        v2, i2 = fresh.search(q, qm, qp, k=8,
+                              n_probes=fresh.n_lists_local)
+        np.testing.assert_array_equal(i1, i2, err_msg=prec)
+        has = i2 >= 0
+        np.testing.assert_allclose(v1[has], v2[has], rtol=0, atol=2e-5,
+                                   err_msg=prec)
+
+
+def test_sharded_ivf_add_grows_spill_and_probed_finds_new_rows():
+    """Overfull sharded lists overflow to the OWNING shard's spill tail;
+    a full tail grows by whole blocks ON EVERY SHARD (uniform geometry).
+    Full probes stay exact vs the dense oracle and probed search finds
+    the freshly added rows."""
+    rng = np.random.default_rng(91)
+    # per-shard capacity clamps at >=128 rows, so spill needs lists that
+    # genuinely exceed 128 rows on their own shard: 1024 rows/shard into
+    # 8 local lists over 4 natural clusters leaves ~256-row lists
+    c, _ = make_clustered(rng, n=8492, d=16, g=4)
+    n = 8192
+    ix = IVFIndex(c[:n], n_lists=16, iters=4, capacity_factor=0.05,
+                  mesh=_mesh8())
+    assert ix.spill > 0  # genuinely overfull lists
+    tot0 = ix._ids.shape[0]
+    sb0 = ix.spill_blocks
+    ix.add(c[n:])
+    assert ix.n == len(c)
+    if ix._ids.shape[0] > tot0:  # growth keeps shard-uniform geometry
+        assert ix._ids.shape[0] == (
+            (ix.n_lists_local + 1 + ix.spill_blocks)
+            * ix.capacity * 8
+        )
+        assert ix.spill_blocks > sb0
+    from tpualign.parallel.retrieval import RetrievalIndex
+
+    q = c[::13][:40]
+    ex = RetrievalIndex(c, ["m"] * len(c), [1] * len(c))
+    _, i1 = ix.search(q, k=8, n_probes=ix.n_lists_local,
+                      global_search=True)
+    _, i2 = ex.search(q, k=8, global_search=True)
+    np.testing.assert_array_equal(i1, i2)
+    ix.calibrate(0.9, k=5, sample=64)
+    _, iq = ix.search(c[n:n + 16], k=1, global_search=True)
+    assert (np.asarray(iq)[:, 0] == np.arange(n, n + 16)).mean() >= 0.9
+
+
+def test_sharded_ivf_remove_and_readd():
+    """Sharded remove tombstones the owning shard's packed slot; a
+    removed id re-added later serves the NEW copy."""
+    rng = np.random.default_rng(92)
+    n, d = 1024, 32
+    c = unit(rng.normal(size=(n, d)).astype(np.float32))
+    man = [f"m{i % 3}" for i in range(n)]
+    page = [1 + i % 4 for i in range(n)]
+    iv = IVFIndex(c, man, page, n_lists=32, iters=4, mesh=_mesh8())
+    assert iv.remove([0, 1, 2, 999999, -5]) == 3
+    assert iv.remove([0]) == 0
+    _, i1 = iv.search(c[:3], man[:3], page[:3], k=3,
+                      n_probes=iv.n_lists_local)
+    assert not np.isin(np.asarray(i1), [0, 1, 2]).any()
+    iv.add(c[:1], man[:1], page[:1])
+    _, i2 = iv.search(c[:1], man[:1], page[:1], k=2,
+                      n_probes=iv.n_lists_local)
     assert np.asarray(i2)[0, 0] == n  # the re-added copy's new id
 
 

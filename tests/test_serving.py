@@ -1700,3 +1700,42 @@ def test_service_mesh_add_and_sync():
     assert out["added"] == 1  # only "fresh" is new
     r = s8.search_embeddings(-extra[:1], ["mx"], [7], k=1)
     assert r[0][0]["chunk_id"] == "fresh"
+
+
+def test_service_mesh_ivf_add_remove_and_sync():
+    """Sharded IVF serving mutations (r3 late): /add routes rows to the
+    globally nearest shard+list, /remove tombstones, /sync applies store
+    deltas — no rebuild, same machinery as the exact index."""
+    from tpualign.parallel.ivf import IVFIndex
+    from tpualign.parallel.mesh import create_mesh
+    from tpualign.serving.server import _ServiceBox
+
+    rng = np.random.default_rng(43)
+    n, d = 256, 16
+    emb = rng.normal(size=(n, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    ids = [f"c{i}" for i in range(n)]
+    manuals = [f"m{i % 2}" for i in range(n)]
+    pages = [1] * n
+    extra = rng.normal(size=(3, d)).astype(np.float32)
+    extra /= np.linalg.norm(extra, axis=1, keepdims=True)
+
+    svc = RetrievalService(emb, ids, manuals, pages,
+                           mesh=create_mesh(8, 1), index_type="ivf",
+                           ivf_lists=16, ivf_probes=2,
+                           coalesce_window_ms=None)
+    assert isinstance(svc.index, IVFIndex) and svc.index.mesh is not None
+    out = svc.add_chunks(["x0", "x1", "x2"], ["mx"] * 3, [7] * 3, extra)
+    assert out["added"] == 3 and out["corpus_size"] == n + 3
+    r = svc.search_embeddings(extra[:1], ["mx"], [7], k=1)
+    assert r[0][0]["chunk_id"] == "x0"
+    assert svc.remove_chunks(["x1"])["removed"] == 1
+    r = svc.search_embeddings(extra[1:2], ["mx"], [7], k=3)
+    assert "x1" not in [h["chunk_id"] for h in r[0]]
+    snap = (ids + ["x0", "x2", "fresh"], manuals + ["mx", "mx", "mx"],
+            pages + [7, 7, 7],
+            np.concatenate([emb, extra[:1], extra[2:], -extra[:1]]))
+    out = _ServiceBox(svc, fetch=lambda: snap).sync()
+    assert out["added"] == 1
+    r = svc.search_embeddings(-extra[:1], ["mx"], [7], k=1)
+    assert r[0][0]["chunk_id"] == "fresh"

@@ -426,13 +426,10 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
                     image_encoder=img_encoder,
                     text_tower=not args.no_text_tower,
                 ),
-                # /sync needs incremental add: the exact index supports
-                # it on a mesh too (r3 late); sharded IVF still
-                # rebuilds via /reload
-                fetch=(None if (mesh is not None and
-                                getattr(config, "retrieval_index",
-                                        "exact") == "ivf") else
-                       lambda s=schema: fetch_snapshot(config, s)),
+                # /sync rides incremental add — supported by every index
+                # type, sharded included (exact r3 late; sharded IVF
+                # r3 late too, via per-shard list routing)
+                fetch=lambda s=schema: fetch_snapshot(config, s),
             )
         default = schemas[0] if schemas[0] in boxes else sorted(boxes)[0]
         httpd = serve_schemas(boxes, default, host=args.host, port=args.port,

@@ -701,7 +701,13 @@ class IVFIndex:
         self.centroids = cent  # (ndev*ll, D), row-sharded
 
         def pack_body(c_l, k_l, a_l):
-            return _pack(c_l, k_l, a_l, ll, cap, self.spill_blocks)
+            # ids are stored GLOBAL (unlike the shard-local values _pack
+            # emits): incremental adds route new global ids to any shard,
+            # and _positions/_probe_depths/removes read them uniformly
+            pemb, pkeys, pids = _pack(c_l, k_l, a_l, ll, cap,
+                                      self.spill_blocks)
+            off = jax.lax.axis_index("data").astype(jnp.int32) * n_local
+            return pemb, pkeys, jnp.where(pids >= 0, pids + off, -1)
 
         pemb, self._keys, self._ids = jax.jit(jax.shard_map(
             pack_body, mesh=mesh,
@@ -712,12 +718,17 @@ class IVFIndex:
         del corpus, keys, assign
         if scales_in is not None:
             self._emb = pemb
-            # the packed ids are SHARD-LOCAL: gather each shard's scales
-            # from its own rows inside shard_map (a plain global gather
-            # here would fetch shard 0's scales for every shard — r3
-            # regression test pins this)
+            # gather each shard's scales from its own rows inside
+            # shard_map (a plain global gather here would fetch shard 0's
+            # scales for every shard — r3 regression test pins this); the
+            # stored ids are global, so localize them against the shard
+            # offset first
+            def scale_body(s_l, i_l):
+                off = jax.lax.axis_index("data").astype(jnp.int32) * n_local
+                return s_l[jnp.maximum(i_l - off, 0), 0]
+
             self._scales = jax.jit(jax.shard_map(
-                lambda s_l, i_l: s_l[jnp.maximum(i_l, 0), 0],
+                scale_body,
                 mesh=mesh, in_specs=(P("data", None), P("data")),
                 out_specs=P("data"), check_vma=False,
             ))(scales_in, self._ids)
@@ -751,7 +762,6 @@ class IVFIndex:
             return cached
         ll, cap, sb = self.n_lists_local, self.capacity, self.spill_blocks
         chunk = self.cluster_chunk
-        n_local = self._n_local
         kernel_path = self._kernel_path(exact_ties, k)
         int8_mxu = self.int8_mxu
         has_scales = self._scales is not None
@@ -770,9 +780,8 @@ class IVFIndex:
                     q, qk, cent_l, pemb_l, pkeys_l, pids_l, pscales_l,
                     k, p, ll, cap, sb, chunk, exact_ties,
                 )
-            offset = jax.lax.axis_index("data") * n_local
-            gidx = jnp.where(idx >= 0, idx + offset, -1)
-            return vals[None], gidx[None]
+            # packed ids are stored global already; -1 stays the sentinel
+            return vals[None], idx[None]
 
         in_specs = (P(), P(), P("data", None), P("data", None),
                     P("data"), P("data"),
@@ -814,13 +823,15 @@ class IVFIndex:
         (one-time kernel recompile, logged). Centroids are NOT
         retrained — standard IVF insert behavior; recall drifts only as
         the data distribution does (recalibrate with
-        :meth:`calibrate` after bulk drift). Single-device only; sharded
-        serves rebuild from the store."""
-        if self.mesh is not None:
-            raise NotImplementedError(
-                "sharded IVF indexes rebuild from the store; incremental "
-                "add is single-device"
-            )
+        :meth:`calibrate` after bulk drift).
+
+        Works on a mesh too (r3 late): each new row routes to its
+        globally nearest centroid's shard+list (FAISS-style per-shard
+        list routing — the row is probed exactly like a built one),
+        overflow goes to the OWNING shard's spill tail, and tail growth
+        keeps the per-shard geometry uniform (shard_map needs identical
+        static shapes), so one shard's overflow grows every shard's tail
+        by the same block count."""
         rows = np.asarray(embeddings, np.float32)
         if rows.ndim != 2 or rows.shape[1] != self.dim:
             raise ValueError(
@@ -833,6 +844,9 @@ class IVFIndex:
             new_keys, _ = encode_keys(manuals, pages, self.vocab)
         else:
             new_keys = np.zeros((m,), np.int32)
+        if self.mesh is not None:
+            self._add_sharded(rows, np.asarray(new_keys, np.int32))
+            return
 
         # nearest centroid per new row (one device matmul)
         assign = np.asarray(jnp.argmax(
@@ -891,19 +905,7 @@ class IVFIndex:
         dest = np.empty(m, np.int64)
         dest[order] = dest_sorted
 
-        if self.precision == "int8":
-            s = np.maximum(np.abs(rows).max(axis=1, keepdims=True) / 127.0,
-                           1e-12)
-            new_rows = np.clip(np.rint(rows / s), -127, 127).astype(np.int8)
-            new_scales = s.astype(np.float32)[:, 0]
-        elif self.precision == "int4":
-            packed, new_scales = _pack_rows_int4(jnp.asarray(rows))
-            new_rows = packed
-        elif self.precision == "int2":
-            packed, new_scales = _pack_rows_int2(jnp.asarray(rows))
-            new_rows = packed
-        else:
-            new_rows, new_scales = rows, None
+        new_rows, new_scales = self._quantize_new_rows(rows)
 
         d_dev = jnp.asarray(dest)
         emb = emb.at[d_dev].set(jnp.asarray(new_rows))
@@ -930,6 +932,177 @@ class IVFIndex:
         self.__dict__.pop("_positions_cache", None)
         self.__dict__.update(state)
 
+    def _quantize_new_rows(self, rows: np.ndarray):
+        """New fp32 rows on the index's own quantization grid — per-row
+        symmetric scales, identical to the build's, so full-probe search
+        over an added index matches a fresh combined build bit-for-bit."""
+        if self.precision == "int8":
+            s = np.maximum(np.abs(rows).max(axis=1, keepdims=True) / 127.0,
+                           1e-12)
+            new_rows = np.clip(np.rint(rows / s), -127, 127).astype(np.int8)
+            return new_rows, s.astype(np.float32)[:, 0]
+        if self.precision == "int4":
+            return _pack_rows_int4(jnp.asarray(rows))
+        if self.precision == "int2":
+            return _pack_rows_int2(jnp.asarray(rows))
+        return rows, None
+
+    def _add_sharded(self, rows: np.ndarray, new_keys: np.ndarray) -> None:
+        """Mesh insert: route each row to its globally nearest
+        centroid's shard+list (per-shard list routing), append after the
+        block's used slots, overflow to the owning shard's spill tail.
+        Geometry stays uniform across shards (shard_map requires equal
+        static shapes), so tail growth adds the same whole blocks to
+        every shard via a shard-local reshape+concat (never the host
+        link). All writes are sharding-pinned jits; the all-new-array
+        swap keeps racing searches consistent."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = self.mesh
+        ndev = int(dict(mesh.shape)["data"])
+        ll, cap = self.n_lists_local, self.capacity
+        m = len(rows)
+
+        # globally nearest centroid -> (shard, local list); centroids are
+        # row-sharded (ndev*ll, D), the matmul is one small dispatch
+        assign = np.asarray(jnp.argmax(
+            jnp.dot(jnp.asarray(rows), self.centroids.T,
+                    preferred_element_type=jnp.float32), axis=1,
+        ))
+        blocks = ll + 1 + self.spill_blocks  # per-shard packed blocks
+        used = np.asarray(jnp.sum(
+            self._keys.reshape(-1, cap) != -1, axis=1,
+        )).reshape(ndev, blocks)
+
+        order = np.argsort(assign, kind="stable")  # ascending id in list
+        a_sorted = assign[order]
+        sh_sorted = a_sorted // ll
+        ls_sorted = a_sorted % ll
+        starts = np.searchsorted(a_sorted, np.arange(ndev * ll),
+                                 side="left")
+        rank = np.arange(m) - starts[a_sorted]
+        slot = used[sh_sorted, ls_sorted] + rank
+        in_main = slot < cap
+        over = ~in_main
+
+        # per-shard spill occupancy + per-row within-shard spill rank
+        spill_used = used[:, ll + 1:].sum(axis=1)  # tails fill contiguously
+        n_over_sh = np.zeros(ndev, np.int64)
+        spill_rank = np.zeros(m, np.int64)
+        for s in np.unique(sh_sorted[over]):
+            sel = over & (sh_sorted == s)
+            n_over_sh[s] = sel.sum()
+            spill_rank[sel] = np.arange(n_over_sh[s])
+        n_over = int(over.sum())
+
+        emb, keys_arr = self._emb, self._keys
+        ids_arr, scales_arr = self._ids, self._scales
+        spill_blocks = self.spill_blocks
+        need = spill_used + n_over_sh
+        if int(need.max()) > spill_blocks * cap:
+            add_blocks = -(-(int(need.max()) - spill_blocks * cap) // cap)
+            grow = add_blocks * cap  # rows per shard
+            pad_fill = INT4_ZERO_BYTE if emb.dtype == jnp.uint8 else 0
+            per_shard = blocks * cap
+            emb = self._grow_sharded(emb, ndev, per_shard, grow, pad_fill,
+                                     P("data", None))
+            keys_arr = self._grow_sharded(keys_arr, ndev, per_shard, grow,
+                                          -1, P("data"))
+            ids_arr = self._grow_sharded(ids_arr, ndev, per_shard, grow,
+                                         -1, P("data"))
+            if scales_arr is not None:
+                scales_arr = self._grow_sharded(scales_arr, ndev,
+                                                per_shard, grow, 1.0,
+                                                P("data"))
+            spill_blocks += add_blocks
+            blocks += add_blocks
+            log.info(
+                "sharded IVF add: spill tails grew by %d block(s) per "
+                "shard to hold %d overflow row(s) — searches recompile "
+                "once", add_blocks, n_over,
+            )
+
+        total_local = blocks * cap
+        dest_sorted = (sh_sorted.astype(np.int64) * total_local
+                       + ls_sorted * cap + slot)
+        dest_sorted[over] = (sh_sorted[over].astype(np.int64) * total_local
+                             + (ll + 1) * cap
+                             + spill_used[sh_sorted[over]]
+                             + spill_rank[over])
+        dest = np.empty(m, np.int64)
+        dest[order] = dest_sorted
+
+        new_rows, new_scales = self._quantize_new_rows(rows)
+        d_dev = jnp.asarray(dest)
+
+        def scatter(a, upd, spec):
+            return self._pinned_jit(
+                "scatter", lambda: (lambda aa, ii, uu: aa.at[ii].set(uu)),
+                spec,
+            )(a, d_dev, jnp.asarray(upd))
+
+        emb = scatter(emb, new_rows, P("data", None))
+        keys_arr = scatter(keys_arr, np.asarray(new_keys, np.int32),
+                           P("data"))
+        ids_arr = scatter(ids_arr,
+                          np.arange(self.n, self.n + m, dtype=np.int32),
+                          P("data"))
+        if scales_arr is not None:
+            scales_arr = scatter(scales_arr,
+                                 np.asarray(new_scales, np.float32),
+                                 P("data"))
+        state = {
+            "_emb": emb, "_keys": keys_arr, "_ids": ids_arr,
+            "_scales": scales_arr, "n": self.n + m,
+            "spill": self.spill + n_over, "spill_blocks": spill_blocks,
+        }
+        if self._refine_corpus is not None:
+            state["_refine_corpus"] = np.concatenate(
+                [self._refine_corpus, rows]
+            )
+        if spill_blocks != self.spill_blocks:
+            # cached sharded search fns close over the OLD spill_blocks
+            # (a static kernel arg) — drop them with the same swap
+            state["_sharded_cache"] = {}
+        self.__dict__.pop("_positions_cache", None)
+        self.__dict__.update(state)
+
+    def _pinned_jit(self, key, make_fn, spec):
+        """Per-instance cache of sharding-pinned mutation jits (same
+        rationale as ``RetrievalIndex._pinned_jit``): a fresh
+        ``jax.jit(lambda ...)`` every call would retrace and recompile
+        every add; one cached wrapper per (key, spec) reuses executables
+        across repeated same-shape adds. ``key`` must include any value
+        the traced function CLOSES OVER (geometry, fill) — the closure
+        is frozen into the cached wrapper."""
+        from jax.sharding import NamedSharding
+
+        cache = self.__dict__.setdefault("_pinned_jit_cache", {})
+        fn = cache.get((key, spec))
+        if fn is None:
+            fn = jax.jit(make_fn(),
+                         out_shardings=NamedSharding(self.mesh, spec))
+            cache[(key, spec)] = fn
+        return fn
+
+    def _grow_sharded(self, arr, ndev: int, per_shard: int, grow: int,
+                      fill, spec):
+        """Append ``grow`` fill rows INSIDE every shard's region (after
+        its last block), sharding-pinned: the reshape exposes the shard
+        axis, so the concat is shard-local — no host transfer, no
+        cross-device traffic."""
+        def make():
+            def fn(a):
+                al = a.reshape(ndev, per_shard, *a.shape[1:])
+                pad = jnp.full((ndev, grow, *a.shape[1:]), fill, a.dtype)
+                return jnp.concatenate([al, pad], axis=1).reshape(
+                    ndev * (per_shard + grow), *a.shape[1:])
+            return fn
+
+        return self._pinned_jit(
+            ("grow", ndev, per_shard, grow, fill), make, spec,
+        )(arr)
+
     def remove(self, corpus_ids) -> int:
         """Tombstone rows by corpus id (pgvector ``DELETE`` parity):
         the packed slot's key becomes -2 — a reserved query-padding
@@ -938,13 +1111,9 @@ class IVFIndex:
         used-slots-are-contiguous invariant :meth:`add` relies on.
         Slots are reclaimed at the next rebuild, like pgvector's dead
         tuples before VACUUM. Returns the number of rows newly
-        tombstoned; unknown / already-removed ids are ignored.
-        Single-device only."""
-        if self.mesh is not None:
-            raise NotImplementedError(
-                "sharded IVF indexes rebuild from the store; incremental "
-                "remove is single-device"
-            )
+        tombstoned; unknown / already-removed ids are ignored. Works on
+        a mesh too (r3 late): packed ids are global, so the key scatter
+        lands in the owning shard (sharding-pinned — reshards nothing)."""
         ids = np.unique(np.asarray(corpus_ids, np.int64))
         ids = ids[(ids >= 0) & (ids < self.n)]
         if ids.size == 0:
@@ -954,9 +1123,17 @@ class IVFIndex:
         # ambiguously): only tombstone slots that actually hold the id
         live = self._ids[pos] == jnp.asarray(ids, jnp.int32)
         before = self._keys[pos]
-        keys = self._keys.at[jnp.where(live, pos, self._keys.shape[0])].set(
-            -2, mode="drop"
-        )
+        tgt = jnp.where(live, pos, self._keys.shape[0])
+        if self.mesh is None:
+            keys = self._keys.at[tgt].set(-2, mode="drop")
+        else:
+            from jax.sharding import PartitionSpec as P
+
+            keys = self._pinned_jit(
+                "tomb",
+                lambda: (lambda kk, ii: kk.at[ii].set(-2, mode="drop")),
+                P("data"),
+            )(self._keys, tgt)
         removed = int(jnp.sum(live & (before != -2)))
         self.__dict__.update({"_keys": keys})
         return removed
@@ -1170,22 +1347,14 @@ class IVFIndex:
 
     @property
     def _positions(self):
-        """Packed row position per corpus id, built lazily once. On a
-        mesh the packed ids are shard-local, so the global corpus id of
-        packed row r is (r // total_local) * n_local + ids[r]."""
+        """Packed row position per corpus id, built lazily once (packed
+        ids are global corpus ids on every geometry)."""
         cached = getattr(self, "_positions_cache", None)
         if cached is None:
             total = self._ids.shape[0]
             rows = jnp.arange(total, dtype=jnp.int32)
-            if self.mesh is not None:
-                ndev = int(dict(self.mesh.shape)["data"])
-                total_local = total // ndev
-                gids = (rows // total_local) * self._n_local + self._ids
-                size = self._n_local * ndev
-            else:
-                gids = self._ids
-                size = self.n
-            dest = jnp.where(self._ids >= 0, gids, size)
+            size = self.n
+            dest = jnp.where(self._ids >= 0, self._ids, size)
             cached = jnp.zeros((size,), jnp.int32).at[dest].set(
                 rows, mode="drop"
             )

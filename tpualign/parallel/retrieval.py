@@ -905,14 +905,28 @@ class RetrievalIndex:
         # new field SET, never a shape-mismatched mix
         self.__dict__.update(new_fields)
 
+    def _pinned_jit(self, key: str, make_fn, spec):
+        """Per-instance cache of sharding-pinned mutation jits: a fresh
+        ``jax.jit(lambda ...)`` every call would retrace AND recompile
+        every add — caching the wrapper makes repeated same-shape adds
+        actually reuse one executable (jit caches by arg shapes inside
+        one wrapper)."""
+        cache = self.__dict__.setdefault("_pinned_jit_cache", {})
+        fn = cache.get((key, spec))
+        if fn is None:
+            fn = jax.jit(make_fn(),
+                         out_shardings=NamedSharding(self.mesh, spec))
+            cache[(key, spec)] = fn
+        return fn
+
     def _grown(self, arr, grow: int, fill, spec):
         """``arr`` + ``grow`` fill rows, sharding-pinned on a mesh."""
         pad = jnp.full((grow, *arr.shape[1:]), fill, arr.dtype)
-        fn = lambda a, p: jnp.concatenate([a, p])  # noqa: E731
         if self.mesh is None:
-            return fn(arr, pad)
-        return jax.jit(fn, out_shardings=NamedSharding(self.mesh, spec))(
-            arr, pad)
+            return jnp.concatenate([arr, pad])
+        return self._pinned_jit(
+            "grow", lambda: (lambda a, p: jnp.concatenate([a, p])), spec,
+        )(arr, pad)
 
     def _tail_write(self, arr, rows, at: int, spec):
         """Write ``rows`` at global offset ``at``, sharding-pinned.
@@ -924,7 +938,7 @@ class RetrievalIndex:
 
         if self.mesh is None:
             return arr.at[at: at + rows.shape[0]].set(rows)
-        return jax.jit(fn, out_shardings=NamedSharding(self.mesh, spec))(
+        return self._pinned_jit("tail", lambda: fn, spec)(
             arr, rows, jnp.int32(at))
 
     def remove(self, corpus_indices) -> int:
@@ -946,9 +960,8 @@ class RetrievalIndex:
         if self.mesh is None:
             keys = self._keys.at[d_idx].set(-2)
         else:
-            keys = jax.jit(
-                lambda k, i: k.at[i].set(-2),
-                out_shardings=NamedSharding(self.mesh, P("data")),
+            keys = self._pinned_jit(
+                "tomb", lambda: (lambda k, i: k.at[i].set(-2)), P("data"),
             )(self._keys, d_idx)
         removed = int(jnp.sum(before != -2))
         self.__dict__.update({"_keys": keys})
