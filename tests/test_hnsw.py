@@ -454,6 +454,59 @@ def test_service_mutation_on_hnsw():
     assert "x0" not in [r["chunk_id"] for r in out[0]]
 
 
+def test_hnsw_compact_rewrites_graph_over_survivors():
+    """compact() (pgvector VACUUM parity): the graph rebuilds over live
+    rows only, survivors renumber in ascending old order, keyed queries
+    stay exact, and the dead rows' memory is actually reclaimed."""
+    c, cman, cpage, q = make_corpus(n=600)
+    index = make_index(c, cman, cpage)
+    gone = np.arange(0, 600, 13)
+    assert index.remove(gone) == len(gone)
+    mem0 = index.memory_bytes()
+    live = index.compact()
+    expect = np.setdiff1d(np.arange(600), gone)
+    np.testing.assert_array_equal(live, expect)
+    assert index.n == len(expect) and index.live == index.n
+    assert index.memory_bytes() < mem0
+    # keyed queries (exact path) match the oracle over the survivors
+    ck, vocab = encode_keys([cman[i] for i in expect],
+                            [cpage[i] for i in expect], {})
+    qman, qpage = ["m2"] * len(q), [3] * len(q)
+    qk, _ = encode_keys(qman, qpage, vocab)
+    vals, idx = index.search(q, qman, qpage, k=10)
+    ovals, oidx = numpy_oracle(q, qk, c[expect], ck, 10)
+    np.testing.assert_array_equal(idx, oidx)
+    # compact with nothing dead keeps the graph (no rebuild)
+    core0 = index._core
+    live2 = index.compact()
+    assert len(live2) == index.n and index._core is core0
+    # compact-to-empty resets the graph so later adds realign at pos 0
+    index.remove(np.arange(index.n))
+    assert len(index.compact()) == 0 and index.n == 0
+    index.add(c[:2], cman[:2], cpage[:2])
+    _, p = index.search(c[:1], k=1, global_search=True)
+    assert int(p[0, 0]) == 0
+
+
+def test_service_compact_on_hnsw():
+    """Service-level compact remaps the chunk-id list to the surviving
+    rows — results name the RIGHT chunks after renumbering."""
+    from tpualign.serving.server import RetrievalService
+
+    c, cman, cpage, _ = make_corpus(n=150)
+    ids = [f"c{i}" for i in range(len(c))]
+    svc = RetrievalService(c, ids, cman, cpage, index_type="hnsw",
+                           coalesce_window_ms=None)
+    svc.remove_chunks(["c0", "c3", "c77"])
+    out = svc.compact()
+    assert out["compacted"] == 3 and out["corpus_size"] == 147
+    # self-query: every surviving chunk must still resolve to itself
+    for probe in (1, 50, 149):
+        res = svc.search_embeddings(c[probe:probe + 1],
+                                    [cman[probe]], [cpage[probe]], k=1)
+        assert res[0][0]["chunk_id"] == f"c{probe}"
+
+
 def test_recall_on_low_intrinsic_dim_manifold():
     """Real CLIP embeddings have low intrinsic dimension; on a 16-dim
     manifold embedded in 256-d ambient space (the realistic regime, vs

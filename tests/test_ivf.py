@@ -855,6 +855,57 @@ def test_sharded_ivf_add_grows_spill_and_probed_finds_new_rows():
     assert (np.asarray(iq)[:, 0] == np.arange(n, n + 16)).mean() >= 0.9
 
 
+def test_ivf_compact_reclaims_and_reabsorbs_spill():
+    """IVF compact (pgvector VACUUM parity, no k-means): tombstones
+    drop, spill rows re-absorb into their nearest existing centroid's
+    block, survivors renumber in ascending old-id order, and full-probe
+    search equals the dense oracle over the survivors — fp32 and
+    int8 (quantized rows move unrequantized)."""
+    rng = np.random.default_rng(71)
+    c, _ = make_clustered(rng, n=2348, d=16, g=4)
+    n = 2048
+    for prec in ("fp32", "int8"):
+        ix = IVFIndex(c[:n], n_lists=16, iters=4, capacity_factor=0.05,
+                      precision=prec)
+        ix.add(c[n:])  # drives spill (growth covered elsewhere)
+        assert ix.spill > 0
+        gone = np.arange(0, len(c), 97)
+        assert ix.remove(gone) == len(gone)
+        tot0 = ix._ids.shape[0]
+        live = ix.compact()
+        expect_live = np.setdiff1d(np.arange(len(c)), gone)
+        np.testing.assert_array_equal(live, expect_live, err_msg=prec)
+        assert ix.n == len(expect_live)
+        assert ix._ids.shape[0] <= tot0  # layout never grows on compact
+        # full probes are cluster-assignment-independent, so a FRESH IVF
+        # build over the survivors (fresh k-means, same quantization
+        # grid and scoring family) must rank identically
+        sub = c[expect_live]
+        fresh = IVFIndex(sub, n_lists=16, iters=4, precision=prec)
+        q = sub[::13][:40]
+        _, i1 = ix.search(q, k=8, n_probes=ix.n_lists,
+                          global_search=True)
+        _, i2 = fresh.search(q, k=8, n_probes=fresh.n_lists,
+                             global_search=True)
+        np.testing.assert_array_equal(i1, i2, err_msg=prec)
+        # probed search still finds rows and calibrate still runs
+        ix.calibrate(0.9, k=5, sample=64)
+        _, iq = ix.search(sub[:16], k=1, global_search=True)
+        assert (np.asarray(iq)[:, 0] == np.arange(16)).mean() >= 0.85
+
+
+def test_ivf_compact_mesh_raises_and_empty_rejected():
+    rng = np.random.default_rng(73)
+    c, _ = make_clustered(rng, n=512, d=16, g=4)
+    mx = IVFIndex(c, n_lists=8, iters=2, mesh=_mesh8())
+    with pytest.raises(NotImplementedError, match="reload"):
+        mx.compact()
+    sx = IVFIndex(c[:16], n_lists=8, iters=2)
+    sx.remove(range(16))
+    with pytest.raises(ValueError, match="empty"):
+        sx.compact()
+
+
 def test_sharded_ivf_remove_and_readd():
     """Sharded remove tombstones the owning shard's packed slot; a
     removed id re-added later serves the NEW copy."""

@@ -1166,6 +1166,76 @@ def test_mesh_remove_tombstones(mesh8):
         np.asarray(ib))
 
 
+def test_compact_reclaims_tombstones_and_slack():
+    """compact() (pgvector VACUUM parity): drops tombstoned rows AND
+    capacity slack, renumbers survivors in ascending old-id order, and
+    the compacted ranking is bit-identical to a fresh build over the
+    survivors — every precision (quantized rows move unrequantized)."""
+    rng = np.random.default_rng(95)
+    n, d = 400, 32
+    c = rng.normal(size=(n, d)).astype(np.float32)
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    man = [f"m{i % 3}" for i in range(n)]
+    page = [1 + i % 4 for i in range(n)]
+    extra = rng.normal(size=(20, d)).astype(np.float32)
+    extra /= np.linalg.norm(extra, axis=1, keepdims=True)
+    gone = np.array([0, 7, 33, 150, 399, 405])
+    for prec in ("fp32", "int8", "int4"):
+        ix = RetrievalIndex(c, man, page, precision=prec)
+        ix.add(extra, ["mx"] * 20, [9] * 20)  # leaves capacity slack
+        assert ix._corpus.shape[0] > ix.n
+        assert ix.remove(gone) == len(gone)
+        live = ix.compact()
+        expect_live = np.setdiff1d(np.arange(n + 20), gone)
+        np.testing.assert_array_equal(live, expect_live, err_msg=prec)
+        assert ix.n == len(expect_live)
+        assert ix._corpus.shape[0] == ix.n, "slack must be reclaimed"
+        allc = np.concatenate([c, extra])
+        allm, allp = man + ["mx"] * 20, page + [9] * 20
+        fresh = RetrievalIndex(
+            allc[expect_live], [allm[i] for i in expect_live],
+            [allp[i] for i in expect_live], precision=prec)
+        q = allc[80:100]
+        va, ia = ix.search(q, allm[80:100], allp[80:100], k=5)
+        vb, ib = fresh.search(q, allm[80:100], allp[80:100], k=5)
+        np.testing.assert_array_equal(ia, ib, err_msg=prec)
+        has = ib >= 0
+        np.testing.assert_allclose(va[has], vb[has], rtol=0, atol=2e-6,
+                                   err_msg=prec)
+        # compacting a clean index is a no-op
+        live2 = ix.compact()
+        assert len(live2) == ix.n
+    # compacting everything away leaves a servable empty index
+    ex = RetrievalIndex(c[:8], man[:8], page[:8])
+    ex.remove(range(8))
+    assert len(ex.compact()) == 0 and ex.n == 0
+    _, iq = ex.search(c[:2], man[:2], page[:2], k=3)
+    assert (np.asarray(iq) == -1).all()
+
+
+def test_mesh_compact_matches_fresh_build(mesh8):
+    """Sharded compact: the gather + re-pad is sharding-pinned and
+    survivors re-shard evenly; rankings match a fresh mesh build."""
+    rng = np.random.default_rng(97)
+    n, d = 96, 16
+    c = rng.normal(size=(n, d)).astype(np.float32)
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    man = [f"m{i % 2}" for i in range(n)]
+    page = [1] * n
+    ix = RetrievalIndex(c, man, page, mesh=mesh8)
+    assert ix.remove([1, 5, 64, 90]) == 4
+    live = ix.compact()
+    np.testing.assert_array_equal(
+        live, np.setdiff1d(np.arange(n), [1, 5, 64, 90]))
+    assert ix._corpus.shape[0] % 8 == 0  # shard-even capacity
+    assert "data" in str(ix._corpus.sharding.spec)
+    fresh = RetrievalIndex(c[live], [man[i] for i in live],
+                           [page[i] for i in live], mesh=mesh8)
+    _, ia = ix.search(c[30:40], man[30:40], page[30:40], k=5)
+    _, ib = fresh.search(c[30:40], man[30:40], page[30:40], k=5)
+    np.testing.assert_array_equal(np.asarray(ia), np.asarray(ib))
+
+
 # ---------------------------------------------------------------------------
 # Refine stage (exact fp32 rescore of quantized first-stage candidates)
 # ---------------------------------------------------------------------------

@@ -1739,3 +1739,62 @@ def test_service_mesh_ivf_add_remove_and_sync():
     assert out["added"] == 1
     r = svc.search_embeddings(-extra[:1], ["mx"], [7], k=1)
     assert r[0][0]["chunk_id"] == "fresh"
+
+
+def test_compact_endpoint_reclaims_and_remaps():
+    """POST /compact (pgvector VACUUM parity): tombstoned rows reclaim,
+    the chunk-id list remaps to the renumbered survivors, and results
+    name the RIGHT chunks afterwards. A sharded IVF service 400s with
+    the /reload pointer; a mesh EXACT service compacts fine."""
+    from tpualign.parallel.mesh import create_mesh
+
+    rng = np.random.default_rng(47)
+    n, d = 64, 16
+    emb = rng.normal(size=(n, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    ids = [f"c{i}" for i in range(n)]
+    svc = RetrievalService(emb, ids, ["m"] * n, [1] * n,
+                           coalesce_window_ms=None)
+    httpd = serve(svc, host="127.0.0.1", port=0)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        _post(base, "/remove", {"chunk_ids": ["c0", "c5"]})
+        assert svc.stats()["dead_rows"] == 2  # the compaction signal
+        out = _post(base, "/compact", {})
+        assert out["compacted"] == 2 and out["corpus_size"] == n - 2
+        res = _post(base, "/search", {
+            "embeddings": emb[7:8].tolist(), "global": True, "k": 1})
+        assert res["results"][0][0]["chunk_id"] == "c7"
+        st = svc.stats()
+        assert st["corpus_size"] == n - 2 and st["dead_rows"] == 0
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+    # sharded IVF: compact 400s and points at /reload
+    svc_ivf = RetrievalService(emb, ids, ["m"] * n, [1] * n,
+                               mesh=create_mesh(8, 1), index_type="ivf",
+                               ivf_lists=16, ivf_probes=2,
+                               coalesce_window_ms=None)
+    httpd2 = serve(svc_ivf, host="127.0.0.1", port=0)
+    threading.Thread(target=httpd2.serve_forever, daemon=True).start()
+    base2 = f"http://127.0.0.1:{httpd2.server_address[1]}"
+    try:
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _post(base2, "/compact", {})
+        assert exc.value.code == 400
+        assert "reload" in json.loads(exc.value.read())["error"]
+    finally:
+        httpd2.shutdown()
+        httpd2.server_close()
+
+    # mesh EXACT service: compact works end-to-end
+    svc_mesh = RetrievalService(emb, ids, ["m"] * n, [1] * n,
+                                mesh=create_mesh(8, 1),
+                                coalesce_window_ms=None)
+    svc_mesh.remove_chunks(["c1"])
+    out = svc_mesh.compact()
+    assert out["compacted"] == 1 and out["corpus_size"] == n - 1
+    r = svc_mesh.search_embeddings(emb[2:3], ["m"], [1], k=1)
+    assert r[0][0]["chunk_id"] == "c2"

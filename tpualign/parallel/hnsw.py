@@ -176,6 +176,12 @@ class HNSWIndex:
     def live(self) -> int:
         return int((~self._dead).sum())
 
+    @property
+    def dead(self) -> int:
+        """Tombstoned rows awaiting :meth:`compact` (pgvector's dead
+        tuples; /stats reports this so operators know when to VACUUM)."""
+        return int(self._dead.sum())
+
     def memory_bytes(self) -> int:
         """Host-RAM footprint: the graph (vectors + links, sized
         without materializing the blob — /stats polls this) plus the
@@ -249,6 +255,38 @@ class HNSWIndex:
             self._dead[fresh] = True
             self._key_counts.subtract(self._keys[fresh].tolist())
         return int(fresh.size)
+
+    def compact(self) -> np.ndarray:
+        """Reclaim tombstoned rows — pgvector's VACUUM analogue for the
+        HNSW rung: dead nodes stay traversable in the graph (they cost
+        memory AND hop budget) until the graph is rewritten over the
+        survivors, exactly like pgvector's dead index tuples. Rebuilds
+        the native graph from live rows only (HNSW has no cheaper
+        reclamation — deleting nodes tears navigation paths), renumbers
+        survivors ``0..L-1`` in ascending old order, and returns the
+        surviving old positions for the caller to remap id-aligned
+        state. Stored-precision rows move untouched (fp16 entries stay
+        fp16-rounded)."""
+        with self._lock:
+            live = np.flatnonzero(~self._dead).astype(np.int64)
+            if live.size == self.n:
+                return live  # nothing dead — keep the existing graph
+            stored = self._corpus[live]
+            keys = self._keys[live]
+            # a fresh core even when everything died: the old graph's
+            # node positions would misalign a later add()
+            core = make_hnsw_core(
+                self.dim, self.m, self.ef_construction, self.seed,
+                half=self.precision == "fp16")
+            if live.size:
+                core.add(stored.astype(np.float32), keys)
+            self._core = core
+            self._corpus = stored
+            self._keys = keys
+            self._dead = np.zeros(live.size, bool)
+            self.n = int(live.size)
+            self._rebuild_key_counts()
+        return live
 
     # -- search ------------------------------------------------------------------
 

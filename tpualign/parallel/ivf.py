@@ -1109,8 +1109,8 @@ class IVFIndex:
         value no query key can equal — so the row can never be returned,
         while the slot stays allocated (``!= -1``), preserving the
         used-slots-are-contiguous invariant :meth:`add` relies on.
-        Slots are reclaimed at the next rebuild, like pgvector's dead
-        tuples before VACUUM. Returns the number of rows newly
+        Slots are reclaimed by :meth:`compact` (pgvector's VACUUM) or
+        a rebuild. Returns the number of rows newly
         tombstoned; unknown / already-removed ids are ignored. Works on
         a mesh too (r3 late): packed ids are global, so the key scatter
         lands in the owning shard (sharding-pinned — reshards nothing)."""
@@ -1137,6 +1137,83 @@ class IVFIndex:
         removed = int(jnp.sum(live & (before != -2)))
         self.__dict__.update({"_keys": keys})
         return removed
+
+    @property
+    def dead(self) -> int:
+        """Tombstoned rows awaiting :meth:`compact` (pgvector's dead
+        tuples; /stats reports this so operators know when to VACUUM)."""
+        return int(jnp.sum(self._keys == -2))
+
+    def compact(self) -> np.ndarray:
+        """Reclaim tombstoned slots WITHOUT re-running k-means —
+        pgvector's VACUUM analogue for the IVF rung
+        (ref:src/setup_vector_db.py:171-190). Survivors re-pack around
+        the EXISTING centroids: main-block rows keep their list, spill
+        rows reassign to their nearest centroid (a shrunken corpus
+        re-absorbs its spill), and everything renumbers ``0..L-1`` in
+        ascending old-id order. Returns the ascending surviving old
+        ids (the serving layer remaps its id-aligned state). Capacity
+        is kept, so probe/recall semantics are unchanged; the spill
+        tail re-sizes (shrinking reclaims whole blocks). Quantized rows
+        move untouched — no requantization. Single-device; sharded IVF
+        reclaims at rebuild (/reload)."""
+        if self.mesh is not None:
+            raise NotImplementedError(
+                "sharded IVF indexes reclaim tombstones at rebuild "
+                "(/reload)"
+            )
+        ids_h = np.asarray(self._ids)
+        keys_h = np.asarray(self._keys)
+        live_slots = np.flatnonzero((ids_h >= 0) & (keys_h != -2))
+        live_old = np.sort(ids_h[live_slots]).astype(np.int64)
+        n_new = int(live_old.size)
+        if n_new == 0:
+            raise ValueError(
+                "compact would empty the index — rebuild from the store "
+                "instead"
+            )
+        pos = np.asarray(self._positions_of(live_old))
+        d_pos = jnp.asarray(pos)
+        emb_rows = self._emb[d_pos]  # ascending old-id order
+        key_rows = jnp.asarray(keys_h[pos], jnp.int32)
+        scale_rows = (self._scales[d_pos]
+                      if self._scales is not None else None)
+        # main-block rows keep their list; spill rows get their nearest
+        # existing centroid (one small matmul over just the spill)
+        blk = pos // self.capacity
+        assign = np.where(blk < self.n_lists, blk, -1).astype(np.int32)
+        spill_sel = np.flatnonzero(assign < 0)
+        if spill_sel.size:
+            sp = _dequant(
+                emb_rows[jnp.asarray(spill_sel)],
+                None if scale_rows is None
+                else scale_rows[jnp.asarray(spill_sel)][:, None],
+                dim=self.dim,
+            )
+            assign[spill_sel] = np.asarray(jnp.argmax(
+                jnp.dot(sp, self.centroids.T,
+                        preferred_element_type=jnp.float32), axis=1,
+            ))
+        sizes = np.bincount(assign, minlength=self.n_lists)
+        overflow = int(np.maximum(sizes - self.capacity, 0).sum())
+        spill_blocks = max(1, -(-overflow // self.capacity))
+        pemb, pkeys, pids = _pack(
+            emb_rows, key_rows, jnp.asarray(assign),
+            self.n_lists, self.capacity, spill_blocks,
+        )
+        # _pack's positional ids into emb_rows ARE the new ids (ascending
+        # old-id order), so the renumbering falls out of the gather
+        state = {
+            "_emb": pemb, "_keys": pkeys, "_ids": pids,
+            "n": n_new, "spill": overflow, "spill_blocks": spill_blocks,
+        }
+        if scale_rows is not None:
+            state["_scales"] = scale_rows[jnp.maximum(pids, 0)]
+        if self._refine_corpus is not None:
+            state["_refine_corpus"] = self._refine_corpus[live_old]
+        self.__dict__.pop("_positions_cache", None)
+        self.__dict__.update(state)
+        return live_old
 
     # -- search ----------------------------------------------------------------
 

@@ -946,8 +946,8 @@ class RetrievalIndex:
         keys become -2 — a reserved query-padding value no query key can
         equal (real keys are non-negative, the wildcard is -3), so they
         can never be returned — while the slot itself stays allocated
-        (reclaimed at the next rebuild, like pgvector's dead tuples
-        before VACUUM). Returns the number of rows newly tombstoned;
+        (reclaimed by :meth:`compact`, pgvector's VACUUM, or at the
+        next rebuild). Returns the number of rows newly tombstoned;
         out-of-range and already-removed indices are ignored. Exact at
         every precision; works on a mesh too (a key scatter reshards
         nothing — the tombstone value lands in the owning shard)."""
@@ -966,6 +966,79 @@ class RetrievalIndex:
         removed = int(jnp.sum(before != -2))
         self.__dict__.update({"_keys": keys})
         return removed
+
+    @property
+    def dead(self) -> int:
+        """Tombstoned rows awaiting :meth:`compact` (pgvector's dead
+        tuples; /stats reports this so operators know when to VACUUM)."""
+        if self.n == 0:
+            return 0
+        return int(jnp.sum(self._keys == -2))
+
+    def compact(self) -> np.ndarray:
+        """Reclaim tombstoned slots — pgvector's VACUUM analogue
+        (ref:src/setup_vector_db.py:155-190: DELETEd tuples stay in the
+        index until VACUUM rewrites it; here a full /reload was
+        previously the only reclamation). Drops every tombstoned row
+        and the capacity slack, renumbers the survivors ``0..L-1`` in
+        ascending old-id order, and returns the ascending old corpus
+        ids that survived — the caller (e.g. RetrievalService) remaps
+        its id-aligned state with it. Quantized rows move untouched (no
+        requantization, so rankings over survivors are bit-identical
+        before/after). Works on a mesh: the gather + re-pad is
+        sharding-pinned and survivors re-shard evenly."""
+        if self.n == 0:
+            return np.zeros((0,), np.int64)
+        keys_h = np.asarray(self._keys[: self.n])
+        live = np.flatnonzero(keys_h != -2).astype(np.int64)
+        n_new = int(live.size)
+        if n_new == self.n and int(self._corpus.shape[0]) == self.n:
+            return live  # no tombstones, no slack — nothing to reclaim
+        if n_new == 0:
+            empty = {
+                "_corpus": None, "_keys": None, "_corpus_scales": None,
+                "n": 0, "_n_local": 0,
+            }
+            if self._refine_corpus is not None:
+                empty["_refine_corpus"] = self._refine_corpus[:0]
+            self.__dict__.pop("_n_cap", None)
+            self.__dict__.update(empty)
+            return live
+        shards = self.mesh.shape["data"] if self.mesh is not None else 1
+        cap = max(-(-n_new // shards), 1) * shards
+        pad = cap - n_new
+        d_live = jnp.asarray(live)
+
+        def take(arr, fill, spec):
+            def fn(a, i):
+                out = a[i]
+                if pad:
+                    out = jnp.concatenate(
+                        [out, jnp.full((pad, *a.shape[1:]), fill, a.dtype)]
+                    )
+                return out
+
+            if self.mesh is None:
+                return fn(arr, d_live)
+            # key carries the closed-over pad/fill (see _pinned_jit)
+            return self._pinned_jit(
+                ("compact", pad, fill), lambda: fn, spec,
+            )(arr, d_live)
+
+        corpus = take(self._corpus, 0, P("data", None))
+        keys = take(self._keys, -1, P("data"))
+        scales = (take(self._corpus_scales, 1.0, P("data"))
+                  if self._corpus_scales is not None else None)
+        new_fields = {
+            "_corpus": corpus, "_keys": keys, "_corpus_scales": scales,
+            "n": n_new, "_n_cap": cap,
+            "_n_local": (cap // shards if self.mesh is not None else n_new),
+        }
+        if self._refine_corpus is not None:
+            new_fields["_refine_corpus"] = self._refine_corpus[live]
+        # single C-level swap, same rationale as add()
+        self.__dict__.update(new_fields)
+        return live
 
     # -- search ------------------------------------------------------------------
 

@@ -447,6 +447,25 @@ class RetrievalService:
         return {"removed": removed, "unknown": missing,
                 "corpus_size": self.index.n}
 
+    def compact(self) -> dict:
+        """Reclaim tombstoned rows in place — pgvector's ``VACUUM``
+        parity (ref:src/setup_vector_db.py:155-190: dead tuples persist
+        until VACUUM rewrites the index; ours persisted until /reload).
+        The index drops its dead slots (exact: tombstones + capacity
+        slack; IVF: re-pack around existing centroids, spill
+        re-absorbed, no k-means; HNSW: graph rewritten over survivors)
+        and the service remaps its id-aligned chunk list to the
+        surviving rows. Cheaper than /reload: no store fetch, no tower,
+        no k-means."""
+        with self._add_lock:
+            before = self.index.n
+            live = self.index.compact()
+            self.chunk_ids = [self.chunk_ids[i] for i in live]
+            self._removed_ids.clear()  # the tombstoned ids are gone
+        self._query_cache_clear()  # cached rankings hold old positions
+        return {"compacted": int(before - len(live)),
+                "corpus_size": self.index.n}
+
     # -- queries -----------------------------------------------------------------
 
     def _format(self, vals, idx) -> List[List[dict]]:
@@ -611,6 +630,8 @@ class RetrievalService:
             "index": type(self.index).__name__,
             "precision": self.index.precision,
             "refine": getattr(self.index, "refine", 0),
+            # tombstones awaiting POST /compact (pgvector dead tuples)
+            "dead_rows": getattr(self.index, "dead", 0),
         }
         if hasattr(self.index, "n_lists"):  # IVF geometry
             out["ivf"] = {
@@ -1021,6 +1042,24 @@ def _make_handler(registry: "_ServiceRegistry",
                     box.service.metrics.record_error()
                     log.exception("sync failed; serving old snapshot")
                     self._reply(500, {"synced": False, "error": str(e)})
+                return
+            if self.path == "/compact":
+                try:
+                    out = service.compact()
+                except (NotImplementedError, ValueError) as e:
+                    # sharded IVF (rebuilds via /reload) / would-empty
+                    service.metrics.record_error()
+                    self._reply(400, {"error": str(e)})
+                    return
+                except Exception as e:  # pragma: no cover - defensive
+                    service.metrics.record_error()
+                    log.exception("compact failed; serving old snapshot")
+                    self._reply(500, {"error": str(e)})
+                    return
+                service.metrics.record(
+                    self.path, out["compacted"], time.perf_counter() - t0
+                )
+                self._reply(200, out)
                 return
             try:
                 k = int(req.get("k", 10))
