@@ -894,16 +894,67 @@ def test_ivf_compact_reclaims_and_reabsorbs_spill():
         assert (np.asarray(iq)[:, 0] == np.arange(16)).mean() >= 0.85
 
 
-def test_ivf_compact_mesh_raises_and_empty_rejected():
+def test_ivf_compact_empty_rejected():
     rng = np.random.default_rng(73)
     c, _ = make_clustered(rng, n=512, d=16, g=4)
-    mx = IVFIndex(c, n_lists=8, iters=2, mesh=_mesh8())
-    with pytest.raises(NotImplementedError, match="reload"):
-        mx.compact()
     sx = IVFIndex(c[:16], n_lists=8, iters=2)
     sx.remove(range(16))
     with pytest.raises(ValueError, match="empty"):
         sx.compact()
+    mx = IVFIndex(c, n_lists=8, iters=2, mesh=_mesh8())
+    mx.remove(range(len(c)))
+    with pytest.raises(ValueError, match="empty"):
+        mx.compact()
+
+
+def test_sharded_ivf_compact_reclaims_and_stays_exact():
+    """Sharded compact (mesh VACUUM): tombstones drop, spill rows
+    re-absorb into their GLOBALLY nearest centroid's shard+list,
+    survivors renumber in ascending old-id order, geometry stays
+    shard-uniform, and full-probe search equals a FRESH sharded build
+    over the survivors (full probes are assignment-independent, the
+    quantization grid is per-row) — fp32 and int8. Adds still work
+    after the re-pack."""
+    rng = np.random.default_rng(74)
+    c, _ = make_clustered(rng, n=8692, d=16, g=4)
+    n = 8192
+    for prec in ("fp32", "int8"):
+        ix = IVFIndex(c[:n], n_lists=16, iters=4, capacity_factor=0.05,
+                      precision=prec, mesh=_mesh8())
+        ix.add(c[n:n + 400])  # drives per-shard spill
+        assert ix.spill > 0
+        gone = np.arange(0, n + 400, 97)
+        assert ix.remove(gone) == len(gone)
+        assert ix.dead == len(gone)
+        tot0 = ix._ids.shape[0]
+        live = ix.compact()
+        expect_live = np.setdiff1d(np.arange(n + 400), gone)
+        np.testing.assert_array_equal(live, expect_live, err_msg=prec)
+        assert ix.n == len(expect_live) and ix.dead == 0
+        assert ix._ids.shape[0] <= tot0  # layout never grows on compact
+        assert ix._ids.shape[0] == (    # shard-uniform geometry
+            (ix.n_lists_local + 1 + ix.spill_blocks) * ix.capacity * 8
+        )
+        sub = c[expect_live]
+        fresh = IVFIndex(sub, n_lists=16, iters=4, precision=prec,
+                         mesh=_mesh8())
+        q = sub[::13][:40]
+        _, i1 = ix.search(q, k=8, n_probes=ix.n_lists_local,
+                          global_search=True)
+        _, i2 = fresh.search(q, k=8, n_probes=fresh.n_lists_local,
+                             global_search=True)
+        np.testing.assert_array_equal(i1, i2, err_msg=prec)
+        # the re-packed layout still takes inserts (used-slot contiguity
+        # survived the move) and serves them
+        tail = c[n + 400:]
+        ix.add(tail)
+        _, iq = ix.search(tail[:16], k=1, n_probes=ix.n_lists_local,
+                          global_search=True)
+        first_new = ix.n - len(tail)
+        hits = (np.asarray(iq)[:, 0]
+                == np.arange(first_new, first_new + 16))
+        # fp32 full-probe is exact; int8 tolerates quantization near-ties
+        assert hits.all() if prec == "fp32" else hits.mean() >= 0.9, prec
 
 
 def test_sharded_ivf_remove_and_readd():

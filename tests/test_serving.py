@@ -1744,8 +1744,8 @@ def test_service_mesh_ivf_add_remove_and_sync():
 def test_compact_endpoint_reclaims_and_remaps():
     """POST /compact (pgvector VACUUM parity): tombstoned rows reclaim,
     the chunk-id list remaps to the renumbered survivors, and results
-    name the RIGHT chunks afterwards. A sharded IVF service 400s with
-    the /reload pointer; a mesh EXACT service compacts fine."""
+    name the RIGHT chunks afterwards — on the single-device exact
+    index, a SHARDED IVF service, and a sharded exact service."""
     from tpualign.parallel.mesh import create_mesh
 
     rng = np.random.default_rng(47)
@@ -1772,19 +1772,22 @@ def test_compact_endpoint_reclaims_and_remaps():
         httpd.shutdown()
         httpd.server_close()
 
-    # sharded IVF: compact 400s and points at /reload
+    # sharded IVF: POST /compact reclaims in place (r3 late — this
+    # previously 400ed at /reload)
     svc_ivf = RetrievalService(emb, ids, ["m"] * n, [1] * n,
                                mesh=create_mesh(8, 1), index_type="ivf",
-                               ivf_lists=16, ivf_probes=2,
+                               ivf_lists=16, ivf_probes=16,
                                coalesce_window_ms=None)
     httpd2 = serve(svc_ivf, host="127.0.0.1", port=0)
     threading.Thread(target=httpd2.serve_forever, daemon=True).start()
     base2 = f"http://127.0.0.1:{httpd2.server_address[1]}"
     try:
-        with pytest.raises(urllib.error.HTTPError) as exc:
-            _post(base2, "/compact", {})
-        assert exc.value.code == 400
-        assert "reload" in json.loads(exc.value.read())["error"]
+        _post(base2, "/remove", {"chunk_ids": ["c3", "c9"]})
+        out = _post(base2, "/compact", {})
+        assert out["compacted"] == 2 and out["corpus_size"] == n - 2
+        res = _post(base2, "/search", {
+            "embeddings": emb[7:8].tolist(), "global": True, "k": 1})
+        assert res["results"][0][0]["chunk_id"] == "c7"
     finally:
         httpd2.shutdown()
         httpd2.server_close()

@@ -289,7 +289,7 @@ def _pack(corpus, keys, assign, n_lists: int, capacity: int,
           spill_blocks: int):
     """Sort-by-cluster, then GATHER into the flat padded block layout.
 
-    Returns ``(emb, keys, ids)`` — all flat with ``(L + 2 + spill_blocks)
+    Returns ``(emb, keys, ids)`` — all flat with ``(L + 1 + spill_blocks)
     * capacity`` rows: blocks 0..L-1 the clusters, block L the all-masked
     zero block (kernel padding target), blocks L+1.. the spill tail. Row
     order inside a cluster is ascending original index (stable sort), so
@@ -1155,13 +1155,10 @@ class IVFIndex:
         ids (the serving layer remaps its id-aligned state). Capacity
         is kept, so probe/recall semantics are unchanged; the spill
         tail re-sizes (shrinking reclaims whole blocks). Quantized rows
-        move untouched — no requantization. Single-device; sharded IVF
-        reclaims at rebuild (/reload)."""
+        move untouched — no requantization. Works on a mesh too
+        (:meth:`_compact_sharded`)."""
         if self.mesh is not None:
-            raise NotImplementedError(
-                "sharded IVF indexes reclaim tombstones at rebuild "
-                "(/reload)"
-            )
+            return self._compact_sharded()
         ids_h = np.asarray(self._ids)
         keys_h = np.asarray(self._keys)
         live_slots = np.flatnonzero((ids_h >= 0) & (keys_h != -2))
@@ -1211,6 +1208,119 @@ class IVFIndex:
             state["_scales"] = scale_rows[jnp.maximum(pids, 0)]
         if self._refine_corpus is not None:
             state["_refine_corpus"] = self._refine_corpus[live_old]
+        self.__dict__.pop("_positions_cache", None)
+        self.__dict__.update(state)
+        return live_old
+
+    def _compact_sharded(self) -> np.ndarray:
+        """Mesh VACUUM for the sharded IVF rung. Survivors re-pack
+        around the EXISTING per-shard centroids: main-block rows keep
+        their shard+list, spill rows reassign to their GLOBALLY nearest
+        centroid's shard+list (the same routing :meth:`add` uses, so a
+        shrunken corpus re-absorbs its spill across the mesh), and
+        everything renumbers ``0..L-1`` in ascending old-id order. The
+        spill tail re-sizes to the post-compact per-shard overflow max —
+        geometry stays shard-uniform (shard_map static shapes). The row
+        data moves through ONE sharding-pinned global gather per array:
+        cross-shard re-absorption rides the ICI all-to-all, never the
+        host link; only the int32 ids/keys touch the host."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = self.mesh
+        ndev = int(dict(mesh.shape)["data"])
+        ll, cap = self.n_lists_local, self.capacity
+        total_old = (ll + 1 + self.spill_blocks) * cap
+        ids_h = np.asarray(self._ids)
+        keys_h = np.asarray(self._keys)
+        live_slots = np.flatnonzero((ids_h >= 0) & (keys_h != -2))
+        order0 = np.argsort(ids_h[live_slots])
+        live_slots = live_slots[order0].astype(np.int64)
+        live_old = ids_h[live_slots].astype(np.int64)
+        n_new = int(live_old.size)
+        if n_new == 0:
+            raise ValueError(
+                "compact would empty the index — rebuild from the store "
+                "instead"
+            )
+        # main-block rows keep their shard+list; spill rows reroute to
+        # the globally nearest centroid (one small matmul on device)
+        sh = live_slots // total_old
+        lblk = (live_slots % total_old) // cap
+        main = lblk < ll
+        assign = np.where(main, sh * ll + lblk, -1).astype(np.int64)
+        spill_sel = np.flatnonzero(assign < 0)
+        if spill_sel.size:
+            sp_pos = jnp.asarray(live_slots[spill_sel])
+            sp = _dequant(
+                self._emb[sp_pos],
+                None if self._scales is None
+                else self._scales[sp_pos][:, None],
+                dim=self.dim,
+            )
+            assign[spill_sel] = np.asarray(jnp.argmax(
+                jnp.dot(sp, self.centroids.T,
+                        preferred_element_type=jnp.float32), axis=1,
+            ))
+        # per-list rank in ascending new-id order (live_slots is already
+        # id-sorted; the stable sort preserves that inside each list)
+        order = np.argsort(assign, kind="stable")
+        a_sorted = assign[order]
+        starts = np.searchsorted(a_sorted, np.arange(ndev * ll),
+                                 side="left")
+        rank = np.arange(n_new) - starts[a_sorted]
+        in_main = rank < cap
+        over = ~in_main
+        sh2 = a_sorted // ll
+        overflow_sh = np.bincount(sh2[over], minlength=ndev)
+        spill_blocks = max(1, -(-int(overflow_sh.max()) // cap))
+        total_new = (ll + 1 + spill_blocks) * cap
+        dest_sorted = sh2 * total_new + (a_sorted % ll) * cap + rank
+        for s in np.flatnonzero(overflow_sh):
+            selx = over & (sh2 == s)
+            dest_sorted[selx] = (s * total_new + (ll + 1) * cap
+                                 + np.arange(int(overflow_sh[s])))
+        dest = np.empty(n_new, np.int64)
+        dest[order] = dest_sorted
+
+        # gather permutation: every unused slot points at its own
+        # shard's all-masked padding block (key/id -1, inert values), so
+        # one gather produces a fully valid packed layout
+        perm = np.repeat(
+            np.arange(ndev, dtype=np.int64) * total_old + ll * cap,
+            total_new,
+        )
+        perm[dest] = live_slots
+        row_sh = NamedSharding(mesh, P("data"))
+        d_perm = jax.device_put(jnp.asarray(perm), row_sh)
+
+        def gath(arr, spec):
+            return self._pinned_jit(
+                "compact_gather", lambda: (lambda a, p: a[p]), spec,
+            )(arr, d_perm)
+
+        emb = gath(self._emb, P("data", None))
+        scales = (gath(self._scales, P("data"))
+                  if self._scales is not None else None)
+        keys_new = np.full(ndev * total_new, -1, np.int32)
+        keys_new[dest] = keys_h[live_slots]
+        ids_new = np.full(ndev * total_new, -1, np.int32)
+        ids_new[dest] = np.arange(n_new, dtype=np.int32)
+
+        state = {
+            "_emb": emb,
+            "_keys": jax.device_put(jnp.asarray(keys_new), row_sh),
+            "_ids": jax.device_put(jnp.asarray(ids_new), row_sh),
+            "n": n_new, "spill": int(over.sum()),
+            "spill_blocks": spill_blocks,
+        }
+        if scales is not None:
+            state["_scales"] = scales
+        if self._refine_corpus is not None:
+            state["_refine_corpus"] = self._refine_corpus[live_old]
+        if spill_blocks != self.spill_blocks:
+            # cached sharded search fns close over the OLD spill_blocks
+            # (a static kernel arg) — drop them with the same swap
+            state["_sharded_cache"] = {}
         self.__dict__.pop("_positions_cache", None)
         self.__dict__.update(state)
         return live_old

@@ -1047,7 +1047,7 @@ def _make_handler(registry: "_ServiceRegistry",
                 try:
                     out = service.compact()
                 except (NotImplementedError, ValueError) as e:
-                    # sharded IVF (rebuilds via /reload) / would-empty
+                    # would-empty (rebuild from the store instead)
                     service.metrics.record_error()
                     self._reply(400, {"error": str(e)})
                     return
