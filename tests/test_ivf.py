@@ -294,6 +294,49 @@ def test_build_index_ivf_cache(tmp_path, caplog):
     np.testing.assert_array_equal(ia, ib)
 
 
+def test_build_index_ivf_cache_sharded(tmp_path):
+    """IVF_CACHE composes with the mesh: first sharded build saves, a
+    second build on a same-size mesh loads (no second k-means, same
+    results); a mesh-size mismatch falls back to a rebuild."""
+    from tpualign.parallel.mesh import create_mesh
+    from tpualign.parallel.retrieval import build_index
+    import tpualign.parallel.ivf as ivf_mod
+
+    rng = np.random.default_rng(94)
+    c, _ = make_clustered(rng, n=1024, d=16, g=8)
+    man = ["m0"] * 1024
+    pages = [1 + i % 4 for i in range(1024)]
+    cache = str(tmp_path / "sivf.npz")
+    a = build_index(c, man, pages, index_type="ivf", ivf_lists=32,
+                    ivf_cache=cache, mesh=_mesh8())
+    assert a.mesh is not None and (tmp_path / "sivf.npz").exists()
+    calls = []
+    orig = ivf_mod._kmeans
+
+    def spy(*args, **kw):
+        calls.append(1)
+        return orig(*args, **kw)
+
+    ivf_mod._kmeans = spy
+    try:
+        b = build_index(c, man, pages, index_type="ivf", ivf_lists=32,
+                        ivf_cache=cache, mesh=_mesh8())
+        assert not calls, "sharded cache hit must not re-run k-means"
+        assert b.mesh is not None
+        # mesh-size mismatch: the load refuses, the factory rebuilds
+        m4 = create_mesh(data=4)
+        d_ = build_index(c, man, pages, index_type="ivf", ivf_lists=32,
+                         ivf_cache=cache, mesh=m4)
+        assert calls and dict(d_.mesh.shape)["data"] == 4
+    finally:
+        ivf_mod._kmeans = orig
+    q = unit(rng.normal(size=(16, 16)).astype(np.float32))
+    va, ia = a.search(q, k=5, n_probes=a.n_lists_local)
+    vb, ib = b.search(q, k=5, n_probes=b.n_lists_local)
+    np.testing.assert_array_equal(ia, ib)
+    np.testing.assert_allclose(va, vb, rtol=0, atol=1e-6)
+
+
 def test_calibrate_picks_probes_meeting_target():
     """Analytic probe calibration: the chosen n_probes must actually
     deliver the target recall when searching (verified empirically
@@ -975,6 +1018,56 @@ def test_sharded_ivf_remove_and_readd():
     _, i2 = iv.search(c[:1], man[:1], page[:1], k=2,
                       n_probes=iv.n_lists_local)
     assert np.asarray(i2)[0, 0] == n  # the re-added copy's new id
+
+
+def test_sharded_save_load_roundtrip(tmp_path):
+    """A sharded artifact reloads onto a same-size mesh and serves
+    bit-identical results (fp32 + int8), including rows ADDED after the
+    build (their packed ids cross shards — adds route to the globally
+    nearest centroid) and tombstones. Mesh-size mismatches and
+    single-device-artifact-with-mesh both refuse loudly."""
+    rng = np.random.default_rng(93)
+    c, _ = make_clustered(rng, n=2248, d=32, g=8)
+    n = 2048
+    man = [f"m{i % 2}" for i in range(len(c))]
+    page = [1 + i % 3 for i in range(len(c))]
+    q = unit(rng.normal(size=(40, 32)).astype(np.float32))
+    for prec in ("fp32", "int8"):
+        a = IVFIndex(c[:n], man[:n], page[:n], n_lists=32, iters=4,
+                     precision=prec, mesh=_mesh8())
+        a.add(c[n:], man[n:], page[n:])
+        assert a.remove([5, 700]) == 2
+        path = tmp_path / f"sivf_{prec}.npz"
+        a.save(path)
+        b = IVFIndex.load(path, c, mesh=_mesh8())
+        assert b.mesh is not None
+        assert b.n_lists_local == a.n_lists_local
+        assert b.capacity == a.capacity and b.n == a.n
+        assert b.dead == 2  # tombstones persist
+        for p in (2, a.n_lists_local):
+            va, ia = a.search(q, man[:40], page[:40], k=5, n_probes=p)
+            vb, ib = b.search(q, man[:40], page[:40], k=5, n_probes=p)
+            np.testing.assert_array_equal(ia, ib, err_msg=prec)
+            np.testing.assert_allclose(va, vb, rtol=0, atol=1e-6,
+                                       err_msg=prec)
+        # the reloaded index stays mutable: an add routes to a shard
+        # and full-probe search serves the new row
+        extra = unit(rng.normal(size=(1, 32)).astype(np.float32))
+        b.add(extra, ["m0"], [1])
+        _, inew = b.search(extra, ["m0"], [1], k=1,
+                           n_probes=b.n_lists_local)
+        assert np.asarray(inew)[0, 0] == b.n - 1
+    # a sharded artifact demands a mesh of the SAME data-axis size
+    with pytest.raises(ValueError, match="sharded over 8"):
+        IVFIndex.load(tmp_path / "sivf_fp32.npz", c)
+    # a single-device artifact refuses a mesh
+    s = IVFIndex(c[:256], man[:256], page[:256], n_lists=8, iters=2)
+    s.save(tmp_path / "single.npz")
+    with pytest.raises(ValueError, match="single-device"):
+        IVFIndex.load(tmp_path / "single.npz", c[:256], mesh=_mesh8())
+    # corpus shape mismatch still guards on the sharded artifact
+    with pytest.raises(ValueError, match="does not match"):
+        IVFIndex.load(tmp_path / "sivf_fp32.npz", c[:100], mesh=_mesh8())
 
 
 # ---------------------------------------------------------------------------

@@ -1557,45 +1557,68 @@ class IVFIndex:
         vectors live in the embedding store already, so the artifact is
         small (L*D floats + ~1.5*N int32 pairs) and :meth:`load` rebuilds
         the device layout with one gather instead of re-running k-means.
-        """
-        if self.mesh is not None:
-            raise NotImplementedError(
-                "sharded indexes rebuild from the store at serve start; "
-                "persistence covers single-device indexes"
-            )
+        Sharded indexes persist too (r3 late): the artifact additionally
+        records the shard count + per-shard list geometry, and loads
+        back onto a mesh with the SAME data-axis size (packed ids are
+        global, so the structure round-trips exactly; the sharded
+        gather at load re-places rows without re-running the per-shard
+        k-means)."""
         import json as _json
 
+        meta = {
+            "n": self.n, "dim": self.dim, "n_lists": self.n_lists,
+            "n_probes": self.n_probes, "capacity": self.capacity,
+            "spill": self.spill, "spill_blocks": self.spill_blocks,
+            "precision": self.precision,
+            "query_block": self.query_block,
+            "cluster_chunk": self.cluster_chunk,
+            "calibrated_target": getattr(self, "calibrated_target",
+                                         None),
+            "vocab": self.vocab,
+        }
+        if self.mesh is not None:
+            meta["ndev"] = int(dict(self.mesh.shape)["data"])
+            meta["n_lists_local"] = self.n_lists_local
         np.savez_compressed(
             path,
             centroids=np.asarray(self.centroids, np.float32),
             pids=np.asarray(self._ids, np.int32),
             pkeys=np.asarray(self._keys, np.int32),
-            meta=np.frombuffer(_json.dumps({
-                "n": self.n, "dim": self.dim, "n_lists": self.n_lists,
-                "n_probes": self.n_probes, "capacity": self.capacity,
-                "spill": self.spill, "spill_blocks": self.spill_blocks,
-                "precision": self.precision,
-                "query_block": self.query_block,
-                "cluster_chunk": self.cluster_chunk,
-                "calibrated_target": getattr(self, "calibrated_target",
-                                             None),
-                "vocab": self.vocab,
-            }).encode(), dtype=np.uint8),
+            meta=np.frombuffer(_json.dumps(meta).encode(), dtype=np.uint8),
         )
 
     @classmethod
     def load(cls, path, corpus_embeddings, corpus_scales=None,
              use_kernel: Optional[bool] = None,
              int8_mxu: Optional[bool] = None,
-             refine: int = 0) -> "IVFIndex":
+             refine: int = 0, mesh=None) -> "IVFIndex":
         """Rebuild a saved index around the SAME corpus (row order must
         match the build — ids index into it). One device gather replaces
         the k-means build; precision follows the saved index (an fp32
-        corpus is re-quantized along the packed layout for int8)."""
+        corpus is re-quantized along the packed layout for int8). A
+        sharded artifact loads back onto a ``mesh`` whose data axis
+        matches the saved shard count — the layout gather runs under a
+        sharding-pinned jit, so each device materializes only its own
+        shard (never the full layout on one chip)."""
         import json as _json
 
         z = np.load(path)
         meta = _json.loads(bytes(z["meta"]).decode())
+        use_mesh = (mesh if mesh is not None
+                    and dict(mesh.shape).get("data", 1) > 1 else None)
+        saved_ndev = meta.get("ndev")
+        if saved_ndev is None and use_mesh is not None:
+            raise ValueError(
+                "artifact is single-device; rebuild to shard it over a "
+                "mesh"
+            )
+        if saved_ndev is not None and (
+                use_mesh is None
+                or dict(use_mesh.shape)["data"] != saved_ndev):
+            raise ValueError(
+                f"artifact is sharded over {saved_ndev} devices; pass a "
+                f"mesh with a data axis of {saved_ndev}"
+            )
         corpus = jnp.asarray(corpus_embeddings)
         if corpus.dtype == jnp.uint8:
             # packed widths: int4 rows are D/2 bytes, int2 rows D/4
@@ -1612,7 +1635,10 @@ class IVFIndex:
 
         self = cls.__new__(cls)
         self.vocab = {k: int(v) for k, v in meta["vocab"].items()}
-        self.mesh = None
+        self.mesh = use_mesh if saved_ndev is not None else None
+        if self.mesh is not None:
+            self.n_lists_local = meta["n_lists_local"]
+            self._sharded_cache = {}
         self.use_kernel = use_kernel
         self.int8_mxu = (_use_int8_mxu() if int8_mxu is None
                          else bool(int8_mxu))
@@ -1635,12 +1661,24 @@ class IVFIndex:
         self._ids = jnp.asarray(z["pids"], jnp.int32)
         self._keys = jnp.asarray(z["pkeys"], jnp.int32)
         gather = jnp.maximum(self._ids, 0)
+        if self.mesh is not None:
+            # pin the big layout gather's OUTPUT sharding so each device
+            # materializes only its own shard's packed rows (ids are
+            # global, so the gather itself may cross shards — adds route
+            # rows to the globally nearest centroid)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            mat_sh = NamedSharding(self.mesh, P("data", None))
+            row_sh = NamedSharding(self.mesh, P("data"))
+            take = jax.jit(lambda c, g: c[g], out_shardings=mat_sh)
+        else:
+            take = lambda c, g: c[g]
         if corpus.dtype == jnp.int8:
             if corpus_scales is None:
                 raise ValueError("int8 corpus needs corpus_scales")
             if self.precision != "int8":
                 raise ValueError("fp32 index cannot load an int8 corpus")
-            self._emb = corpus[gather]
+            self._emb = take(corpus, gather)
             self._scales = jnp.asarray(
                 corpus_scales, jnp.float32).reshape(-1)[gather]
         elif corpus.dtype == jnp.uint8:
@@ -1650,19 +1688,19 @@ class IVFIndex:
                 raise ValueError(
                     f"{self.precision} index cannot load a packed corpus"
                 )
-            self._emb = corpus[gather]
+            self._emb = take(corpus, gather)
             self._scales = jnp.asarray(
                 corpus_scales, jnp.float32).reshape(-1)[gather]
         elif self.precision == "int4":
             self._emb, self._scales = _pack_rows_int4(
-                corpus.astype(jnp.float32)[gather]
+                take(corpus.astype(jnp.float32), gather)
             )
         elif self.precision == "int2":
             self._emb, self._scales = _pack_rows_int2(
-                corpus.astype(jnp.float32)[gather]
+                take(corpus.astype(jnp.float32), gather)
             )
         elif self.precision == "int8":
-            pemb = corpus.astype(jnp.float32)[gather]
+            pemb = take(corpus.astype(jnp.float32), gather)
             scales = jnp.maximum(
                 jnp.max(jnp.abs(pemb), axis=1, keepdims=True) / 127.0,
                 1e-12,
@@ -1672,8 +1710,19 @@ class IVFIndex:
             ).astype(jnp.int8)
             self._scales = scales.astype(jnp.float32)[:, 0]
         else:
-            self._emb = corpus.astype(jnp.float32)[gather]
+            self._emb = take(corpus.astype(jnp.float32), gather)
             self._scales = None
+        if self.mesh is not None:
+            # re-place every structure array with its build-time sharding
+            # (the quantize/pack branches above may have dropped it); a
+            # device_put onto the sharding an array already has is free
+            self.centroids = jax.device_put(self.centroids, mat_sh)
+            self._ids = jax.device_put(self._ids, row_sh)
+            self._keys = jax.device_put(self._keys, row_sh)
+            self._emb = jax.device_put(self._emb, mat_sh)
+            if self._scales is not None:
+                self._scales = jax.device_put(
+                    jnp.asarray(self._scales).reshape(-1), row_sh)
         return self
 
     @property

@@ -1385,62 +1385,49 @@ def build_index(
                  "exact index")
         index_type = "exact"
     if index_type == "ivf":
-        if mesh is not None and dict(mesh.shape).get("data", 1) > 1:
-            from tpualign.parallel.ivf import IVFIndex
+        import os
 
-            if ivf_cache:
-                log.warning(
-                    "IVF_CACHE covers single-device indexes; the sharded "
-                    "index rebuilds from the store at serve start"
-                )
-            index = IVFIndex(
-                corpus_embeddings, corpus_manuals, corpus_pages,
-                n_lists=ivf_lists, n_probes=ivf_probes,
-                precision=precision, mesh=mesh, refine=refine,
-            )
-            if recall_target is not None and ivf_probes is None:
-                index.calibrate(recall_target)
-            return index
-        else:
-            import os
+        from tpualign.parallel.ivf import IVFIndex
 
-            from tpualign.parallel.ivf import IVFIndex
-
-            if ivf_cache and os.path.exists(ivf_cache):
-                try:
-                    loaded = IVFIndex.load(ivf_cache, corpus_embeddings,
-                                           refine=refine)
-                    if loaded.precision != precision:
-                        raise ValueError(
-                            f"cache precision {loaded.precision} != "
-                            f"requested {precision}"
-                        )
-                    if (recall_target is not None and ivf_probes is None
-                            and getattr(loaded, "calibrated_target", None)
-                            != recall_target):
-                        # target changed since the cache was written:
-                        # recalibrate (cheap) and refresh the artifact
-                        loaded.calibrate(recall_target)
-                        loaded.save(ivf_cache)
-                    return loaded
-                except Exception as e:  # stale/mismatched cache: rebuild
-                    log.warning(
-                        "IVF cache %s unusable (%s); rebuilding", ivf_cache, e
+        # sharded artifacts round-trip too (load refuses a mesh-size
+        # mismatch, which lands in the rebuild path below)
+        use_mesh = (mesh if mesh is not None
+                    and dict(mesh.shape).get("data", 1) > 1 else None)
+        if ivf_cache and os.path.exists(ivf_cache):
+            try:
+                loaded = IVFIndex.load(ivf_cache, corpus_embeddings,
+                                       refine=refine, mesh=use_mesh)
+                if loaded.precision != precision:
+                    raise ValueError(
+                        f"cache precision {loaded.precision} != "
+                        f"requested {precision}"
                     )
-            index = IVFIndex(
-                corpus_embeddings, corpus_manuals, corpus_pages,
-                n_lists=ivf_lists, n_probes=ivf_probes,
-                precision=precision, refine=refine,
-            )
-            if recall_target is not None and ivf_probes is None:
-                # pick the smallest probe count meeting the target —
-                # RETRIEVAL_RECALL_TARGET means "this recall, whatever
-                # the index" (approx_max_k for exact, probes for ivf)
-                index.calibrate(recall_target)
-            if ivf_cache:
-                index.save(ivf_cache)
-                log.info("IVF index structure cached to %s", ivf_cache)
-            return index
+                if (recall_target is not None and ivf_probes is None
+                        and getattr(loaded, "calibrated_target", None)
+                        != recall_target):
+                    # target changed since the cache was written:
+                    # recalibrate (cheap) and refresh the artifact
+                    loaded.calibrate(recall_target)
+                    loaded.save(ivf_cache)
+                return loaded
+            except Exception as e:  # stale/mismatched cache: rebuild
+                log.warning(
+                    "IVF cache %s unusable (%s); rebuilding", ivf_cache, e
+                )
+        index = IVFIndex(
+            corpus_embeddings, corpus_manuals, corpus_pages,
+            n_lists=ivf_lists, n_probes=ivf_probes,
+            precision=precision, mesh=use_mesh, refine=refine,
+        )
+        if recall_target is not None and ivf_probes is None:
+            # pick the smallest probe count meeting the target —
+            # RETRIEVAL_RECALL_TARGET means "this recall, whatever
+            # the index" (approx_max_k for exact, probes for ivf)
+            index.calibrate(recall_target)
+        if ivf_cache:
+            index.save(ivf_cache)
+            log.info("IVF index structure cached to %s", ivf_cache)
+        return index
     elif index_type == "hnsw":
         import os
 
