@@ -178,3 +178,20 @@ def test_env_example_parses_and_inline_comments_stripped(tmp_path,
     assert out["H"] == "30"  # tab counts as comment whitespace
     assert out["I"] == 'pa"ss"word'  # interior quotes survive (greedy)
 
+
+
+def test_serve_auto_compact_parses_and_validates():
+    """SERVE_AUTO_COMPACT: fraction in (0, 1] (postgres autovacuum
+    scale-factor analogue), off/none/empty disable, out-of-range
+    values fail loudly."""
+    cfg = load_config(env_file=None,
+                      overrides={"SERVE_AUTO_COMPACT": "0.2"})
+    assert cfg.serve_auto_compact == 0.2
+    off = load_config(env_file=None,
+                      overrides={"SERVE_AUTO_COMPACT": "off"})
+    assert off.serve_auto_compact is None
+    assert load_config(env_file=None).serve_auto_compact is None
+    for bad in ("1.5", "0", "-0.1"):
+        with pytest.raises(ValueError):
+            load_config(env_file=None,
+                        overrides={"SERVE_AUTO_COMPACT": bad})

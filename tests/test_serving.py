@@ -1801,3 +1801,33 @@ def test_compact_endpoint_reclaims_and_remaps():
     assert out["compacted"] == 1 and out["corpus_size"] == n - 1
     r = svc_mesh.search_embeddings(emb[2:3], ["m"], [1], k=1)
     assert r[0][0]["chunk_id"] == "c2"
+
+
+def test_auto_compact_threshold():
+    """SERVE_AUTO_COMPACT (postgres autovacuum parity — pgvector leans
+    on autovacuum's default 0.2 scale factor to reclaim dead index
+    tuples, ref:src/setup_vector_db.py:155-190): deletes that push the
+    dead-row fraction to the threshold compact in place; below it,
+    tombstones accumulate; removing EVERYTHING never auto-empties the
+    index (that case is /reload's)."""
+    rng = np.random.default_rng(53)
+    n, d = 16, 8
+    emb = rng.normal(size=(n, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    ids = [f"c{i}" for i in range(n)]
+    svc = RetrievalService(emb, ids, ["m"] * n, [1] * n,
+                           coalesce_window_ms=None, auto_compact=0.25)
+    assert svc.stats()["auto_compact"] == 0.25
+    out = svc.remove_chunks(["c0"])  # 1/16 dead < 25%
+    assert "auto_compacted" not in out and svc.index.dead == 1
+    out = svc.remove_chunks(["c1", "c2", "c3"])  # 4/16 dead = 25%
+    assert out["auto_compacted"] == 4 and out["corpus_size"] == n - 4
+    assert svc.index.dead == 0 and svc.index.n == n - 4
+    assert svc.live_chunk_ids() == {f"c{i}" for i in range(4, n)}
+    r = svc.search_embeddings(emb[7:8], ["m"], [1], k=1)
+    assert r[0][0]["chunk_id"] == "c7"
+    # removing every remaining row crosses the threshold but would
+    # empty the index — auto-compact declines, tombstones stay
+    out = svc.remove_chunks([f"c{i}" for i in range(4, n)])
+    assert "auto_compacted" not in out
+    assert svc.index.n == n - 4 and svc.index.dead == n - 4

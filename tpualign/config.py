@@ -424,6 +424,14 @@ class PipelineConfig:
     # credentialed; an exposed daemon must be too). None = open
     # (loopback-only deployments).
     serve_token: Optional[str] = None
+    # auto-compaction threshold (SERVE_AUTO_COMPACT, fraction in (0, 1]):
+    # when a delete leaves the served index's dead-row fraction at or
+    # above it, the daemon compacts in place — postgres autovacuum
+    # parity (ref:src/setup_vector_db.py:155-190 relies on autovacuum's
+    # default 0.2 scale factor to reclaim dead index tuples). None/off =
+    # manual POST /compact only; opting in is explicit because
+    # compaction changes the corpus shape, so searches recompile once.
+    serve_auto_compact: Optional[float] = None
 
     def replace(self, **kw) -> "PipelineConfig":
         return dataclasses.replace(self, **kw)
@@ -591,6 +599,16 @@ def load_config(
             "TRAIN_AUGMENT=rrc needs TRAIN_IMAGE_FEED=device (crop boxes "
             "fold into the on-device resize weights)"
         )
+    auto_compact_raw = _env(env, "SERVE_AUTO_COMPACT", "")
+    serve_auto_compact = (
+        float(auto_compact_raw)
+        if auto_compact_raw.lower() not in ("", "off", "none") else None
+    )
+    if serve_auto_compact is not None and not 0.0 < serve_auto_compact <= 1.0:
+        raise ValueError(
+            f"SERVE_AUTO_COMPACT must be a fraction in (0, 1] (postgres' "
+            f"autovacuum scale factor analogue), got {serve_auto_compact}"
+        )
     return PipelineConfig(
         model=model,
         mesh=mesh,
@@ -636,4 +654,5 @@ def load_config(
         ),
         serve_query_cache=int(_env(env, "SERVE_QUERY_CACHE", "1024")),
         serve_token=_env(env, "SERVE_TOKEN", "") or None,
+        serve_auto_compact=serve_auto_compact,
     )

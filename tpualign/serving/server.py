@@ -290,6 +290,7 @@ class RetrievalService:
         hnsw_ef_construction: int = 64,
         hnsw_ef_search: Optional[int] = None,
         hnsw_cache: Optional[str] = None,
+        auto_compact: Optional[float] = None,
     ):
         self.schema = schema
         self.chunk_ids = list(chunk_ids)
@@ -342,6 +343,10 @@ class RetrievalService:
         self.weak_lookup = weak_lookup or {}
         self._add_lock = threading.Lock()
         self._removed_ids: set = set()
+        # dead-row fraction that triggers in-place compaction after a
+        # delete (postgres autovacuum's scale-factor analogue; None =
+        # manual POST /compact only)
+        self.auto_compact = auto_compact
 
     # -- incremental inserts -------------------------------------------------------
 
@@ -444,8 +449,41 @@ class RetrievalService:
             removed = self.index.remove(found) if found else 0
             self._removed_ids.update(c for c in wanted if c in pos_of)
         self._query_cache_clear()  # cached rankings may hold removed rows
-        return {"removed": removed, "unknown": missing,
-                "corpus_size": self.index.n}
+        out = {"removed": removed, "unknown": missing,
+               "corpus_size": self.index.n}
+        compacted = self._maybe_auto_compact()
+        if compacted is not None:
+            out["auto_compacted"] = compacted["compacted"]
+            out["corpus_size"] = compacted["corpus_size"]
+        return out
+
+    def _maybe_auto_compact(self) -> Optional[dict]:
+        """Compact in place when the dead-row fraction reaches the
+        ``auto_compact`` threshold — the postgres autovacuum analogue
+        (pgvector leans on autovacuum's 0.2 default scale factor to
+        reclaim dead index tuples; our manual path is POST /compact).
+        Runs after deletes, outside the remove lock (:meth:`compact`
+        takes it itself). A compaction that would empty the index is
+        skipped — rebuild from the store instead."""
+        threshold = self.auto_compact
+        n = self.index.n
+        if threshold is None or n == 0:
+            return None
+        dead = getattr(self.index, "dead", 0)
+        if dead < threshold * n or dead >= n:
+            # below threshold, or everything is dead — auto-emptying the
+            # index would strand searches; that case is /reload's
+            return None
+        try:
+            out = self.compact()
+        except ValueError as e:  # would-empty (IVF): leave to /reload
+            log.warning("auto-compact skipped: %s", e)
+            return None
+        log.info(
+            "auto-compact (%s): %d/%d rows dead >= %.0f%% threshold — "
+            "reclaimed in place", self.schema, dead, n, threshold * 100,
+        )
+        return out
 
     def compact(self) -> dict:
         """Reclaim tombstoned rows in place — pgvector's ``VACUUM``
@@ -632,6 +670,9 @@ class RetrievalService:
             "refine": getattr(self.index, "refine", 0),
             # tombstones awaiting POST /compact (pgvector dead tuples)
             "dead_rows": getattr(self.index, "dead", 0),
+            # autovacuum analogue: dead-row fraction that triggers an
+            # in-place compact after a delete (None = manual only)
+            "auto_compact": self.auto_compact,
         }
         if hasattr(self.index, "n_lists"):  # IVF geometry
             out["ivf"] = {
@@ -831,6 +872,7 @@ def build_service(config, schema: str, mesh=None, text_tower: bool = True,
         weak_lookup=build_weak_lookup(store.alignments(schema)),
         coalesce_window_ms=getattr(config, "serve_coalesce_ms", 2.0),
         query_cache=getattr(config, "serve_query_cache", 1024),
+        auto_compact=getattr(config, "serve_auto_compact", None),
         **index_kwargs(config, schema),
         model_info={
             "name": config.model.model_name,
