@@ -256,6 +256,44 @@ def test_save_load_roundtrip(tmp_path):
         IVFIndex.load(tmp_path / "ivf_fp32.npz", c[:100])
 
 
+def test_load_rejects_same_size_changed_corpus(tmp_path):
+    """Content fingerprint (pgvector's stale-index failure mode): a
+    same-SIZE store whose rows changed since ``tpualign index`` must not
+    serve the artifact's stale keys/clusters — load raises (and the
+    build_index cache path therefore rebuilds). A post-mutation save
+    drops the fingerprint (the layout no longer mirrors any store
+    snapshot) and keeps shape-only validation."""
+    rng = np.random.default_rng(21)
+    c, _ = make_clustered(rng, n=512, d=16, g=8)
+    cman = [f"m{i % 2}" for i in range(512)]
+    cpage = [1] * 512
+    a = IVFIndex(c, cman, cpage, n_lists=8, iters=4)
+    path = tmp_path / "ivf.npz"
+    a.save(path)
+    IVFIndex.load(path, c)  # unchanged corpus: fine
+    changed = c.copy()
+    # same shape, different content (row 0 is always in the strided
+    # fingerprint sample; like HNSW's, the hash is a cheap sample, not
+    # a full-corpus digest)
+    changed[0] = -changed[0]
+    with pytest.raises(ValueError, match="fingerprint"):
+        IVFIndex.load(path, changed)
+    # save-after-load keeps the fingerprint verifiable
+    b = IVFIndex.load(path, c)
+    path2 = tmp_path / "ivf2.npz"
+    b.save(path2)
+    with pytest.raises(ValueError, match="fingerprint"):
+        IVFIndex.load(path2, changed)
+    # mutations clear it: the artifact validates by shape only
+    extra = unit(rng.normal(size=(2, 16)).astype(np.float32))
+    a.add(extra, ["m0", "m1"], [1, 1])
+    assert a._corpus_fp is None
+    path3 = tmp_path / "ivf3.npz"
+    a.save(path3)
+    grown = np.concatenate([changed, extra])
+    IVFIndex.load(path3, grown)  # same shape as the mutated index: loads
+
+
 def test_build_index_ivf_cache(tmp_path, caplog):
     """The IVF_CACHE path: first build saves, second build loads (same
     results, no second k-means), precision mismatch rebuilds."""

@@ -85,6 +85,25 @@ log = get_logger("parallel.ivf")
 __all__ = ["IVFIndex"]
 
 
+def _corpus_fingerprint(rows) -> Tuple[str, str]:
+    """Cheap content hash for artifact validation (mirrors
+    ``hnsw._corpus_fingerprint``): shape + a ≤64-row strided sample.
+    Returns ``(hexdigest, dtype_str)``. The shape check alone misses a
+    same-size store whose rows changed between ``tpualign index`` and
+    serve (upserts reorder/replace rows) — a stale artifact would then
+    serve WRONG keys, pgvector's stale-index failure mode. Works on
+    device arrays: the strided slice fetches only the sample."""
+    import hashlib
+
+    h = hashlib.sha256()
+    shape = tuple(int(s) for s in rows.shape)
+    h.update(np.asarray(shape, np.int64).tobytes())
+    if shape[0]:
+        step = max(1, shape[0] // 64)
+        h.update(np.ascontiguousarray(np.asarray(rows[::step])).tobytes())
+    return h.hexdigest(), str(rows.dtype)
+
+
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
@@ -417,6 +436,12 @@ class IVFIndex:
             corpus = corpus.astype(jnp.float32)
             scales_in = None
         self.precision = precision
+        # content fingerprint of the (post-cast) build corpus: save()
+        # writes it so load() can reject a stale artifact whose store
+        # changed without changing size; mutations (add/compact) clear
+        # it — the packed layout then no longer mirrors any store
+        # snapshot, and a post-mutation save falls back to shape checks
+        self._corpus_fp = _corpus_fingerprint(corpus)
         self.n, d_cols = corpus.shape
         if corpus.dtype == jnp.uint8:
             self.dim = d_cols * (4 if precision == "int2" else 2)
@@ -929,6 +954,7 @@ class IVFIndex:
             state["_refine_corpus"] = np.concatenate(
                 [self._refine_corpus, rows]
             )
+        state["_corpus_fp"] = None  # layout no longer mirrors a store snapshot
         self.__dict__.pop("_positions_cache", None)
         self.__dict__.update(state)
 
@@ -1064,6 +1090,7 @@ class IVFIndex:
             # cached sharded search fns close over the OLD spill_blocks
             # (a static kernel arg) — drop them with the same swap
             state["_sharded_cache"] = {}
+        state["_corpus_fp"] = None  # layout no longer mirrors a store snapshot
         self.__dict__.pop("_positions_cache", None)
         self.__dict__.update(state)
 
@@ -1208,6 +1235,7 @@ class IVFIndex:
             state["_scales"] = scale_rows[jnp.maximum(pids, 0)]
         if self._refine_corpus is not None:
             state["_refine_corpus"] = self._refine_corpus[live_old]
+        state["_corpus_fp"] = None  # layout no longer mirrors a store snapshot
         self.__dict__.pop("_positions_cache", None)
         self.__dict__.update(state)
         return live_old
@@ -1321,6 +1349,7 @@ class IVFIndex:
             # cached sharded search fns close over the OLD spill_blocks
             # (a static kernel arg) — drop them with the same swap
             state["_sharded_cache"] = {}
+        state["_corpus_fp"] = None  # layout no longer mirrors a store snapshot
         self.__dict__.pop("_positions_cache", None)
         self.__dict__.update(state)
         return live_old
@@ -1575,6 +1604,9 @@ class IVFIndex:
             "calibrated_target": getattr(self, "calibrated_target",
                                          None),
             "vocab": self.vocab,
+            # (hexdigest, dtype) of the build corpus; None after a
+            # mutation (the layout no longer mirrors a store snapshot)
+            "fingerprint": getattr(self, "_corpus_fp", None),
         }
         if self.mesh is not None:
             meta["ndev"] = int(dict(self.mesh.shape)["data"])
@@ -1631,10 +1663,29 @@ class IVFIndex:
                 f"corpus shape {corpus.shape} does not match saved index "
                 f"({meta['n']}, {want_cols})"
             )
+        saved_fp = meta.get("fingerprint")
+        if saved_fp is not None:
+            # verify content, not just shape — a same-size store whose
+            # rows changed since the build would otherwise serve the
+            # artifact's stale keys/clusters. Cast exactly as the build
+            # did; a cross-precision load (fp32 build served over a
+            # pre-quantized corpus) fingerprints differently by design,
+            # so only matching dtypes are comparable.
+            check = (corpus if corpus.dtype in (jnp.int8, jnp.uint8)
+                     else corpus.astype(jnp.float32))
+            got_fp, got_dtype = _corpus_fingerprint(check)
+            if got_dtype == saved_fp[1] and got_fp != saved_fp[0]:
+                raise ValueError(
+                    "IVF artifact was built over a different corpus "
+                    "(content fingerprint mismatch); rebuild the index"
+                )
         from tpualign.parallel.retrieval import _use_int8_mxu
 
         self = cls.__new__(cls)
         self.vocab = {k: int(v) for k, v in meta["vocab"].items()}
+        # keep the build fingerprint so save-after-load (e.g. a
+        # recalibration refresh) stays verifiable
+        self._corpus_fp = tuple(saved_fp) if saved_fp else None
         self.mesh = use_mesh if saved_ndev is not None else None
         if self.mesh is not None:
             self.n_lists_local = meta["n_lists_local"]
