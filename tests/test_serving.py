@@ -1831,3 +1831,24 @@ def test_auto_compact_threshold():
     out = svc.remove_chunks([f"c{i}" for i in range(4, n)])
     assert "auto_compacted" not in out
     assert svc.index.n == n - 4 and svc.index.dead == n - 4
+
+
+def test_auto_compact_covers_every_index_type():
+    """The autovacuum reflex is index-agnostic: IVF re-packs around its
+    centroids, HNSW rewrites its graph — both through the same
+    service-level threshold."""
+    rng = np.random.default_rng(59)
+    n, d = 32, 16
+    emb = rng.normal(size=(n, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    ids = [f"c{i}" for i in range(n)]
+    for kw in ({"index_type": "ivf", "ivf_lists": 4, "ivf_probes": 4},
+               {"index_type": "hnsw"}):
+        svc = RetrievalService(emb, ids, ["m"] * n, [1] * n,
+                               coalesce_window_ms=None,
+                               auto_compact=0.25, **kw)
+        out = svc.remove_chunks([f"c{i}" for i in range(8)])  # 8/32 = 25%
+        assert out["auto_compacted"] == 8, (kw, out)
+        assert svc.index.n == n - 8 and svc.index.dead == 0
+        r = svc.search_embeddings(emb[20:21], ["m"], [1], k=1)
+        assert r[0][0]["chunk_id"] == "c20", (kw, r)
