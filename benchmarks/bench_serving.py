@@ -9,11 +9,15 @@ a 100k x 512 corpus at 64 KB/s) and fires concurrent /search requests,
 printing one JSON line per mode with p50/p95 latency and achieved RPS.
 
 Usage: python benchmarks/bench_serving.py [n_corpus] [clients]
-       [requests_per_client] [precision]
+       [requests_per_client] [precision] [proto]
 
 ``precision`` (fp32 | int8 | int4) serves the corpus through the
 quantized index layouts — the production capacity modes under real
-HTTP load.
+HTTP load. ``proto`` (1.1 | 1.0 | both) pins the server's HTTP
+protocol version: clients hold PERSISTENT http.client connections, so
+1.0 (server closes after every reply; the pre-round-4 behavior)
+measures the per-request TCP handshake wall that 1.1 keep-alive
+removes; "both" runs the A/B.
 """
 
 from __future__ import annotations
@@ -25,6 +29,7 @@ import time
 
 
 def main() -> None:
+    import http.client
     import urllib.request
 
     import jax
@@ -39,6 +44,9 @@ def main() -> None:
     clients = int(sys.argv[2]) if len(sys.argv) > 2 else 32
     reqs = int(sys.argv[3]) if len(sys.argv) > 3 else 16
     prec = sys.argv[4] if len(sys.argv) > 4 else "fp32"
+    proto_arg = sys.argv[5] if len(sys.argv) > 5 else "1.1"
+    protos = ("HTTP/1.0", "HTTP/1.1") if proto_arg == "both" else (
+        f"HTTP/{proto_arg}",)
     d = 512
 
     @jax.jit
@@ -70,6 +78,8 @@ def main() -> None:
         index.mesh = None
         index.precision = prec
         index.recall_target = None
+        index.refine = 0
+        index._refine_corpus = None
         index.vocab = {}
         index._corpus_scales = cscales
         index._approx_warned = set()
@@ -82,7 +92,14 @@ def main() -> None:
     queries = rng.normal(size=(clients * reqs, d)).astype(np.float32)
     queries /= np.linalg.norm(queries, axis=1, keepdims=True)
 
-    for window_ms, pipeline in ((None, 0), (2.0, 4), (2.0, 8)):
+    import os
+    mode_set = ((None, 0), (2.0, 4), (2.0, 8))
+    if os.environ.get("BENCH_SERVING_MODES") == "quick":
+        mode_set = ((None, 0), (2.0, 4))  # transport A/B: 2 modes suffice
+    modes = [(proto, window_ms, pipeline)
+             for proto in protos
+             for window_ms, pipeline in mode_set]
+    for proto, window_ms, pipeline in modes:
         svc = RetrievalService(
             np.zeros((1, d), np.float32), ["c0"], ["m"], [1],
             coalesce_window_ms=window_ms,
@@ -98,6 +115,10 @@ def main() -> None:
             svc.coalescer = None
 
         httpd = serve(svc, host="127.0.0.1", port=0)
+        # protocol A/B lever: HTTP/1.0 restores the pre-round-4
+        # connection-per-request behavior (stdlib closes after every
+        # reply); HTTP/1.1 (the shipped default) keeps connections alive
+        httpd.RequestHandlerClass.protocol_version = proto
         port = httpd.server_address[1]
         threading.Thread(target=httpd.serve_forever, daemon=True).start()
         base = f"http://127.0.0.1:{port}"
@@ -125,28 +146,64 @@ def main() -> None:
         lats: list = []
         lock = threading.Lock()
         errors = []
+        reconnects = [0]
 
         def client(ci: int):
-            for r in range(reqs):
-                q = queries[ci * reqs + r: ci * reqs + r + 1]
-                b = json.dumps({
-                    "embeddings": q.tolist(), "k": 10, "global": True,
-                }).encode()
-                rq = urllib.request.Request(
-                    f"{base}/search", data=b,
-                    headers={"Content-Type": "application/json"},
-                )
-                t0 = time.perf_counter()
-                try:
-                    with urllib.request.urlopen(rq, timeout=300) as resp:
-                        out = json.loads(resp.read())
+            # PERSISTENT connection per client (the production client
+            # shape): against an HTTP/1.1 server every request rides the
+            # same TCP connection; an HTTP/1.0 server closes after each
+            # reply, forcing a reconnect (counted) whose handshake is
+            # the measured wall.
+            conn = http.client.HTTPConnection("127.0.0.1", port,
+                                             timeout=300)
+            # auto_open would silently re-handshake on a server-closed
+            # connection; disable it so reconnects are COUNTED (and
+            # their cost attributed) instead of hidden
+            conn.auto_open = 0
+            conn.connect()
+            my_reconnects = 0
+            try:
+                for r in range(reqs):
+                    q = queries[ci * reqs + r: ci * reqs + r + 1]
+                    b = json.dumps({
+                        "embeddings": q.tolist(), "k": 10, "global": True,
+                    }).encode()
+                    t0 = time.perf_counter()
+                    for attempt in (0, 1):
+                        try:
+                            conn.request(
+                                "POST", "/search", body=b,
+                                headers={"Content-Type":
+                                         "application/json"},
+                            )
+                            resp = conn.getresponse()
+                            out = json.loads(resp.read())
+                            break
+                        except (http.client.NotConnected,
+                                http.client.RemoteDisconnected,
+                                ConnectionResetError,
+                                BrokenPipeError) as e:
+                            conn.close()
+                            conn = http.client.HTTPConnection(
+                                "127.0.0.1", port, timeout=300)
+                            conn.auto_open = 0
+                            conn.connect()
+                            my_reconnects += 1
+                            if attempt:
+                                with lock:
+                                    errors.append(str(e))
+                                return
+                        except Exception as e:  # pragma: no cover
+                            with lock:
+                                errors.append(str(e))
+                            return
                     assert out["results"][0], "empty result"
-                except Exception as e:  # pragma: no cover
                     with lock:
-                        errors.append(str(e))
-                    return
+                        lats.append(time.perf_counter() - t0)
+            finally:
+                conn.close()
                 with lock:
-                    lats.append(time.perf_counter() - t0)
+                    reconnects[0] += my_reconnects
 
         t0 = time.perf_counter()
         threads = [threading.Thread(target=client, args=(i,))
@@ -166,6 +223,8 @@ def main() -> None:
         print(json.dumps({
             "metric": "serving_concurrent_search",
             "precision": prec,
+            "proto": proto,
+            "reconnects": reconnects[0],
             "mode": (f"coalesced_p{pipeline}" if window_ms is not None
                      else "per_request"),
             "corpus": n, "clients": clients, "requests": len(lats),

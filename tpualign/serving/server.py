@@ -1086,6 +1086,17 @@ class _ServiceRegistry:
 def _make_handler(registry: "_ServiceRegistry",
                   token: Optional[str] = None):
     class Handler(BaseHTTPRequestHandler):
+        # HTTP/1.1: persistent connections by default. Under HTTP/1.0 the
+        # stdlib closed the TCP connection after every reply, so every
+        # request paid a fresh handshake — under 32-client load the SYN
+        # queue became the wall (request_queue_size=128 was the
+        # workaround; now belt-and-braces). Content-Length is sent on
+        # every reply (_reply) and request bodies are always drained
+        # before replying (do_POST reads the body first), so framing
+        # stays valid across requests on one connection. Measured A/B:
+        # docs/SERVING.md "HTTP/1.1 keep-alive".
+        protocol_version = "HTTP/1.1"
+
         def log_message(self, fmt, *args):  # route to our logger, not stderr
             log.debug("http: " + fmt, *args)
 
@@ -1151,12 +1162,28 @@ def _make_handler(registry: "_ServiceRegistry",
 
         def do_POST(self):
             t0 = time.perf_counter()
+            # Drain the body BEFORE any early reply (401/400): under
+            # HTTP/1.1 keep-alive, unread body bytes would be parsed as
+            # the next request on this connection. When the body length
+            # is unknowable (chunked, bad Content-Length) the connection
+            # must close instead — framing can't be recovered.
+            if self.headers.get("Transfer-Encoding"):
+                self.close_connection = True
+                self._reply(411, {"error": "chunked bodies unsupported; "
+                                           "send Content-Length"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                body = self.rfile.read(length)
+            except ValueError:
+                self.close_connection = True
+                self._reply(400, {"error": "bad Content-Length"})
+                return
             if not self._authorized():
                 self._reply(401, {"error": "missing or bad bearer token"})
                 return
             try:
-                length = int(self.headers.get("Content-Length", "0"))
-                req = json.loads(self.rfile.read(length) or b"{}")
+                req = json.loads(body or b"{}")
                 if not isinstance(req, dict):
                     raise ValueError(
                         f"request body must be a JSON object, got "
