@@ -655,3 +655,110 @@ def test_fp16_factory_routing_and_cache_precision(tmp_path, monkeypatch):
     w = build_index(c, cman, cpage, index_type="hnsw", precision="int8")
     assert w.precision == "fp32"
     assert any("halfvec" in m for m in warnings)
+
+
+def test_concurrent_searches_bit_identical():
+    """Concurrent graph walks (VERDICT r3 weak #3): the native core
+    gives every in-flight search its own visited-set scratch and the
+    Python wrapper takes only the READ side of its RW lock, so 8
+    threads searching at once produce bit-identical results to the
+    single-threaded walk (a shared stamp buffer would corrupt the
+    visited sets nondeterministically)."""
+    import concurrent.futures
+    import sys
+
+    from tpualign.parallel.hnsw import HNSWIndex
+
+    c, cman, cpage, _ = make_corpus(seed=31, n=3000, d=32)
+    rng = np.random.default_rng(7)
+    q = unit(rng.normal(size=(64, 32)).astype(np.float32))
+    index = HNSWIndex(c, cman, cpage, ef_search=80)
+    qk = np.full(len(q), -3, np.int64)  # wildcard: pure graph walks
+    base_v, base_i = index.search_encoded(q, qk, k=10)
+
+    old_switch = sys.getswitchinterval()
+    sys.setswitchinterval(1e-4)
+    try:
+        for _ in range(3):  # repeat: interleavings differ per round
+            with concurrent.futures.ThreadPoolExecutor(8) as ex:
+                futs = [ex.submit(index.search_encoded,
+                                  q[i::8], qk[i::8], 10)
+                        for i in range(8)]
+                outs = [f.result() for f in futs]
+            for i, (v, ix) in enumerate(outs):
+                np.testing.assert_array_equal(ix, base_i[i::8])
+                np.testing.assert_array_equal(v, base_v[i::8])
+    finally:
+        sys.setswitchinterval(old_switch)
+
+
+def test_hnsw_mutation_under_concurrent_search():
+    """Mutations racing searches: add/remove/compact take the WRITE side
+    (excluding walks while vectors reallocate), searches the read side —
+    every result is well-formed (no dead rows, indices in range, scores
+    matching the returned row's true similarity) and after the dust
+    settles the index is exact on its live rows."""
+    import sys
+    import threading as th
+
+    from tpualign.parallel.hnsw import HNSWIndex
+
+    rng = np.random.default_rng(43)
+    d = 24
+    base = unit(rng.normal(size=(800, d)).astype(np.float32))
+    extra = unit(rng.normal(size=(400, d)).astype(np.float32))
+    index = HNSWIndex(base, ["m"] * 800, [1] * 800, ef_search=64)
+    errors: list = []
+    stop = th.Event()
+    old_switch = sys.getswitchinterval()
+    sys.setswitchinterval(1e-4)
+
+    def searcher(seed):
+        r = np.random.default_rng(seed)
+        try:
+            while not stop.is_set():
+                q = unit(r.normal(size=(4, d)).astype(np.float32))
+                vals, idx = index.search_encoded(
+                    q, np.full(4, -3, np.int64), 5)
+                live = idx >= 0
+                if idx[live].size and idx[live].max() >= index.n:
+                    errors.append(f"index {idx[live].max()} >= {index.n}")
+                # scores must match the returned row's actual similarity
+                # under the CURRENT corpus (reads raced no mutation that
+                # moved rows: add appends, remove tombstones in place)
+                for r_i in range(4):
+                    for v, j in zip(vals[r_i], idx[r_i]):
+                        if j < 0:
+                            continue
+                        true = float(
+                            index._corpus[j].astype(np.float32) @ q[r_i])
+                        if abs(true - float(v)) > 1e-3:
+                            errors.append(
+                                f"score {v} vs true {true} at row {j}")
+        except Exception as e:
+            errors.append(f"{type(e).__name__}: {e}")
+
+    threads = [th.Thread(target=searcher, args=(s,), daemon=True)
+               for s in range(4)]
+    try:
+        for t in threads:
+            t.start()
+        for i in range(0, 400, 40):
+            index.add(extra[i:i + 40], ["m"] * 40, [1] * 40)
+            index.remove(list(range(i // 2, i // 2 + 20)))
+        stop.set()
+        for t in threads:
+            t.join(timeout=30)
+        # index-level compact renumbers rows; position-stability across
+        # it is the SERVICE layer's snapshot contract
+        # (test_serving.test_compact_under_concurrent_searches covers
+        # hnsw there) — here it must simply leave an exact index
+        index.compact()
+    finally:
+        stop.set()
+        sys.setswitchinterval(old_switch)
+    assert not errors, errors[:10]
+    # post-storm: the index is exact on its live rows (keyed scan path)
+    assert index.n == 800 + 400 - 200 and index.dead == 0
+    v, ix = index.search_encoded(extra[:1], np.asarray([-3], np.int64), 1)
+    assert v[0, 0] > 0.99  # the added row itself is its own top-1

@@ -1363,3 +1363,29 @@ def test_int2_ivf_add():
                              n_probes=grown.n_lists)
     # full probes find the newly added self-rows
     assert all(512 + r in idx[r] for r in range(8))
+
+
+def test_cross_precision_load_warns_fingerprint_inactive(
+        tmp_path, monkeypatch):
+    """A cross-precision load (fp32-built artifact served over a
+    pre-quantized store) can't compare fingerprints — the stale-corpus
+    guard is INACTIVE and must SAY so (ADVICE r3 #2), while shape
+    validation still applies and content mismatches in the matching
+    dtype still raise."""
+    import tpualign.parallel.ivf as I
+
+    rng = np.random.default_rng(33)
+    c, _ = make_clustered(rng, n=256, d=16, g=8)
+    a = IVFIndex(c, [f"m{i % 2}" for i in range(256)], [1] * 256,
+                 n_lists=8, iters=4, precision="int8")
+    path = tmp_path / "ivf.npz"
+    a.save(path)
+    # serve the int8 artifact over a PRE-QUANTIZED int8 corpus of the
+    # same shape: the build fingerprinted fp32 rows, so dtypes differ
+    q8 = np.clip(np.rint(c * 127), -127, 127).astype(np.int8)
+    scales = np.full(256, 1 / 127, np.float32)
+    warned = []
+    monkeypatch.setattr(
+        I.log, "warning", lambda msg, *args: warned.append(msg % args))
+    IVFIndex.load(path, q8, corpus_scales=scales)
+    assert any("fingerprint skipped" in w for w in warned), warned

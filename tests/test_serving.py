@@ -1854,7 +1854,8 @@ def test_auto_compact_covers_every_index_type():
         assert r[0][0]["chunk_id"] == "c20", (kw, r)
 
 
-@pytest.mark.parametrize("mode", ["explicit", "auto", "coalesced"])
+@pytest.mark.parametrize("mode", [
+    "explicit", "auto", "coalesced", "ivf", "hnsw"])
 def test_compact_under_concurrent_searches(mode):
     """Compaction racing live searches (VERDICT r3 weak #1): a request
     that finished its index search under the OLD row numbering and then
@@ -1878,10 +1879,26 @@ def test_compact_under_concurrent_searches(mode):
     ids = [f"v{i}" for i in range(n_victims)] + [
         f"s{i}" for i in range(n_searched)]
     n = len(ids)
+    # hnsw: uniform one-hots are the documented proximity-graph worst
+    # case (recall, not a race) — give each searched chunk a unique
+    # (manual, page) key and query KEYED, which routes through the
+    # selectivity planner's exact scan: deterministic results that
+    # still exercise the position-remap race under compaction
+    pages = [1] * n_victims + [100 + i for i in range(n_searched)]
+    kw = {}
+    if mode == "ivf":
+        kw = {"index_type": "ivf", "ivf_lists": 4, "ivf_probes": 4}
+    elif mode == "hnsw":
+        from tpualign.native import native_available
+
+        if not native_available():
+            pytest.skip("native library unavailable")
+        kw = {"index_type": "hnsw"}
     svc = RetrievalService(
-        emb, ids, ["m"] * n, [1] * n,
+        emb, ids, ["m"] * n, pages if mode == "hnsw" else [1] * n,
         coalesce_window_ms=0.0 if mode == "coalesced" else None,
         auto_compact=0.001 if mode == "auto" else None,
+        **kw,
     )
     errors: list = []
     stop = threading.Event()
@@ -1893,9 +1910,14 @@ def test_compact_under_concurrent_searches(mode):
         try:
             while not stop.is_set():
                 i = int(rng.integers(n_searched))
-                res = svc.search_embeddings(
-                    emb[n_victims + i: n_victims + i + 1],
-                    None, None, k=1, global_search=True)
+                if mode == "hnsw":
+                    res = svc.search_embeddings(
+                        emb[n_victims + i: n_victims + i + 1],
+                        ["m"], [100 + i], k=1)
+                else:
+                    res = svc.search_embeddings(
+                        emb[n_victims + i: n_victims + i + 1],
+                        None, None, k=1, global_search=True)
                 hit = res[0][0]
                 if hit["chunk_id"] != f"s{i}" or hit["score"] < 0.5:
                     errors.append(
@@ -1927,8 +1949,13 @@ def test_compact_under_concurrent_searches(mode):
     assert not errors, errors[:10]
     assert svc.index.n == n - removed
     # post-storm sanity: every searched chunk still resolves correctly
-    res = svc.search_embeddings(emb[n_victims:], None, None, k=1,
-                                global_search=True)
+    if mode == "hnsw":
+        res = svc.search_embeddings(
+            emb[n_victims:], ["m"] * n_searched,
+            [100 + i for i in range(n_searched)], k=1)
+    else:
+        res = svc.search_embeddings(emb[n_victims:], None, None, k=1,
+                                    global_search=True)
     assert [r[0]["chunk_id"] for r in res] == [
         f"s{i}" for i in range(n_searched)]
 

@@ -1674,7 +1674,17 @@ class IVFIndex:
             check = (corpus if corpus.dtype in (jnp.int8, jnp.uint8)
                      else corpus.astype(jnp.float32))
             got_fp, got_dtype = _corpus_fingerprint(check)
-            if got_dtype == saved_fp[1] and got_fp != saved_fp[0]:
+            if got_dtype != saved_fp[1]:
+                # the stale-corpus guard is INACTIVE on this load —
+                # operators should know (ADVICE r3 #2); shape checks
+                # above still apply
+                log.warning(
+                    "IVF cache fingerprint skipped: artifact was built "
+                    "over %s rows but the served corpus is %s — "
+                    "cross-precision loads get shape-only validation",
+                    saved_fp[1], got_dtype,
+                )
+            elif got_fp != saved_fp[0]:
                 raise ValueError(
                     "IVF artifact was built over a different corpus "
                     "(content fingerprint mismatch); rebuild the index"
