@@ -466,11 +466,24 @@ def test_mesh_int8_streaming_and_gather(mesh8):
         if want:
             assert len(want & got) / len(want) >= 0.9, (r, want, got)
 
-    # ring has no int8 path — must refuse loudly, not silently dequantize
-    with pytest.raises(ValueError, match="int8"):
-        index.search_device(
-            jnp.asarray(q[:8]), jnp.asarray(qkeys[:8]), 10, "ring"
-        )
+    # ring has no int8 path — it must route LOUDLY to gather (same
+    # results, integer MXU dot), never raise or silently dequantize
+    # (round 4: the precision x strategy contract has no bare-raise
+    # cells)
+    import logging
+
+    records = []
+    handler = logging.Handler()
+    handler.emit = records.append
+    logging.getLogger("tpualign.parallel.retrieval").addHandler(handler)
+    try:
+        rvals, ridx = index.search(q, qman, qpage, k=10, strategy="ring")
+    finally:
+        logging.getLogger("tpualign.parallel.retrieval").removeHandler(
+            handler)
+    assert any("routing to" in r.getMessage() for r in records), records
+    np.testing.assert_array_equal(ridx, gidx)
+    np.testing.assert_allclose(rvals, gvals, atol=1e-6)
 
 
 def test_recall_target_warns_on_exact_strategies(mesh8):
@@ -549,9 +562,11 @@ class TestRecallTarget:
         c = rng.normal(size=(8, 8)).astype(np.float32)
         with pytest.raises(ValueError, match="recall_target"):
             RetrievalIndex(c, ["m"] * 8, [1] * 8, recall_target=1.5)
-        with pytest.raises(ValueError, match="int8"):
-            RetrievalIndex(c, ["m"] * 8, [1] * 8, precision="int8",
-                           recall_target=0.9)
+        # recall_target x quantized COMPOSES since round 4 (the approx
+        # top-k runs over the quantized sims) — construction succeeds
+        ix = RetrievalIndex(c, ["m"] * 8, [1] * 8, precision="int8",
+                            recall_target=0.9)
+        assert ix.recall_target == 0.9 and ix.precision == "int8"
 
     def test_config_env_knob(self):
         from tpualign.config import load_config
@@ -979,18 +994,29 @@ def test_mesh_int4_gather_and_streaming(mesh8):
         vals, idx = index.search(q, qman, qpage, k=10, strategy=strategy)
         np.testing.assert_array_equal(idx, oidx, err_msg=strategy)
         np.testing.assert_allclose(vals[has], ovals[has], atol=1e-6)
-    with pytest.raises(ValueError, match="int4"):
-        index.search_device(
-            jnp.asarray(q), jnp.asarray(qkeys, jnp.int32), 10, "ring"
-        )
+    # ring routes loudly to gather (no quantized ppermute path) — same
+    # results, never a raise (round 4 contract)
+    rvals, ridx = index.search(q, qman, qpage, k=10, strategy="ring")
+    np.testing.assert_array_equal(ridx, oidx)
+    np.testing.assert_allclose(rvals[has], ovals[has], atol=1e-6)
 
 
-def test_int4_rejects_recall_target():
+def test_int4_composes_with_recall_target():
+    """recall_target x quantized precision (round 4, VERDICT r3 weak
+    #4): the approximate top-k runs over the quantized sims — the two
+    approximations are independent. On CPU approx_max_k lowers to an
+    exact top-k, so results match the plain int4 search exactly."""
     rng = np.random.default_rng(61)
-    c = rng.normal(size=(64, 8)).astype(np.float32)
-    with pytest.raises(ValueError, match="recall_target"):
-        RetrievalIndex(c, ["m"] * 64, [1] * 64, precision="int4",
-                       recall_target=0.9)
+    c = unit_rows(rng.normal(size=(64, 8)).astype(np.float32))
+    plain = RetrievalIndex(c, ["m"] * 64, [1] * 64, precision="int4")
+    approx = RetrievalIndex(c, ["m"] * 64, [1] * 64, precision="int4",
+                            recall_target=0.9)
+    assert approx.recall_target == 0.9
+    q = unit_rows(rng.normal(size=(4, 8)).astype(np.float32))
+    vp, ip = plain.search(q, ["m"] * 4, [1] * 4, k=5)
+    va, ia = approx.search(q, ["m"] * 4, [1] * 4, k=5)
+    np.testing.assert_array_equal(ia, ip)
+    np.testing.assert_allclose(va, vp, atol=1e-6)
 
 
 # -- incremental inserts --------------------------------------------------------
@@ -1498,10 +1524,9 @@ def test_mesh_int2_gather_and_streaming(mesh8):
         vals, idx = index.search(q, qman, qpage, k=10, strategy=strategy)
         np.testing.assert_array_equal(idx, oidx, err_msg=strategy)
         np.testing.assert_allclose(vals[has], ovals[has], atol=1e-6)
-    with pytest.raises(ValueError, match="int2"):
-        index.search_device(
-            jnp.asarray(q), jnp.asarray(qkeys, jnp.int32), 10, "ring"
-        )
+    rvals, ridx = index.search(q, qman, qpage, k=10, strategy="ring")
+    np.testing.assert_array_equal(ridx, oidx)
+    np.testing.assert_allclose(rvals[has], ovals[has], atol=1e-6)
 
 
 def test_int2_with_refine_recovers_usable_recall():
@@ -1542,12 +1567,19 @@ def test_int2_add_matches_fresh_build():
     np.testing.assert_allclose(va, vb, atol=1e-6)
 
 
-def test_int2_rejects_recall_target():
+def test_int2_composes_with_recall_target():
+    """Same contract as int4: recall_target composes (exact on CPU
+    where approx_max_k lowers to top_k)."""
     rng = np.random.default_rng(83)
-    c = rng.normal(size=(64, 8)).astype(np.float32)
-    with pytest.raises(ValueError, match="recall_target"):
-        RetrievalIndex(c, ["m"] * 64, [1] * 64, precision="int2",
-                       recall_target=0.9)
+    c = unit_rows(rng.normal(size=(64, 8)).astype(np.float32))
+    plain = RetrievalIndex(c, ["m"] * 64, [1] * 64, precision="int2")
+    approx = RetrievalIndex(c, ["m"] * 64, [1] * 64, precision="int2",
+                            recall_target=0.9)
+    q = unit_rows(rng.normal(size=(4, 8)).astype(np.float32))
+    vp, ip = plain.search(q, ["m"] * 4, [1] * 4, k=5)
+    va, ia = approx.search(q, ["m"] * 4, [1] * 4, k=5)
+    np.testing.assert_array_equal(ia, ip)
+    np.testing.assert_allclose(va, vp, atol=1e-6)
 
 
 def test_refine_overfetch_clamps_in_streaming_regime(mesh8, monkeypatch):
@@ -1588,3 +1620,58 @@ def test_refine_overfetch_clamps_in_streaming_regime(mesh8, monkeypatch):
     for r in range(nq):
         np.testing.assert_allclose(
             vals[r], np.sort(sims[r])[::-1][:k], atol=1e-5)
+
+
+def test_precision_recall_strategy_contract_matrix(mesh8):
+    """The uniform retrieval contract (round 4, VERDICT r3 weak #4):
+    every {precision} x {exact | recall_target | refine |
+    recall_target+refine} x {single, gather, ring, streaming} cell
+    either works with its stated semantics or ROUTES with one warning —
+    no bare raises anywhere. Correctness bar per cell: self-retrieval
+    (each query is a corpus row; its top-1 must be itself at every
+    precision — even int2's 4-level codes keep self-sim far above
+    cross-sims on random unit vectors)."""
+    import logging
+
+    rng = np.random.default_rng(97)
+    n, d, k = 256, 32, 4
+    c = unit_rows(rng.normal(size=(n, d)))
+    cman = ["m"] * n
+    cpage = [1] * n
+    sel = np.arange(8) * (n // 8)
+    q = c[sel]
+
+    records = []
+    handler = logging.Handler()
+    handler.emit = records.append
+    logger = logging.getLogger("tpualign.parallel.retrieval")
+    logger.addHandler(handler)
+    try:
+        for precision in ("fp32", "int8", "int4", "int2"):
+            for mode in ("exact", "rt", "refine", "rt+refine"):
+                kw = {}
+                if "rt" in mode:
+                    kw["recall_target"] = 0.9
+                if "refine" in mode:
+                    kw["refine"] = 4
+                for strategy, mesh in (("single", None),
+                                       ("gather", mesh8),
+                                       ("ring", mesh8),
+                                       ("streaming", mesh8)):
+                    index = RetrievalIndex(
+                        c, cman, cpage, mesh=mesh, precision=precision,
+                        **kw)
+                    vals, idx = index.search(
+                        q, None, None, k=k, global_search=True,
+                        strategy="auto" if strategy == "single"
+                        else strategy)
+                    cell = f"{precision}/{mode}/{strategy}"
+                    assert vals.shape == (8, k) and idx.shape == (8, k), cell
+                    assert ((idx >= -1) & (idx < n)).all(), cell
+                    assert (idx[:, 0] == sel).all(), (cell, idx[:, 0], sel)
+    finally:
+        logger.removeHandler(handler)
+    # routed/degraded cells say so, once per (index, condition)
+    msgs = [r.getMessage() for r in records]
+    assert any("routing to" in m for m in msgs)  # ring x quantized
+    assert any("no-op" in m for m in msgs)       # refine x exact fp32
