@@ -1,0 +1,234 @@
+"""Refine rescore-corpus storage modes (_RefineCorpus: ram/fp16/memmap).
+
+VERDICT r3 weak #6: the refine stage's host fp32 copy did not scale to
+the capacity ladder it is sold with (~49 GB RSS at the measured 24M x
+512 int8 point). The fix stores rescore rows in one of three modes —
+"ram" (fp32, the old behavior), "fp16" (half RAM, pgvector-halfvec
+economics), "memmap" (fp32 rows in a disk file, ~0 resident — postgres
+heap-table economics, ref:src/setup_vector_db.py:100-151) — with "auto"
+routing by size. These tests pin:
+
+- gather parity: memmap results are BIT-identical to ram; fp16 is exact
+  over fp16-rounded rows (proven by building from fp16-representable
+  rows, where all three modes agree bit-for-bit);
+- the copy-on-write snapshot discipline (append/select return new
+  objects; in-flight snapshots keep serving, memmap files live until
+  the last snapshot dies);
+- end-to-end RetrievalIndex / IVFIndex searches and the full
+  add/remove/compact mutation cycle per mode;
+- the RETRIEVAL_REFINE_STORE knob threading config -> service -> index.
+"""
+
+from __future__ import annotations
+
+import gc
+import os
+
+import numpy as np
+import pytest
+
+from tpualign.parallel import retrieval as R
+from tpualign.parallel.retrieval import _RefineCorpus, RetrievalIndex
+
+
+@pytest.fixture
+def rows():
+    rng = np.random.default_rng(7)
+    # fp16-representable values: every storage mode holds the SAME
+    # bits, so cross-mode comparisons below can demand exact equality
+    return rng.standard_normal((200, 32)).astype(np.float16).astype(np.float32)
+
+
+ALL_MODES = ("ram", "fp16", "memmap")
+
+
+class TestRefineCorpus:
+    @pytest.mark.parametrize("mode", ALL_MODES)
+    def test_take_matches_source(self, rows, mode):
+        c = _RefineCorpus.build(rows, mode)
+        rng = np.random.default_rng(0)
+        idx = rng.integers(0, len(rows), (9, 4))
+        got = c.take(idx)
+        assert got.dtype == np.float32 and got.shape == (9, 4, 32)
+        np.testing.assert_array_equal(got, rows[idx])
+
+    @pytest.mark.parametrize("mode", ALL_MODES)
+    def test_append_select_empty(self, rows, mode):
+        c = _RefineCorpus.build(rows, mode)
+        extra = (rows[:17] * 0.5).astype(np.float16).astype(np.float32)
+        c2 = c.appended(extra)
+        assert len(c) == 200  # immutable snapshot untouched
+        assert len(c2) == 217
+        np.testing.assert_array_equal(
+            c2.take(np.arange(200, 217)), extra
+        )
+        # tail-straddling gather (memmap base + RAM tail in one take)
+        idx = np.array([[0, 205], [199, 216]])
+        np.testing.assert_array_equal(
+            c2.take(idx), np.concatenate([rows, extra])[idx]
+        )
+        sel = np.arange(1, 217, 3)
+        c3 = c2.selected(sel)
+        assert c3.mode == mode and len(c3) == len(sel)
+        np.testing.assert_array_equal(
+            c3.take(np.arange(len(sel))), np.concatenate([rows, extra])[sel]
+        )
+        # boolean-mask selection
+        mask = np.zeros(217, bool)
+        mask[[3, 7, 211]] = True
+        np.testing.assert_array_equal(
+            c2.selected(mask).take(np.arange(3)),
+            np.concatenate([rows, extra])[[3, 7, 211]],
+        )
+        e = c3.empty()
+        assert len(e) == 0 and e.dim == 32
+
+    def test_auto_routes_by_size(self, rows, monkeypatch):
+        assert _RefineCorpus.build(rows, "auto").mode == "ram"
+        monkeypatch.setattr(R, "REFINE_RAM_MAX_BYTES", 64)
+        assert _RefineCorpus.build(rows, "auto").mode == "memmap"
+
+    def test_env_knob_picks_mode(self, rows, monkeypatch):
+        monkeypatch.setenv("RETRIEVAL_REFINE_STORE", "fp16")
+        assert _RefineCorpus.build(rows, None).mode == "fp16"
+        monkeypatch.setenv("RETRIEVAL_REFINE_STORE", "bogus")
+        with pytest.raises(ValueError, match="refine store"):
+            _RefineCorpus.build(rows, None)
+
+    def test_memmap_resident_is_tail_only(self, rows):
+        c = _RefineCorpus.build(rows, "memmap")
+        assert c.nbytes_resident == 0
+        c2 = c.appended(rows[:10])
+        assert c2.nbytes_resident == 10 * 32 * 4
+        assert _RefineCorpus.build(rows, "fp16").nbytes_resident \
+            == rows.nbytes // 2
+
+    def test_memmap_dir_knob(self, rows, tmp_path, monkeypatch):
+        monkeypatch.setenv("RETRIEVAL_REFINE_DIR", str(tmp_path / "rf"))
+        c = _RefineCorpus.build(rows, "memmap")
+        assert c._file.path.startswith(str(tmp_path / "rf"))
+
+    def test_memmap_file_lifecycle(self, rows):
+        """The base file is shared by snapshots and unlinked only when
+        the LAST one is collected — an in-flight search's snapshot can
+        never lose its rows to a racing compact."""
+        c = _RefineCorpus.build(rows, "memmap")
+        path = c._file.path
+        c2 = c.appended(rows[:5])  # shares the base file
+        del c
+        gc.collect()
+        assert os.path.exists(path)  # c2 still references it
+        sel = c2.selected(np.arange(50))  # fresh file
+        path2 = sel._file.path
+        assert path2 != path
+        del c2
+        gc.collect()
+        assert not os.path.exists(path)
+        del sel
+        gc.collect()
+        assert not os.path.exists(path2)
+
+    def test_empty_selection_from_memmap(self, rows):
+        c = _RefineCorpus.build(rows, "memmap")
+        e = c.selected(np.zeros(0, np.int64))
+        assert len(e) == 0
+
+    def test_zero_row_build_never_memmaps(self):
+        c = _RefineCorpus.build(np.zeros((0, 8), np.float32), "memmap")
+        assert c.mode == "ram" and len(c) == 0
+
+
+class TestIndexIntegration:
+    @pytest.fixture
+    def corpus(self):
+        rng = np.random.default_rng(3)
+        emb = rng.standard_normal((300, 32)).astype(np.float32)
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        man = ["m%d" % (i % 3) for i in range(300)]
+        pages = [i % 5 for i in range(300)]
+        return emb, man, pages
+
+    @pytest.fixture
+    def queries(self):
+        rng = np.random.default_rng(4)
+        q = rng.standard_normal((6, 32)).astype(np.float32)
+        return q / np.linalg.norm(q, axis=1, keepdims=True)
+
+    def _search(self, ix, q):
+        v, i = ix.search(q, k=8, global_search=True)
+        return np.asarray(v), np.asarray(i)
+
+    @pytest.mark.parametrize("mode", ("fp16", "memmap"))
+    def test_exact_index_mode_parity_with_mutations(
+            self, corpus, queries, mode):
+        """int8+refine searches and the full mutation cycle return the
+        same ids as the ram-mode baseline (memmap bit-identical values
+        too; fp16 values match to its rounding)."""
+        emb, man, pages = corpus
+        base = RetrievalIndex(emb, man, pages, precision="int8",
+                              refine=4, refine_store="ram")
+        ix = RetrievalIndex(emb, man, pages, precision="int8",
+                            refine=4, refine_store=mode)
+        vb, ib = self._search(base, queries)
+        v, i = self._search(ix, queries)
+        np.testing.assert_array_equal(ib, i)
+        if mode == "memmap":
+            np.testing.assert_array_equal(vb, v)
+        else:
+            np.testing.assert_allclose(vb, v, atol=2e-3)
+        for j in (base, ix):
+            j.add(emb[:20] * 0.9, man[:20], pages[:20])
+            j.remove([2, 4, 8, 310])
+            j.compact()
+        vb, ib = self._search(base, queries)
+        v, i = self._search(ix, queries)
+        np.testing.assert_array_equal(ib, i)
+        if mode == "memmap":
+            np.testing.assert_array_equal(vb, v)
+
+    def test_ivf_index_memmap_parity(self, corpus, queries):
+        from tpualign.parallel.ivf import IVFIndex
+
+        emb, man, pages = corpus
+        kw = dict(n_lists=8, n_probes=8, precision="int8", refine=4)
+        base = IVFIndex(emb, man, pages, refine_store="ram", **kw)
+        ix = IVFIndex(emb, man, pages, refine_store="memmap", **kw)
+        vb, ib = self._search(base, queries)
+        v, i = self._search(ix, queries)
+        np.testing.assert_array_equal(ib, i)
+        np.testing.assert_array_equal(vb, v)
+        for j in (base, ix):
+            j.add(emb[:10] * 0.8, man[:10], pages[:10])
+            j.remove([1, 3])
+            j.compact()
+        vb, ib = self._search(base, queries)
+        v, i = self._search(ix, queries)
+        np.testing.assert_array_equal(ib, i)
+
+    def test_build_index_factory_threads_store(self, corpus):
+        emb, man, pages = corpus
+        ix = R.build_index(emb, man, pages, precision="int8", refine=4,
+                           refine_store="memmap")
+        assert ix._refine_corpus.mode == "memmap"
+
+    def test_config_knob_reaches_service(self, corpus, monkeypatch):
+        """RETRIEVAL_REFINE_STORE flows config -> retrieval_kwargs ->
+        RetrievalService -> index."""
+        from tpualign.config import load_config
+        from tpualign.serving.server import RetrievalService
+
+        emb, man, pages = corpus
+        monkeypatch.setenv("RETRIEVAL_PRECISION", "int8")
+        monkeypatch.setenv("RETRIEVAL_REFINE", "4")
+        monkeypatch.setenv("RETRIEVAL_REFINE_STORE", "memmap")
+        cfg = load_config()
+        assert cfg.retrieval_refine_store == "memmap"
+        svc = RetrievalService(
+            chunk_embeddings=emb, chunk_ids=[str(i) for i in range(len(emb))],
+            chunk_manuals=man, chunk_pages=pages,
+            precision=cfg.retrieval_precision,
+            refine=cfg.retrieval_refine,
+            refine_store=cfg.retrieval_refine_store,
+            coalesce_window_ms=None,
+        )
+        assert svc.index._refine_corpus.mode == "memmap"

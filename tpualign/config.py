@@ -396,6 +396,16 @@ class PipelineConfig:
     # fp32 copy — zero HBM cost) before returning k. Quantized capacity
     # with exact final rankings; recall@k rises with the factor. 0 = off.
     retrieval_refine: int = 0
+    # Where the refine stage's exact-rescore rows live on HOST:
+    # "auto" (RAM below ~2 GiB, disk memmap above), "ram" (fp32 ndarray),
+    # "fp16" (half the RAM; rescore exact over the fp16-rounded rows,
+    # ~5e-4 rounding — still ~8x finer than int8 first-stage noise), or
+    # "memmap" (fp32 rows in a disk file, ~0 resident RSS — the
+    # capacity-ladder rung: a 24M x 512 corpus's rescore rows are 49 GB,
+    # which should page through the OS cache like postgres' heap tables
+    # do, not pin process RAM). RETRIEVAL_REFINE_DIR picks the memmap
+    # directory (default: system temp dir).
+    retrieval_refine_store: str = "auto"
     # Image feed: "host" (PIL bicubic, torchvision parity) or "device"
     # (host decodes only — 2.45x per-core feed rate — resize/crop/normalize
     # fused on TPU as matmul bicubic+antialias matching PIL's uint8
@@ -626,6 +636,7 @@ def load_config(
         retrieval_index=_env(env, "RETRIEVAL_INDEX", "exact"),
         retrieval_precision=_env(env, "RETRIEVAL_PRECISION", "fp32"),
         retrieval_refine=int(_env(env, "RETRIEVAL_REFINE", "0")),
+        retrieval_refine_store=_env(env, "RETRIEVAL_REFINE_STORE", "auto"),
         ivf_lists=(
             int(_env(env, "IVF_LISTS", ""))
             if _env(env, "IVF_LISTS", "") else None

@@ -382,6 +382,7 @@ class IVFIndex:
         int8_mxu: Optional[bool] = None,
         mesh=None,
         refine: int = 0,
+        refine_store=None,
     ):
         if precision not in ("fp32", "int8", "int4", "int2"):
             raise ValueError(
@@ -449,12 +450,14 @@ class IVFIndex:
             self.dim = d_cols
         if self.n == 0:
             raise ValueError("IVFIndex needs a non-empty corpus")
-        # host fp32 copy for the exact-rescore refine stage (see
-        # retrieval._refine_rescore); only a quantized first stage needs
+        # host rescore rows for the exact refine stage (see
+        # retrieval._RefineCorpus — ram/fp16/memmap storage modes); only
+        # a quantized first stage needs
         # its candidate scores corrected
+        self._refine_store = refine_store
         self.refine, self._refine_corpus = _setup_refine(
             refine, precision, corpus_embeddings,
-            prequantized=scales_in is not None,
+            prequantized=scales_in is not None, store=refine_store,
         )
         if keys is not None:
             keys = jnp.asarray(keys, jnp.int32)
@@ -951,9 +954,7 @@ class IVFIndex:
             "spill": self.spill + n_over, "spill_blocks": spill_blocks,
         }
         if self._refine_corpus is not None:
-            state["_refine_corpus"] = np.concatenate(
-                [self._refine_corpus, rows]
-            )
+            state["_refine_corpus"] = self._refine_corpus.appended(rows)
         state["_corpus_fp"] = None  # layout no longer mirrors a store snapshot
         self.__dict__.pop("_positions_cache", None)
         self.__dict__.update(state)
@@ -1083,9 +1084,7 @@ class IVFIndex:
             "spill": self.spill + n_over, "spill_blocks": spill_blocks,
         }
         if self._refine_corpus is not None:
-            state["_refine_corpus"] = np.concatenate(
-                [self._refine_corpus, rows]
-            )
+            state["_refine_corpus"] = self._refine_corpus.appended(rows)
         if spill_blocks != self.spill_blocks:
             # cached sharded search fns close over the OLD spill_blocks
             # (a static kernel arg) — drop them with the same swap
@@ -1234,7 +1233,7 @@ class IVFIndex:
         if scale_rows is not None:
             state["_scales"] = scale_rows[jnp.maximum(pids, 0)]
         if self._refine_corpus is not None:
-            state["_refine_corpus"] = self._refine_corpus[live_old]
+            state["_refine_corpus"] = self._refine_corpus.selected(live_old)
         state["_corpus_fp"] = None  # layout no longer mirrors a store snapshot
         self.__dict__.pop("_positions_cache", None)
         self.__dict__.update(state)
@@ -1344,7 +1343,7 @@ class IVFIndex:
         if scales is not None:
             state["_scales"] = scales
         if self._refine_corpus is not None:
-            state["_refine_corpus"] = self._refine_corpus[live_old]
+            state["_refine_corpus"] = self._refine_corpus.selected(live_old)
         if spill_blocks != self.spill_blocks:
             # cached sharded search fns close over the OLD spill_blocks
             # (a static kernel arg) — drop them with the same swap
@@ -1623,7 +1622,8 @@ class IVFIndex:
     def load(cls, path, corpus_embeddings, corpus_scales=None,
              use_kernel: Optional[bool] = None,
              int8_mxu: Optional[bool] = None,
-             refine: int = 0, mesh=None) -> "IVFIndex":
+             refine: int = 0, mesh=None,
+             refine_store=None) -> "IVFIndex":
         """Rebuild a saved index around the SAME corpus (row order must
         match the build — ids index into it). One device gather replaces
         the k-means build; precision follows the saved index (an fp32
@@ -1714,9 +1714,11 @@ class IVFIndex:
         self.cluster_chunk = meta["cluster_chunk"]
         if meta.get("calibrated_target") is not None:
             self.calibrated_target = meta["calibrated_target"]
+        self._refine_store = refine_store
         self.refine, self._refine_corpus = _setup_refine(
             refine, self.precision, corpus_embeddings,
             prequantized=corpus.dtype in (jnp.int8, jnp.uint8),
+            store=refine_store,
         )
         self.centroids = jnp.asarray(z["centroids"], jnp.float32)
         self._ids = jnp.asarray(z["pids"], jnp.int32)

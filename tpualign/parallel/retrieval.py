@@ -31,6 +31,9 @@ so determinism holds at any corpus scale.
 
 from __future__ import annotations
 
+import os
+import tempfile
+import weakref
 from functools import lru_cache, partial
 from typing import Dict, Optional, Sequence, Tuple
 
@@ -609,7 +612,7 @@ def _refine_rescore(
     queries: np.ndarray,
     vals: np.ndarray,
     idx: np.ndarray,
-    host_corpus: Optional[np.ndarray],
+    host_corpus: "Optional[_RefineCorpus]",
     k: int,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Exact fp32 rescoring of first-stage candidates (FAISS's refine
@@ -618,7 +621,8 @@ def _refine_rescore(
 
     ``idx`` is (Q, C >= k) candidate corpus positions from a fast first
     stage (quantized scores or approximate top-k); when ``host_corpus``
-    (an (N, D) fp32 array in HOST memory — zero HBM cost) is given, every
+    (a :class:`_RefineCorpus` — (N, D) rows in host RAM or a disk
+    memmap, zero HBM cost either way) is given, every
     valid candidate is re-scored with the exact fp32 dot product, then
     candidates re-rank by the exact two-key order (value desc, index asc
     — the same deterministic tie-break as the exact device paths) and
@@ -633,7 +637,7 @@ def _refine_rescore(
     """
     if host_corpus is not None and idx.size:
         safe = np.clip(idx, 0, len(host_corpus) - 1).astype(np.int64)
-        rows = host_corpus[safe]  # (Q, C, D) fp32
+        rows = host_corpus.take(safe)  # (Q, C, D) fp32
         # rescore in float64: near-tie candidates can sit within fp32
         # summation-order noise (~1e-7) of each other, and the refine
         # contract is that the returned ORDER is the true one — fp64
@@ -664,19 +668,213 @@ def _refine_rescore(
 REFINE_MAX_STREAM_K = 64
 
 
+# -- refine rescore corpus storage ------------------------------------------
+#
+# The rescore rows live on HOST (zero HBM cost), but "host fp32 ndarray"
+# stops scaling exactly where the quantized device index starts to shine:
+# at the measured 24M x 512 int8 capacity point a fp32 copy is ~49 GB of
+# resident RAM (96M int2 -> ~196 GB). Three storage modes, mirroring what
+# a pgvector operator gets from postgres' buffer cache over on-disk heap
+# tables (ref:src/setup_vector_db.py:100-151 — the reference's rows live
+# on disk, cached by the kernel, not pinned in process RSS):
+#
+# - "ram":    fp32 ndarray — fastest gathers, full-size RSS.
+# - "fp16":   half the RAM (pgvector halfvec economics); the rescore is
+#             exact OVER THE fp16-ROUNDED rows (~5e-4 relative rounding —
+#             still ~8x finer than int8's first-stage noise).
+# - "memmap": fp32 rows in a disk file, np.memmap'd read-only — near-zero
+#             RSS; candidate gathers fault pages in and ride the OS page
+#             cache. Bit-identical results to "ram".
+# - "auto":   ram below REFINE_RAM_MAX_BYTES, memmap above.
+#
+# Knobs: RETRIEVAL_REFINE_STORE (mode) and RETRIEVAL_REFINE_DIR (where
+# memmap files land; default the system temp dir).
+
+REFINE_STORE_MODES = ("auto", "ram", "fp16", "memmap")
+
+# "auto" keeps the rescore rows in RAM below this; past it they go to a
+# disk memmap. 2 GiB =~ a 1M x 512 fp32 corpus — comfortably in the dense
+# fp32 regime where nobody needs refine's capacity story anyway.
+REFINE_RAM_MAX_BYTES = 2 << 30
+
+_REFINE_WRITE_CHUNK = 1 << 18  # rows per chunked memmap copy slice
+
+
+def _refine_store_mode(store: Optional[str]) -> str:
+    mode = store or os.environ.get("RETRIEVAL_REFINE_STORE") or "auto"
+    if mode not in REFINE_STORE_MODES:
+        raise ValueError(
+            f"refine store must be one of {REFINE_STORE_MODES}, "
+            f"got {mode!r}"
+        )
+    return mode
+
+
+def _unlink_quiet(path: str) -> None:
+    try:
+        os.unlink(path)
+    except OSError:
+        pass
+
+
+class _MemmapFile:
+    """A read-only fp32 row file shared by copy-on-write refine-corpus
+    snapshots; the file is unlinked when the LAST snapshot referencing
+    it is garbage-collected (in-flight serving searches hold their
+    snapshot, so a racing compact can never yank rows out from under a
+    rescore)."""
+
+    def __init__(self, path: str, n: int, dim: int):
+        self.path = path
+        self.arr = np.memmap(path, np.float32, mode="r", shape=(n, dim))
+        self._finalizer = weakref.finalize(self, _unlink_quiet, path)
+
+
+def _write_refine_memmap(n: int, dim: int, get_rows) -> _MemmapFile:
+    """Stream rows into a fresh memmap file in bounded-RAM chunks.
+    ``get_rows(start, stop)`` returns that fp32 slice; only one chunk is
+    ever resident during the copy."""
+    dirpath = (os.environ.get("RETRIEVAL_REFINE_DIR")
+               or tempfile.gettempdir())
+    os.makedirs(dirpath, exist_ok=True)
+    fd, path = tempfile.mkstemp(
+        prefix="tpualign_refine_", suffix=".f32", dir=dirpath
+    )
+    os.close(fd)
+    mm = np.memmap(path, np.float32, mode="w+", shape=(n, dim))
+    for s in range(0, n, _REFINE_WRITE_CHUNK):
+        e = min(n, s + _REFINE_WRITE_CHUNK)
+        mm[s:e] = get_rows(s, e)
+    mm.flush()
+    del mm  # drop the writable mapping before the read-only one opens
+    return _MemmapFile(path, n, dim)
+
+
+class _RefineCorpus:
+    """Host-side rows backing the exact refine rescore (see the storage
+    notes above). Snapshots are IMMUTABLE: every mutation returns a new
+    object, matching the all-new-field swap discipline of the indexes
+    that hold them — racing searches keep rescoring against the snapshot
+    they captured. memmap snapshots share one on-disk base file; appends
+    accumulate in a RAM fp32 tail; compaction streams the selection into
+    a fresh file without ever materializing it."""
+
+    __slots__ = ("mode", "dim", "_base", "_tail", "_file", "__weakref__")
+
+    def __init__(self, mode: str, base, tail=None, file=None):
+        self.mode = mode
+        self._base = base
+        self._tail = tail
+        self._file = file
+        self.dim = int(base.shape[1])
+
+    @classmethod
+    def build(cls, rows, store: Optional[str] = None) -> "_RefineCorpus":
+        mode = _refine_store_mode(store)
+        rows = np.asarray(rows)
+        if mode == "auto":
+            mode = ("ram" if rows.shape[0] * rows.shape[1] * 4
+                    <= REFINE_RAM_MAX_BYTES else "memmap")
+        if mode == "memmap" and rows.shape[0] == 0:
+            mode = "ram"  # a 0-byte file cannot be memmapped
+        if mode == "fp16":
+            return cls("fp16", np.asarray(rows, np.float32)
+                       .astype(np.float16))
+        if mode == "memmap":
+            f = _write_refine_memmap(
+                rows.shape[0], rows.shape[1],
+                lambda s, e: np.asarray(rows[s:e], np.float32),
+            )
+            log.info(
+                "refine corpus: %d x %d fp32 memmapped at %s (%.1f GB "
+                "on disk, ~0 resident)", rows.shape[0], rows.shape[1],
+                f.path, rows.shape[0] * rows.shape[1] * 4 / 2**30,
+            )
+            return cls("memmap", f.arr, None, f)
+        return cls("ram", np.array(rows, np.float32))
+
+    def __len__(self) -> int:
+        n = int(self._base.shape[0])
+        if self._tail is not None:
+            n += int(self._tail.shape[0])
+        return n
+
+    @property
+    def nbytes_resident(self) -> int:
+        """Host RAM actually pinned by this snapshot (memmap base pages
+        ride the OS page cache and don't count)."""
+        n = 0 if self.mode == "memmap" else self._base.nbytes
+        if self._tail is not None:
+            n += self._tail.nbytes
+        return n
+
+    def take(self, idx) -> np.ndarray:
+        """Gather rows as fp32; ``idx`` keeps its shape + (D,)."""
+        idx = np.asarray(idx, np.int64)
+        flat = idx.reshape(-1)
+        nb = int(self._base.shape[0])
+        if self._tail is None or flat.size == 0 or int(flat.max(initial=0)) < nb:
+            out = np.asarray(self._base[flat], np.float32)
+        else:
+            out = np.empty((flat.size, self.dim), np.float32)
+            m = flat < nb
+            out[m] = self._base[flat[m]]
+            out[~m] = self._tail[flat[~m] - nb]
+        return out.reshape(idx.shape + (self.dim,))
+
+    def appended(self, rows) -> "_RefineCorpus":
+        rows = np.asarray(rows, np.float32)
+        if self.mode == "memmap":
+            tail = (rows if self._tail is None
+                    else np.concatenate([self._tail, rows]))
+            return _RefineCorpus("memmap", self._base,
+                                 np.ascontiguousarray(tail), self._file)
+        base = np.concatenate([self._base,
+                               rows.astype(self._base.dtype)])
+        return _RefineCorpus(self.mode, base)
+
+    def selected(self, sel) -> "_RefineCorpus":
+        """Rows at ``sel`` (index array or boolean mask), same mode —
+        the compact() analogue. memmap streams into a fresh file."""
+        sel = np.asarray(sel)
+        if sel.dtype == bool:
+            sel = np.flatnonzero(sel)
+        sel = sel.astype(np.int64)
+        if self.mode == "memmap":
+            if sel.size == 0:
+                return self.empty()
+            f = _write_refine_memmap(
+                sel.size, self.dim, lambda s, e: self.take(sel[s:e])
+            )
+            return _RefineCorpus("memmap", f.arr, None, f)
+        rows = self.take(sel)
+        if self.mode == "fp16":
+            return _RefineCorpus("fp16", rows.astype(np.float16))
+        return _RefineCorpus("ram", rows)
+
+    def empty(self) -> "_RefineCorpus":
+        mode = "ram" if self.mode == "memmap" else self.mode
+        dt = np.float16 if mode == "fp16" else np.float32
+        return _RefineCorpus(mode, np.zeros((0, self.dim), dt))
+
+
 def _setup_refine(
     refine: int, precision: str, fp32_rows,
     prequantized: bool = False, keep_on_fp32: bool = False,
+    store: Optional[str] = None,
 ):
     """Shared refine-stage setup (RetrievalIndex init, IVFIndex init and
-    load): validate the factor and build the host fp32 rescore copy.
-    Returns ``(refine, host_copy)`` — refine comes back 0 when there is
-    nothing to refine (exact fp32 first stage), and ``keep_on_fp32``
-    keeps the factor with no copy for approximate-but-exact-scored first
-    stages (recall_target over-fetch)."""
+    load): validate the factor and build the host rescore corpus (see
+    :class:`_RefineCorpus` for the ram/fp16/memmap storage modes).
+    Returns ``(refine, corpus_or_None)`` — refine comes back 0 when
+    there is nothing to refine (exact fp32 first stage), and
+    ``keep_on_fp32`` keeps the factor with no copy for
+    approximate-but-exact-scored first stages (recall_target
+    over-fetch)."""
     if refine < 0:
         raise ValueError(f"refine must be a factor >= 0, got {refine}")
     refine = int(refine)
+    _refine_store_mode(store)  # validate even when unused this call
     if refine <= 1:
         return refine, None
     if precision in ("int8", "int4", "int2"):
@@ -686,7 +884,7 @@ def _setup_refine(
                 "build received a pre-quantized corpus — build from "
                 "fp32 rows or drop refine"
             )
-        return refine, np.array(np.asarray(fp32_rows), np.float32)
+        return refine, _RefineCorpus.build(fp32_rows, store)
     if keep_on_fp32:
         return refine, None
     log.warning(
@@ -719,19 +917,21 @@ class RetrievalIndex:
         precision: str = "fp32",
         recall_target: Optional[float] = None,
         refine: int = 0,
+        refine_store: Optional[str] = None,
     ):
         corpus = np.asarray(corpus_embeddings, np.float32)
         self.vocab: Dict[str, int] = {}
         keys, self.vocab = encode_keys(corpus_manuals, corpus_pages, self.vocab)
         self._init_from_arrays(
             corpus.shape[1] if corpus.ndim == 2 else 0, corpus, keys, mesh,
-            precision, recall_target, refine,
+            precision, recall_target, refine, refine_store,
         )
 
     def _init_from_arrays(
         self, dim: int, corpus: np.ndarray, keys: np.ndarray,
         mesh: Optional[Mesh], precision: str = "fp32",
         recall_target: Optional[float] = None, refine: int = 0,
+        refine_store: Optional[str] = None,
     ) -> None:
         self.n = len(corpus)
         self.dim = dim
@@ -754,24 +954,16 @@ class RetrievalIndex:
         # are independent (score noise vs candidate-set recall) and both
         # are corrected by `refine` to the extent its over-fetch allows.
         self.recall_target = recall_target
-        if refine < 0:
-            raise ValueError(f"refine must be a factor >= 0, got {refine}")
-        self.refine = int(refine)
-        # Exact-rescore corpus for the refine stage: a HOST fp32 copy
-        # (numpy — zero HBM cost; the EmbeddingStore holds these rows on
-        # host anyway). Only kept when a quantized first stage needs its
-        # scores corrected; fp32+recall_target refines by over-fetching
-        # alone (its candidate scores are already exact).
-        self._refine_corpus = None
-        if self.refine > 1:
-            if precision in ("int8", "int4", "int2"):
-                self._refine_corpus = np.array(corpus, np.float32)
-            elif recall_target is None:
-                log.warning(
-                    "refine=%d on an exact fp32 index is a no-op (the "
-                    "first stage is already exact); disabling", refine,
-                )
-                self.refine = 0
+        # Exact-rescore corpus for the refine stage (zero HBM cost; see
+        # _RefineCorpus for the ram/fp16/memmap host storage modes).
+        # Only kept when a quantized first stage needs its scores
+        # corrected; fp32+recall_target refines by over-fetching alone
+        # (its candidate scores are already exact).
+        self._refine_store = refine_store
+        self.refine, self._refine_corpus = _setup_refine(
+            refine, precision, corpus,
+            keep_on_fp32=recall_target is not None, store=refine_store,
+        )
         if not hasattr(self, "vocab"):
             self.vocab = {}
         self._corpus_scales = None
@@ -867,7 +1059,8 @@ class RetrievalIndex:
         if self.n == 0:
             self._init_from_arrays(rows.shape[1], rows, keys, self.mesh,
                                    self.precision, self.recall_target,
-                                   self.refine)
+                                   self.refine,
+                                   getattr(self, "_refine_store", None))
             if self._corpus is not None:
                 self._n_cap = int(self._corpus.shape[0])
             return
@@ -916,9 +1109,7 @@ class RetrievalIndex:
             "_n_local": (cap // shards if self.mesh is not None else total),
         }
         if self._refine_corpus is not None:
-            new_fields["_refine_corpus"] = np.concatenate(
-                [self._refine_corpus, rows]
-            )
+            new_fields["_refine_corpus"] = self._refine_corpus.appended(rows)
         # single C-level swap: concurrent searches observe the old or the
         # new field SET, never a shape-mismatched mix
         self.__dict__.update(new_fields)
@@ -1018,7 +1209,7 @@ class RetrievalIndex:
                 "n": 0, "_n_local": 0,
             }
             if self._refine_corpus is not None:
-                empty["_refine_corpus"] = self._refine_corpus[:0]
+                empty["_refine_corpus"] = self._refine_corpus.empty()
             self.__dict__.pop("_n_cap", None)
             self.__dict__.update(empty)
             return live
@@ -1053,7 +1244,7 @@ class RetrievalIndex:
             "_n_local": (cap // shards if self.mesh is not None else n_new),
         }
         if self._refine_corpus is not None:
-            new_fields["_refine_corpus"] = self._refine_corpus[live]
+            new_fields["_refine_corpus"] = self._refine_corpus.selected(live)
         # single C-level swap, same rationale as add()
         self.__dict__.update(new_fields)
         return live
@@ -1381,6 +1572,7 @@ def build_index(
     ivf_probes: Optional[int] = None,
     ivf_cache: Optional[str] = None,
     refine: int = 0,
+    refine_store: Optional[str] = None,
     hnsw_m: int = 16,
     hnsw_ef_construction: int = 64,
     hnsw_ef_search: Optional[int] = None,
@@ -1392,7 +1584,11 @@ def build_index(
     a quantized ``precision`` (or ``recall_target``), fetch ``k*refine``
     candidates from the fast first stage and exactly rescore + re-rank
     them in fp32 on host before returning ``k`` — quantized capacity with
-    exact final rankings. 0/1 = off.
+    exact final rankings. 0/1 = off. ``refine_store`` (the
+    ``RETRIEVAL_REFINE_STORE`` knob) picks where the rescore rows live:
+    host RAM fp32, fp16 (half RAM), or a disk memmap (~0 resident, the
+    capacity-ladder rung) — "auto" routes by size (see
+    :class:`_RefineCorpus`).
 
     "exact" (default) -> :class:`RetrievalIndex` — brute-force MXU search,
     the right call whenever query batches are large (the corpus read
@@ -1433,7 +1629,8 @@ def build_index(
         if ivf_cache and os.path.exists(ivf_cache):
             try:
                 loaded = IVFIndex.load(ivf_cache, corpus_embeddings,
-                                       refine=refine, mesh=use_mesh)
+                                       refine=refine, mesh=use_mesh,
+                                       refine_store=refine_store)
                 if loaded.precision != precision:
                     raise ValueError(
                         f"cache precision {loaded.precision} != "
@@ -1455,6 +1652,7 @@ def build_index(
             corpus_embeddings, corpus_manuals, corpus_pages,
             n_lists=ivf_lists, n_probes=ivf_probes,
             precision=precision, mesh=use_mesh, refine=refine,
+            refine_store=refine_store,
         )
         if recall_target is not None and ivf_probes is None:
             # pick the smallest probe count meeting the target —
@@ -1558,4 +1756,5 @@ def build_index(
     return RetrievalIndex(
         corpus_embeddings, corpus_manuals, corpus_pages, mesh=mesh,
         precision=precision, recall_target=recall_target, refine=refine,
+        refine_store=refine_store,
     )

@@ -305,6 +305,7 @@ class RetrievalService:
         precision: str = "fp32",
         ivf_cache: Optional[str] = None,
         refine: int = 0,
+        refine_store=None,
         query_cache: int = 1024,
         model_info: Optional[dict] = None,
         hnsw_m: int = 16,
@@ -334,6 +335,7 @@ class RetrievalService:
             recall_target=recall_target, index_type=index_type,
             ivf_lists=ivf_lists, ivf_probes=ivf_probes,
             precision=precision, ivf_cache=ivf_cache, refine=refine,
+            refine_store=refine_store,
             hnsw_m=hnsw_m, hnsw_ef_construction=hnsw_ef_construction,
             hnsw_ef_search=hnsw_ef_search, hnsw_cache=hnsw_cache,
         )
@@ -849,6 +851,7 @@ def index_kwargs(config, schema: str) -> dict:
         ivf_cache=schema_cache_path(getattr(config, "ivf_cache", None),
                                     schema),
         refine=getattr(config, "retrieval_refine", 0),
+        refine_store=getattr(config, "retrieval_refine_store", None),
         hnsw_m=getattr(config, "hnsw_m", 16),
         hnsw_ef_construction=getattr(config, "hnsw_ef_construction", 64),
         hnsw_ef_search=getattr(config, "hnsw_ef_search", None),
