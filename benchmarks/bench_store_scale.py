@@ -1,0 +1,141 @@
+"""Store-scale benchmark: a >=10M-row EmbeddingStore save/load
+round-trip with bounded RSS (VERDICT r3 #1's "done" criterion).
+
+The v2 columnar layout keeps embeddings in one raw ``.npy`` per table,
+memory-mapped read-only on load, with metadata in Parquet read lazily —
+so a fresh serving process resolves ``embedding_matrix`` on a 10M x 512
+corpus (20 GB on disk) without materializing it in RSS. This script
+measures exactly that:
+
+  phase 1 (this process): batch-insert N rows + save; report wall time
+           and peak RSS;
+  phase 2 (a FRESH subprocess — cold page cache for the .npy is not
+           guaranteed, but RSS accounting is): open the store, resolve
+           (ids, matrix), touch a strided sample of rows, report open
+           time and RSS. The RSS bound (default 4 GB) fails the run if
+           the matrix was ever materialized.
+
+Usage: python benchmarks/bench_store_scale.py [N_millions] [D]
+       (internal: --load <root> <n> <d> runs phase 2)
+
+Prints one JSON line per phase.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import resource
+import subprocess
+import sys
+import tempfile
+import time
+
+
+def peak_rss_gb() -> float:
+    # ru_maxrss is KiB on Linux
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 2**20
+
+
+def load_phase(root: str, n: int, d: int) -> None:
+    import numpy as np
+
+    from tpualign.store import EmbeddingStore
+
+    t0 = time.perf_counter()
+    store = EmbeddingStore(root, embed_dim=d)
+    counts = store.counts("vanilla_clip")
+    ids, mat = store.embedding_matrix("vanilla_clip", "text_chunks")
+    open_s = time.perf_counter() - t0
+    assert counts["text_chunks"] == n, counts
+    assert mat.shape == (n, d) and len(ids) == n
+    # touch a strided row sample (the serving feed's access shape)
+    t1 = time.perf_counter()
+    sample = np.asarray(mat[:: max(1, n // 4096)])
+    touch_s = time.perf_counter() - t1
+    checksum = float(sample.sum())
+    print(json.dumps({
+        "metric": "store_v2_load",
+        "rows": n, "dim": d,
+        "open_s": round(open_s, 3),
+        "sample_touch_s": round(touch_s, 3),
+        "rss_gb": round(peak_rss_gb(), 2),
+        "matrix_gb": round(n * d * 4 / 2**30, 2),
+        "memmap": bool(isinstance(mat, np.memmap)),
+        "checksum_finite": bool(np.isfinite(checksum)),
+    }), flush=True)
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--load":
+        load_phase(sys.argv[2], int(sys.argv[3]), int(sys.argv[4]))
+        return
+
+    import numpy as np
+
+    from tpualign.store import EmbeddingStore
+
+    n = int(float(sys.argv[1]) * 1e6) if len(sys.argv) > 1 else 10_000_000
+    d = int(sys.argv[2]) if len(sys.argv) > 2 else 512
+    batch = 250_000
+
+    root = tempfile.mkdtemp(prefix="tpualign_store_scale_")
+    store = EmbeddingStore(root, embed_dim=d)
+    store.setup(["vanilla_clip"])
+    rng = np.random.default_rng(0)
+
+    t0 = time.perf_counter()
+    for s0 in range(0, n, batch):
+        m = min(batch, n - s0)
+        recs = [
+            {"chunk_id": f"c{i}", "manual_id": f"m{i % 97}",
+             "page": i % 311, "bbox": None, "text": None}
+            for i in range(s0, s0 + m)
+        ]
+        emb = rng.standard_normal((m, d), dtype=np.float32)
+        store.insert_chunks("vanilla_clip", recs, emb)
+    insert_s = time.perf_counter() - t0
+    store.insert_images("vanilla_clip", [{
+        "image_id": "i0", "manual_id": "m0", "page": 0, "bbox": None,
+        "bbox_source": None, "caption": None, "filename": None,
+        "image_type": None,
+    }], np.zeros((1, d), np.float32))
+
+    t0 = time.perf_counter()
+    store.save(["vanilla_clip"])
+    save_s = time.perf_counter() - t0
+    emb_file = os.path.join(root, "vanilla_clip", "text_chunks.emb.npy")
+    print(json.dumps({
+        "metric": "store_v2_insert_save",
+        "rows": n, "dim": d,
+        "insert_s": round(insert_s, 1),
+        "save_s": round(save_s, 1),
+        "rows_per_s_insert": round(n / insert_s),
+        "peak_rss_gb": round(peak_rss_gb(), 2),
+        "emb_file_gb": round(os.path.getsize(emb_file) / 2**30, 2),
+    }), flush=True)
+
+    del store  # free the writable matrix before phase 2 measures
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--load", root,
+         str(n + 0), str(d)],
+        capture_output=True, text=True,
+    )
+    sys.stdout.write(out.stdout)
+    if out.returncode != 0:
+        sys.stderr.write(out.stderr)
+        raise SystemExit("load phase failed")
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    bound_gb = float(os.environ.get("STORE_SCALE_RSS_BOUND_GB", "4"))
+    if rec["rss_gb"] > bound_gb:
+        raise SystemExit(
+            f"load RSS {rec['rss_gb']} GB exceeds the {bound_gb} GB bound "
+            f"— the matrix was materialized"
+        )
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

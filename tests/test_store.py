@@ -116,3 +116,144 @@ def test_record_mismatch_raises(tmp_path):
     store.setup(["vanilla_clip"])
     with pytest.raises(AssertionError):
         store.insert_images("vanilla_clip", [img_row(0)], np.zeros((2, 4)))
+
+
+# -- v2 columnar layout (round 4: VERDICT r3 #1 — scale the host store) ----
+
+
+def test_v2_load_is_memmapped_and_lazy(tmp_path):
+    """A fresh open memory-maps the embedding matrix (zero-copy view,
+    bounded RSS at any N) and reads NO metadata until asked."""
+    store = EmbeddingStore(tmp_path / "s", embed_dim=8)
+    store.setup(["vanilla_clip"])
+    rng = np.random.default_rng(1)
+    emb = rng.normal(size=(50, 8)).astype(np.float32)
+    store.insert_images("vanilla_clip", [img_row(i) for i in range(50)], emb)
+    store.insert_chunks("vanilla_clip", [chunk_row(i) for i in range(50)],
+                        emb[::-1].copy())
+    store.save(["vanilla_clip"])
+
+    store2 = EmbeddingStore(tmp_path / "s", embed_dim=8)
+    assert store2.counts("vanilla_clip")["images"] == 50  # no column read
+    t = store2._schemas["vanilla_clip"].images
+    assert t.columns is None, "metadata must stay on disk until asked"
+    ids, mat = store2.embedding_matrix("vanilla_clip", "images")
+    assert isinstance(mat, np.memmap), "v2 matrix must be a memmap view"
+    np.testing.assert_array_equal(np.asarray(mat), emb)
+    assert t.columns is None, "embedding_matrix reads only the key column"
+    assert store2.images("vanilla_clip")[3]["image_id"] == ids[3]
+    assert t.columns is not None  # full metadata now materialized
+
+
+def test_v2_save_after_plain_load_keeps_matrix(tmp_path):
+    """Re-saving an unmodified disk-backed schema must not truncate the
+    .npy under its own live read-only memmap."""
+    store = EmbeddingStore(tmp_path / "s", embed_dim=4)
+    store.setup(["vanilla_clip"])
+    emb = np.arange(8, dtype=np.float32).reshape(2, 4)
+    store.insert_images("vanilla_clip", [img_row(i) for i in range(2)], emb)
+    store.save(["vanilla_clip"])
+    store2 = EmbeddingStore(tmp_path / "s", embed_dim=4)
+    _ = store2.embedding_matrix("vanilla_clip", "images")  # maps the file
+    store2.save(["vanilla_clip"])  # no mutation: must be safe
+    _, mat = store2.embedding_matrix("vanilla_clip", "images")
+    np.testing.assert_array_equal(np.asarray(mat), emb)
+
+
+def test_upsert_after_load_copy_on_write(tmp_path):
+    """Mutating a disk-backed table materializes a writable copy and
+    both update + append land correctly (postgres buffer-pool style)."""
+    store = EmbeddingStore(tmp_path / "s", embed_dim=4)
+    store.setup(["vanilla_clip"])
+    emb = np.ones((3, 4), np.float32)
+    store.insert_images("vanilla_clip", [img_row(i) for i in range(3)], emb)
+    store.save(["vanilla_clip"])
+
+    store2 = EmbeddingStore(tmp_path / "s", embed_dim=4)
+    new = np.full((2, 4), 7.0, np.float32)
+    # row 1 exists (update embedding only), row 9 is new (append)
+    store2.insert_images("vanilla_clip", [img_row(1), img_row(9)], new)
+    assert store2.counts("vanilla_clip")["images"] == 4
+    ids, mat = store2.embedding_matrix("vanilla_clip", "images")
+    assert ids[-1] == img_row(9)["image_id"]
+    np.testing.assert_array_equal(mat[1], new[0])
+    np.testing.assert_array_equal(mat[3], new[1])
+    np.testing.assert_array_equal(mat[0], emb[0])
+    store2.save(["vanilla_clip"])
+    store3 = EmbeddingStore(tmp_path / "s", embed_dim=4)
+    assert store3.counts("vanilla_clip")["images"] == 4
+
+
+def test_duplicate_keys_in_one_batch_last_wins(tmp_path):
+    """The vectorized upsert keeps the iterative semantics: a key
+    repeated within one batch takes the LAST embedding."""
+    store = EmbeddingStore(tmp_path, embed_dim=4)
+    store.setup(["vanilla_clip"])
+    r = img_row(0)
+    embs = np.stack([np.full(4, 1.0), np.full(4, 2.0)]).astype(np.float32)
+    store.insert_images("vanilla_clip", [r, dict(r, caption="x")], embs)
+    assert store.counts("vanilla_clip")["images"] == 1
+    _, mat = store.embedding_matrix("vanilla_clip", "images")
+    np.testing.assert_array_equal(mat[0], embs[1])
+    assert store.images("vanilla_clip")[0]["caption"] is None
+
+
+def test_v1_legacy_format_still_loads(tmp_path):
+    """Round-3 stores (embeddings as Parquet list columns, some null)
+    keep loading — including the missing-embedding error path."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "s" / "vanilla_clip"
+    d.mkdir(parents=True)
+    rows = [img_row(i) for i in range(3)]
+    data = {c: [r.get(c) for r in rows]
+            for c in ("image_id", "manual_id", "page", "bbox", "bbox_source",
+                      "caption", "filename", "image_type")}
+    emb = np.arange(12, dtype=np.float32).reshape(3, 4)
+    data["clip_embedding"] = [emb[0].tolist(), None, emb[2].tolist()]
+    pq.write_table(pa.table(data), d / "images.parquet")
+
+    store = EmbeddingStore(tmp_path / "s", embed_dim=4)
+    assert store.counts("vanilla_clip")["images"] == 3
+    with pytest.raises(ValueError, match="missing embeddings"):
+        store.embedding_matrix("vanilla_clip", "images")
+    # fill the hole and the matrix resolves; v2 save round-trips
+    store.insert_images("vanilla_clip", [rows[1]],
+                        np.full((1, 4), 9.0, np.float32))
+    ids, mat = store.embedding_matrix("vanilla_clip", "images")
+    np.testing.assert_array_equal(mat[1], np.full(4, 9.0))
+    store.insert_chunks("vanilla_clip", [chunk_row(0)],
+                        np.zeros((1, 4), np.float32))
+    store.save(["vanilla_clip"])
+    store2 = EmbeddingStore(tmp_path / "s", embed_dim=4)
+    _, mat2 = store2.embedding_matrix("vanilla_clip", "images")
+    assert isinstance(mat2, np.memmap)
+    np.testing.assert_array_equal(np.asarray(mat2), np.asarray(mat))
+
+
+def test_bulk_roundtrip_no_per_row_python(tmp_path):
+    """A bigger batch (100k x 32) inserts, saves, and re-opens in well
+    under a second of Python-side work per stage on this 1-core box —
+    the structural pin that no stage loops per row over numpy."""
+    import time
+
+    n, d = 100_000, 32
+    store = EmbeddingStore(tmp_path / "s", embed_dim=d)
+    store.setup(["vanilla_clip"])
+    recs = [{"chunk_id": f"c{i}", "manual_id": "m", "page": i % 7,
+             "bbox": None, "text": None} for i in range(n)]
+    emb = np.random.default_rng(0).normal(size=(n, d)).astype(np.float32)
+    store.insert_chunks("vanilla_clip", recs, emb)
+    store.insert_images("vanilla_clip", [img_row(0)],
+                        np.zeros((1, d), np.float32))
+    store.save(["vanilla_clip"])
+    t0 = time.perf_counter()
+    store2 = EmbeddingStore(tmp_path / "s", embed_dim=d)
+    ids, mat = store2.embedding_matrix("vanilla_clip", "text_chunks")
+    open_s = time.perf_counter() - t0
+    assert len(ids) == n and mat.shape == (n, d)
+    np.testing.assert_array_equal(np.asarray(mat[::9999]), emb[::9999])
+    # loading = parquet key column + npy header; generous bound for a
+    # throttled core, but a per-row loop would be 10-100x past it
+    assert open_s < 5.0, f"v2 open took {open_s:.1f}s — per-row work crept in"

@@ -16,15 +16,34 @@ Replaces the reference's PostgreSQL layer:
 - HNSW/IVFFlat indexes are unnecessary: retrieval is exact sharded matmul
   + top-k on TPU (SURVEY.md §2.2 maps pgvector ANN -> exact on-TPU search).
 
-Embeddings are stored row-major float32; ``embedding_matrix`` returns the
-contiguous (N, D) block that feeds the device directly.
+Layout is genuinely columnar, scaled to the device index's capacity
+ladder (VERDICT r3 #1 — postgres keeps its heap tables on disk,
+ref:src/setup_vector_db.py:100-151, and so must we at the 10M+ rows one
+chip now serves):
+
+- embeddings live in ONE dense (N, D) fp32 matrix per table, persisted
+  as a raw ``.npy`` sidecar and **memory-mapped read-only on load** —
+  a fresh process serving a 10M x 512 corpus resolves
+  ``embedding_matrix`` without materializing 20 GB of RSS (pages ride
+  the OS cache, postgres-buffer-cache style) and with zero per-row
+  Python;
+- row metadata is Parquet, read column-at-a-time (``to_pylist`` per
+  column, no per-row dict assembly on load) and **lazily** — opening a
+  store touches only Parquet footers; ``images()``/``chunks()`` pay for
+  metadata only when asked;
+- upserts are batch-vectorized: one key->position dict probe per row
+  (the irreducible conflict check), then a single fancy-index write
+  into the embedding matrix (duplicate keys in one batch resolve
+  last-wins, matching the iterative ON CONFLICT semantics).
+
+The v1 format (embeddings as Parquet list columns, ``tolist()`` per
+row) is still readable; ``save`` always writes v2.
 """
 
 from __future__ import annotations
 
 import json
 import shutil
-from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -44,56 +63,275 @@ _IMAGE_COLS = (
 _CHUNK_COLS = ("chunk_id", "manual_id", "page", "bbox", "text")
 _ALIGN_COLS = ("image_id", "chunk_id", "weak_score", "alignment_type")
 
+_EMB_GROW = 1024  # minimum embedding-matrix capacity grant
 
-@dataclass
+
 class _Table:
-    """One keyed table: row metadata + optional embedding rows."""
+    """One keyed table: columnar metadata + a dense embedding matrix.
 
-    key_field: str
-    rows: List[dict] = field(default_factory=list)
-    index: Dict[str, int] = field(default_factory=dict)
-    embeddings: List[Optional[np.ndarray]] = field(default_factory=list)
+    Disk-backed instances (from :meth:`_Table.from_dir`) start lazy:
+    ``emb`` is a read-only ``np.memmap`` and metadata columns stay on
+    disk until first access; the first mutation materializes a writable
+    RAM copy (copy-on-write, like postgres pulling a page into shared
+    buffers to dirty it)."""
 
-    def upsert(self, row: dict, embedding: Optional[np.ndarray]) -> None:
-        key = row[self.key_field]
-        pos = self.index.get(key)
-        if pos is None:
-            self.index[key] = len(self.rows)
-            self.rows.append(dict(row))
-            self.embeddings.append(embedding)
-        else:
-            # conflict: update only the embedding (reference ON CONFLICT ...
-            # DO UPDATE SET clip_embedding = EXCLUDED.clip_embedding)
-            if embedding is not None:
-                self.embeddings[pos] = embedding
+    def __init__(self, key_field: str, col_names: Sequence[str]):
+        self.key_field = key_field
+        self.col_names = tuple(col_names)
+        self.columns: Optional[Dict[str, list]] = {
+            c: [] for c in col_names
+        }
+        self.index: Optional[Dict[str, int]] = {}
+        self.n = 0
+        self.emb: Optional[np.ndarray] = None  # (cap >= n, D) fp32
+        self.has_emb: Optional[np.ndarray] = None  # (cap,) bool
+        self._meta_path: Optional[Path] = None  # set when metadata is lazy
+
+    # -- lazy loading --------------------------------------------------------
+
+    @classmethod
+    def from_dir(cls, key_field: str, col_names: Sequence[str],
+                 meta_path: Path) -> "_Table":
+        """Open a persisted table without reading metadata or
+        materializing embeddings (v2) / with one vectorized read (v1)."""
+        t = cls(key_field, col_names)
+        emb_path = meta_path.with_suffix(".emb.npy")
+        if emb_path.exists():
+            # v2: metadata stays on disk, embeddings memory-map
+            t.emb = np.load(emb_path, mmap_mode="r")
+            t.n = int(t.emb.shape[0])
+            mask_path = meta_path.with_suffix(".hasemb.npy")
+            t.has_emb = (np.load(mask_path) if mask_path.exists()
+                         else None)  # None = every row has one
+            t.columns = None
+            t.index = None
+            t._meta_path = meta_path
+            return t
+        # v1 (embeddings inside Parquet): one columnar read, no row loop
+        import pyarrow.parquet as pq
+
+        pt = pq.read_table(meta_path)
+        t.columns = {c: pt[c].to_pylist() for c in col_names}
+        t.n = pt.num_rows
+        t.index = {k: i for i, k in enumerate(t.columns[key_field])}
+        embs = pt["clip_embedding"].to_pylist()
+        if t.n:
+            dim = next((len(e) for e in embs if e is not None), 0)
+            t.emb = np.zeros((t.n, dim), np.float32)
+            t.has_emb = np.zeros(t.n, bool)
+            for i, e in enumerate(embs):  # v1 only; v2 never loops
+                if e is not None:
+                    t.emb[i] = e
+                    t.has_emb[i] = True
+            if bool(t.has_emb.all()):
+                t.has_emb = None
+        return t
+
+    def _ensure_columns(self) -> Dict[str, list]:
+        if self.columns is None:
+            import pyarrow.parquet as pq
+
+            pt = pq.read_table(self._meta_path, columns=list(self.col_names))
+            self.columns = {c: pt[c].to_pylist() for c in self.col_names}
+        return self.columns
+
+    def keys(self) -> list:
+        """Row keys in insertion order — reads ONLY the key column when
+        metadata is still on disk."""
+        if self.columns is not None:
+            return self.columns[self.key_field]
+        import pyarrow.parquet as pq
+
+        pt = pq.read_table(self._meta_path, columns=[self.key_field])
+        return pt[self.key_field].to_pylist()
+
+    def _ensure_index(self) -> Dict[str, int]:
+        if self.index is None:
+            self.index = {k: i for i, k in enumerate(self.keys())}
+        return self.index
+
+    # -- mutation ------------------------------------------------------------
+
+    def _writable(self, total: int, dim: int) -> None:
+        """Guarantee a writable embedding matrix with capacity >= total
+        (copy-on-write off a memmap; amortized-doubling growth)."""
+        cap = 0 if self.emb is None else int(self.emb.shape[0])
+        mm = isinstance(self.emb, np.memmap)
+        if not mm and cap >= total and self.emb is not None:
+            if self.has_emb is None:
+                self.has_emb = np.ones(cap, bool)
+            return
+        new_cap = max(total, cap * 2, _EMB_GROW)
+        new = np.empty((new_cap, dim), np.float32)
+        mask = np.zeros(new_cap, bool)
+        if self.emb is not None and self.n:
+            new[: self.n] = self.emb[: self.n]
+            mask[: self.n] = (True if self.has_emb is None
+                              else self.has_emb[: self.n])
+        self.emb = new
+        self.has_emb = mask
+
+    def upsert_many(self, records: Sequence[dict],
+                    embeddings: np.ndarray) -> None:
+        """Batch upsert: new keys append (metadata + embedding), known
+        keys update ONLY the embedding (the reference's ON CONFLICT ...
+        DO UPDATE SET clip_embedding, ref:src/insert_clip_embeddings.py:
+        313-323). One dict probe per row; the embedding write is a
+        single vectorized fancy-index (duplicates last-wins)."""
+        if not len(records):
+            return
+        idx = self._ensure_index()
+        cols = self._ensure_columns()
+        key_field = self.key_field
+        pos = np.empty(len(records), np.int64)
+        fresh: List[int] = []
+        for j, row in enumerate(records):
+            k = row[key_field]
+            p = idx.get(k)
+            if p is None:
+                p = len(idx)
+                idx[k] = p
+                fresh.append(j)
+            pos[j] = p
+        for c in self.col_names:
+            cols[c].extend(records[j].get(c) for j in fresh)
+        total = self.n + len(fresh)
+        self._writable(total, embeddings.shape[1])
+        self.emb[pos] = embeddings
+        self.has_emb[pos] = True
+        self.n = total
+
+    # -- reads ---------------------------------------------------------------
 
     def __len__(self) -> int:
-        return len(self.rows)
+        return self.n
+
+    def rows(self) -> List[dict]:
+        cols = self._ensure_columns()
+        names = self.col_names
+        return [dict(zip(names, vals))
+                for vals in zip(*(cols[c] for c in names))] if self.n else []
+
+    def matrix(self) -> Tuple[list, np.ndarray]:
+        """(keys, (N, D) fp32 view — a zero-copy memmap slice when the
+        table is disk-backed). Raises if any row lacks an embedding."""
+        ids = self.keys()
+        if self.has_emb is not None and not bool(self.has_emb[: self.n].all()):
+            missing = [ids[i] for i in
+                       np.flatnonzero(~self.has_emb[: self.n])[:3]]
+            count = int((~self.has_emb[: self.n]).sum())
+            raise ValueError(
+                f"{count} rows missing embeddings, e.g. {missing}"
+            )
+        return ids, self.emb[: self.n]
+
+    # -- persistence ---------------------------------------------------------
+
+    def save(self, meta_path: Path) -> None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        cols = self._ensure_columns()
+        pq.write_table(
+            pa.table({c: cols[c] for c in self.col_names}), meta_path
+        )
+        emb_path = meta_path.with_suffix(".emb.npy")
+        emb = (self.emb[: self.n] if self.emb is not None
+               else np.zeros((0, 0), np.float32))
+        if not (isinstance(self.emb, np.memmap)
+                and Path(self.emb.filename or "") == emb_path):
+            # (an unmodified read-only memmap of this very file is
+            # already its own serialization — rewriting through it
+            # would truncate the mapping mid-read)
+            np.save(emb_path, np.ascontiguousarray(emb))
+        mask_path = meta_path.with_suffix(".hasemb.npy")
+        if self.has_emb is not None and not bool(self.has_emb[: self.n].all()):
+            np.save(mask_path, self.has_emb[: self.n])
+        elif mask_path.exists():
+            mask_path.unlink()
 
 
-@dataclass
 class _AlignmentTable:
-    rows: List[Tuple[str, str, float, str]] = field(default_factory=list)
-    index: Dict[Tuple[str, str, str], int] = field(default_factory=dict)
+    """Columnar (image_id, chunk_id, weak_score, alignment_type) rows
+    keyed on (image_id, chunk_id, alignment_type); conflicts update
+    weak_score (ref:src/insert_clip_embeddings.py:416-427)."""
 
-    def upsert(self, image_id: str, chunk_id: str, score: float, a_type: str) -> None:
+    def __init__(self):
+        self.cols: Optional[Dict[str, list]] = {c: [] for c in _ALIGN_COLS}
+        self.index: Optional[Dict[Tuple[str, str, str], int]] = {}
+        self._meta_path: Optional[Path] = None
+        self._n_disk = 0
+
+    @classmethod
+    def from_file(cls, path: Path) -> "_AlignmentTable":
+        import pyarrow.parquet as pq
+
+        t = cls()
+        t.cols = None
+        t.index = None
+        t._meta_path = path
+        t._n_disk = pq.ParquetFile(path).metadata.num_rows
+        return t
+
+    def _ensure(self) -> None:
+        if self.cols is None:
+            import pyarrow.parquet as pq
+
+            pt = pq.read_table(self._meta_path)
+            self.cols = {c: pt[c].to_pylist() for c in _ALIGN_COLS}
+            self.index = {
+                key: i for i, key in enumerate(zip(
+                    self.cols["image_id"], self.cols["chunk_id"],
+                    self.cols["alignment_type"],
+                ))
+            }
+
+    def upsert(self, image_id: str, chunk_id: str, score: float,
+               a_type: str) -> None:
+        self._ensure()
         key = (image_id, chunk_id, a_type)
         pos = self.index.get(key)
         if pos is None:
-            self.index[key] = len(self.rows)
-            self.rows.append((image_id, chunk_id, score, a_type))
+            self.index[key] = len(self.cols["image_id"])
+            self.cols["image_id"].append(image_id)
+            self.cols["chunk_id"].append(chunk_id)
+            self.cols["weak_score"].append(score)
+            self.cols["alignment_type"].append(a_type)
         else:
-            self.rows[pos] = (image_id, chunk_id, score, a_type)
+            self.cols["weak_score"][pos] = score
+
+    def rows(self) -> List[Tuple[str, str, float, str]]:
+        self._ensure()
+        return list(zip(self.cols["image_id"], self.cols["chunk_id"],
+                        self.cols["weak_score"],
+                        self.cols["alignment_type"]))
 
     def __len__(self) -> int:
-        return len(self.rows)
+        return self._n_disk if self.cols is None else len(self.cols["image_id"])
+
+    def save(self, path: Path) -> None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        self._ensure()
+        if self.cols["image_id"]:
+            adata = pa.table({c: self.cols[c] for c in _ALIGN_COLS})
+        else:
+            adata = pa.table({
+                c: pa.array(
+                    [], type=pa.float32() if c == "weak_score"
+                    else pa.string()
+                )
+                for c in _ALIGN_COLS
+            })
+        pq.write_table(adata, path)
 
 
-@dataclass
 class _Schema:
-    images: _Table = field(default_factory=lambda: _Table("image_id"))
-    chunks: _Table = field(default_factory=lambda: _Table("chunk_id"))
-    alignments: _AlignmentTable = field(default_factory=_AlignmentTable)
+    def __init__(self):
+        self.images = _Table("image_id", _IMAGE_COLS)
+        self.chunks = _Table("chunk_id", _CHUNK_COLS)
+        self.alignments = _AlignmentTable()
 
 
 class EmbeddingStore:
@@ -114,6 +352,7 @@ class EmbeddingStore:
             d = self.root / schema
             if force and d.exists():
                 shutil.rmtree(d)
+                self._schemas.pop(schema, None)
             d.mkdir(parents=True, exist_ok=True)
             self._schemas.setdefault(schema, _Schema())
         self._write_manifest()
@@ -143,6 +382,10 @@ class EmbeddingStore:
 
     def _schema(self, schema: str) -> _Schema:
         if schema not in self._schemas:
+            d = self.root / schema
+            if d.is_dir():
+                # disk state exists: upserts must land on it, not shadow it
+                return self._load(schema)
             self._schemas[schema] = _Schema()
         return self._schemas[schema]
 
@@ -155,11 +398,7 @@ class EmbeddingStore:
         """Batch-upsert image rows with their embeddings."""
         embeddings = np.asarray(embeddings, np.float32)
         assert len(records) == len(embeddings), "records/embeddings mismatch"
-        s = self._schema(schema)
-        for row, emb in zip(records, embeddings):
-            s.images.upsert(
-                {k: row.get(k) for k in _IMAGE_COLS}, np.ascontiguousarray(emb)
-            )
+        self._schema(schema).images.upsert_many(records, embeddings)
         return len(records)
 
     def insert_chunks(
@@ -170,11 +409,7 @@ class EmbeddingStore:
     ) -> int:
         embeddings = np.asarray(embeddings, np.float32)
         assert len(records) == len(embeddings), "records/embeddings mismatch"
-        s = self._schema(schema)
-        for row, emb in zip(records, embeddings):
-            s.chunks.upsert(
-                {k: row.get(k) for k in _CHUNK_COLS}, np.ascontiguousarray(emb)
-            )
+        self._schema(schema).chunks.upsert_many(records, embeddings)
         return len(records)
 
     def insert_alignments(
@@ -205,40 +440,37 @@ class EmbeddingStore:
         }
 
     def images(self, schema: str) -> List[dict]:
-        return [dict(r) for r in self._load(schema).images.rows]
+        return self._load(schema).images.rows()
 
     def chunks(self, schema: str) -> List[dict]:
-        return [dict(r) for r in self._load(schema).chunks.rows]
+        return self._load(schema).chunks.rows()
 
     def alignments(self, schema: str) -> List[Tuple[str, str, float, str]]:
-        return list(self._load(schema).alignments.rows)
+        return self._load(schema).alignments.rows()
 
     def embedding_matrix(
         self, schema: str, table: str
     ) -> Tuple[List[str], np.ndarray]:
         """(ids, (N, D) float32) for `table` in {'images', 'text_chunks'}.
 
-        Rows lacking embeddings (e.g. vector figures before embedding, which
-        the reference fills with placeholders) raise — callers must insert
+        The matrix is a zero-copy view — a read-only memmap slice when
+        the store was opened from disk (bounded RSS at any N; pages
+        stream in as the device feed consumes them). Rows lacking
+        embeddings (e.g. vector figures before embedding, which the
+        reference fills with placeholders) raise — callers must insert
         embeddings for every row, as the reference does.
         """
         s = self._load(schema)
         t = s.images if table == "images" else s.chunks
-        ids = [r[t.key_field] for r in t.rows]
-        if not ids:
-            return ids, np.zeros((0, self.embed_dim), np.float32)
-        missing = [ids[i] for i, e in enumerate(t.embeddings) if e is None]
-        if missing:
-            raise ValueError(f"{len(missing)} rows missing embeddings, e.g. {missing[:3]}")
-        return ids, np.stack(t.embeddings).astype(np.float32)
+        if t.n == 0:
+            return [], np.zeros((0, self.embed_dim), np.float32)
+        return t.matrix()
 
     # -- persistence -------------------------------------------------------------
 
     def save(self, schemas: Sequence[str] = SCHEMAS) -> None:
-        """Persist all in-memory schemas as Parquet tables."""
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
+        """Persist in-memory schemas: Parquet metadata + a raw ``.npy``
+        embedding matrix per table (the v2 layout — loads memory-map)."""
         self.root.mkdir(parents=True, exist_ok=True)
         for schema in schemas:
             if schema not in self._schemas:
@@ -246,57 +478,20 @@ class EmbeddingStore:
             s = self._schemas[schema]
             d = self.root / schema
             d.mkdir(parents=True, exist_ok=True)
-
-            for name, table, cols in (
-                ("images", s.images, _IMAGE_COLS),
-                ("text_chunks", s.chunks, _CHUNK_COLS),
-            ):
-                data = {c: [r.get(c) for r in table.rows] for c in cols}
-                data["clip_embedding"] = [
-                    e.tolist() if e is not None else None for e in table.embeddings
-                ]
-                pq.write_table(pa.table(data), d / f"{name}.parquet")
-
-            if s.alignments.rows:
-                adata = pa.table({
-                    c: [r[i] for r in s.alignments.rows]
-                    for i, c in enumerate(_ALIGN_COLS)
-                })
-            else:
-                adata = pa.table({
-                    c: pa.array(
-                        [], type=pa.float32() if c == "weak_score" else pa.string()
-                    )
-                    for c in _ALIGN_COLS
-                })
-            pq.write_table(adata, d / "alignments.parquet")
+            s.images.save(d / "images.parquet")
+            s.chunks.save(d / "text_chunks.parquet")
+            s.alignments.save(d / "alignments.parquet")
         self._write_manifest()
 
     def _read_schema_dir(self, d: Path) -> _Schema:
-        import pyarrow.parquet as pq
-
         s = _Schema()
-        for name, table, cols in (
-            ("images", s.images, _IMAGE_COLS),
-            ("text_chunks", s.chunks, _CHUNK_COLS),
-        ):
-            f = d / f"{name}.parquet"
-            if not f.exists():
-                continue
-            t = pq.read_table(f).to_pydict()
-            n = len(t.get(cols[0], []))
-            for i in range(n):
-                row = {c: t[c][i] for c in cols}
-                emb = t["clip_embedding"][i]
-                table.upsert(
-                    row, np.asarray(emb, np.float32) if emb is not None else None
-                )
+        f = d / "images.parquet"
+        if f.exists():
+            s.images = _Table.from_dir("image_id", _IMAGE_COLS, f)
+        f = d / "text_chunks.parquet"
+        if f.exists():
+            s.chunks = _Table.from_dir("chunk_id", _CHUNK_COLS, f)
         f = d / "alignments.parquet"
         if f.exists():
-            t = pq.read_table(f).to_pydict()
-            for i in range(len(t.get("image_id", []))):
-                s.alignments.upsert(
-                    t["image_id"][i], t["chunk_id"][i],
-                    float(t["weak_score"][i]), t["alignment_type"][i],
-                )
+            s.alignments = _AlignmentTable.from_file(f)
         return s
