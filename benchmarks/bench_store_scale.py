@@ -32,9 +32,27 @@ import tempfile
 import time
 
 
-def peak_rss_gb() -> float:
-    # ru_maxrss is KiB on Linux
-    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 2**20
+def mem_gb() -> dict:
+    # Process memory from /proc/self/status (all GiB). RssAnon is the
+    # honest "did we materialize it?" metric: a copied matrix lands in
+    # anonymous memory, while pages of the memmapped .npy show up under
+    # RssFile as CLEAN, RECLAIMABLE page cache — and on this kernel the
+    # cache holds the file in 2 MB folios, so touching 2 KB of a row
+    # charges the whole folio to RssFile (4097 sampled rows "cost" 8 GB
+    # of RssFile while RssAnon stays ~0.1). VmHWM is reported too, but
+    # note ru_maxrss survives exec and lies for subprocesses.
+    out = {}
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                k = line.split(":")[0]
+                if k in ("VmHWM", "RssAnon", "RssFile"):
+                    out[k] = round(int(line.split()[1]) / 2**20, 2)
+    except OSError:
+        out["VmHWM"] = round(
+            resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 2**20, 2
+        )
+    return out
 
 
 def load_phase(root: str, n: int, d: int) -> None:
@@ -54,12 +72,15 @@ def load_phase(root: str, n: int, d: int) -> None:
     sample = np.asarray(mat[:: max(1, n // 4096)])
     touch_s = time.perf_counter() - t1
     checksum = float(sample.sum())
+    m = mem_gb()
     print(json.dumps({
         "metric": "store_v2_load",
         "rows": n, "dim": d,
         "open_s": round(open_s, 3),
         "sample_touch_s": round(touch_s, 3),
-        "rss_gb": round(peak_rss_gb(), 2),
+        "rss_anon_gb": m.get("RssAnon"),
+        "mapped_file_cache_gb": m.get("RssFile"),
+        "peak_rss_gb": m.get("VmHWM"),
         "matrix_gb": round(n * d * 4 / 2**30, 2),
         "memmap": bool(isinstance(mat, np.memmap)),
         "checksum_finite": bool(np.isfinite(checksum)),
@@ -111,7 +132,7 @@ def main() -> None:
         "insert_s": round(insert_s, 1),
         "save_s": round(save_s, 1),
         "rows_per_s_insert": round(n / insert_s),
-        "peak_rss_gb": round(peak_rss_gb(), 2),
+        "peak_rss_gb": mem_gb().get("VmHWM"),
         "emb_file_gb": round(os.path.getsize(emb_file) / 2**30, 2),
     }), flush=True)
 
@@ -127,10 +148,10 @@ def main() -> None:
         raise SystemExit("load phase failed")
     rec = json.loads(out.stdout.strip().splitlines()[-1])
     bound_gb = float(os.environ.get("STORE_SCALE_RSS_BOUND_GB", "4"))
-    if rec["rss_gb"] > bound_gb:
+    if rec["rss_anon_gb"] > bound_gb:
         raise SystemExit(
-            f"load RSS {rec['rss_gb']} GB exceeds the {bound_gb} GB bound "
-            f"— the matrix was materialized"
+            f"load anonymous RSS {rec['rss_anon_gb']} GB exceeds the "
+            f"{bound_gb} GB bound — the matrix was materialized"
         )
     import shutil
 

