@@ -257,3 +257,25 @@ def test_bulk_roundtrip_no_per_row_python(tmp_path):
     # loading = parquet key column + npy header; generous bound for a
     # throttled core, but a per-row loop would be 10-100x past it
     assert open_s < 5.0, f"v2 open took {open_s:.1f}s — per-row work crept in"
+
+
+def test_lazy_column_accessor(tmp_path):
+    """store.column() reads ONE Parquet column without materializing
+    row dicts or the other columns (the serving-start path at scale)."""
+    store = EmbeddingStore(tmp_path / "s", embed_dim=4)
+    store.setup(["vanilla_clip"])
+    store.insert_chunks("vanilla_clip", [chunk_row(i) for i in range(6)],
+                        np.zeros((6, 4), np.float32))
+    store.insert_images("vanilla_clip", [img_row(0)],
+                        np.zeros((1, 4), np.float32))
+    store.save(["vanilla_clip"])
+    store2 = EmbeddingStore(tmp_path / "s", embed_dim=4)
+    manuals = store2.column("vanilla_clip", "text_chunks", "manual_id")
+    assert manuals == ["m"] * 6
+    t = store2._schemas["vanilla_clip"].chunks
+    assert t.columns is None, "single-column read must not load all columns"
+    # column order == embedding_matrix order (fetch_chunks relies on it)
+    ids, _ = store2.embedding_matrix("vanilla_clip", "text_chunks")
+    assert ids == store2.column("vanilla_clip", "text_chunks", "chunk_id")
+    # full materialization still works afterwards and stays consistent
+    assert store2.chunks("vanilla_clip")[2]["chunk_id"] == ids[2]

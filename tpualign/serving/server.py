@@ -887,7 +887,6 @@ def build_index_artifact(config, schema: str, cache_path: str,
         raise ValueError(
             f"schema {schema} has no embeddings in {config.store.root}"
         )
-    chunks = store.chunks(schema)
     _, chunk_emb = store.embedding_matrix(schema, "text_chunks")
     kw = index_kwargs(config, schema)
     kw.update(
@@ -897,8 +896,8 @@ def build_index_artifact(config, schema: str, cache_path: str,
     )
     return build_index(
         chunk_emb,
-        [c["manual_id"] for c in chunks],
-        [c.get("page") for c in chunks],
+        store.column(schema, "text_chunks", "manual_id"),
+        store.column(schema, "text_chunks", "page"),
         **kw,
     )
 
@@ -944,7 +943,6 @@ def build_service(config, schema: str, mesh=None, text_tower: bool = True,
     store = EmbeddingStore(config.store.root, embed_dim=config.model.embed_dim)
     if not store.has_embeddings(schema):
         raise ValueError(f"schema {schema} has no embeddings in {config.store.root}")
-    chunks = store.chunks(schema)
     chunk_ids, chunk_emb = store.embedding_matrix(schema, "text_chunks")
     if encoder is None and text_tower:
         from tpualign.parallel.embed import EmbedEngine
@@ -967,8 +965,8 @@ def build_service(config, schema: str, mesh=None, text_tower: bool = True,
 
     return RetrievalService(
         chunk_emb, chunk_ids,
-        [c["manual_id"] for c in chunks],
-        [c.get("page") for c in chunks],
+        store.column(schema, "text_chunks", "manual_id"),
+        store.column(schema, "text_chunks", "page"),
         schema=schema, mesh=mesh, text_encoder=encoder,
         image_encoder=image_encoder,
         images=image_meta, image_embeddings=img_emb,
@@ -1370,13 +1368,15 @@ def fetch_chunks(config, schema: str):
     order."""
     store = EmbeddingStore(config.store.root,
                            embed_dim=config.model.embed_dim)
-    chunks = store.chunks(schema)
     ids, emb = store.embedding_matrix(schema, "text_chunks")
-    by_id = {c["chunk_id"]: c for c in chunks}
+    # embedding_matrix rows are in table insertion order — the same
+    # order every metadata column carries — so columns align with the
+    # matrix directly (no per-row dict remap; the lazy column read
+    # keeps a 10M-row /sync from materializing 10M row dicts)
     return (
         list(ids),
-        [by_id[i]["manual_id"] for i in ids],
-        [by_id[i].get("page") for i in ids],
+        store.column(schema, "text_chunks", "manual_id"),
+        store.column(schema, "text_chunks", "page"),
         emb,
     )
 

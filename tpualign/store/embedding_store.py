@@ -86,6 +86,7 @@ class _Table:
         self.emb: Optional[np.ndarray] = None  # (cap >= n, D) fp32
         self.has_emb: Optional[np.ndarray] = None  # (cap,) bool
         self._meta_path: Optional[Path] = None  # set when metadata is lazy
+        self._col_cache: Dict[str, list] = {}  # lazily-read single columns
 
     # -- lazy loading --------------------------------------------------------
 
@@ -133,17 +134,28 @@ class _Table:
 
             pt = pq.read_table(self._meta_path, columns=list(self.col_names))
             self.columns = {c: pt[c].to_pylist() for c in self.col_names}
+            self._col_cache.clear()
         return self.columns
+
+    def column(self, name: str) -> list:
+        """One metadata column, reading ONLY it from Parquet when the
+        table is still lazy (a 10M-row serving start needs two columns,
+        not 10M row dicts)."""
+        if self.columns is not None:
+            return self.columns[name]
+        got = self._col_cache.get(name)
+        if got is None:
+            import pyarrow.parquet as pq
+
+            pt = pq.read_table(self._meta_path, columns=[name])
+            got = pt[name].to_pylist()
+            self._col_cache[name] = got
+        return got
 
     def keys(self) -> list:
         """Row keys in insertion order — reads ONLY the key column when
         metadata is still on disk."""
-        if self.columns is not None:
-            return self.columns[self.key_field]
-        import pyarrow.parquet as pq
-
-        pt = pq.read_table(self._meta_path, columns=[self.key_field])
-        return pt[self.key_field].to_pylist()
+        return self.column(self.key_field)
 
     def _ensure_index(self) -> Dict[str, int]:
         if self.index is None:
@@ -447,6 +459,14 @@ class EmbeddingStore:
 
     def alignments(self, schema: str) -> List[Tuple[str, str, float, str]]:
         return self._load(schema).alignments.rows()
+
+    def column(self, schema: str, table: str, name: str) -> list:
+        """One metadata column of 'images'/'text_chunks' — the lazy
+        path for callers that need a column, not row dicts (e.g. the
+        serving daemon's manual/page arrays at 10M-row scale)."""
+        s = self._load(schema)
+        t = s.images if table == "images" else s.chunks
+        return t.column(name)
 
     def embedding_matrix(
         self, schema: str, table: str
