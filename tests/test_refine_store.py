@@ -232,3 +232,38 @@ class TestIndexIntegration:
             coalesce_window_ms=None,
         )
         assert svc.index._refine_corpus.mode == "memmap"
+
+
+class TestSkipValsFetch:
+    def test_streaming_refine_skips_vals_fetch_identically(self, monkeypatch):
+        """In the beyond-HBM streaming branch a refined search fetches
+        only indices (values are recomputed by the rescore; SENTINEL_IDX
+        discipline makes idx alone authoritative). Results must be
+        identical to the both-arrays path."""
+        rng = np.random.default_rng(11)
+        emb = rng.standard_normal((600, 32)).astype(np.float32)
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        man = ["m%d" % (i % 7) for i in range(600)]  # keyed: some rows
+        pages = [i % 3 for i in range(600)]          # masked per query
+        q = rng.standard_normal((4, 32)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+
+        ix = RetrievalIndex(emb, man, pages, precision="int8",
+                            refine=4, refine_store="memmap")
+        # force the streaming-only route at test scale
+        monkeypatch.setattr(R, "STREAM_ONLY_SIM_BYTES", 1)
+        v_skip, i_skip = ix.search(q, ["m1"] * 4, [0, 1, 2, 0], k=5)
+        # the skip path must have produced real rescored values
+        assert np.isfinite(np.asarray(v_skip)).any()
+        # same search with skip disabled (raw path fetches both arrays)
+        v_raw, i_raw = ix._search_encoded_raw(
+            q, R.encode_keys(["m1"] * 4, [0, 1, 2, 0],
+                             dict(ix.vocab))[0], 20)
+        v_ref, i_ref = R._refine_rescore(q, v_raw, i_raw,
+                                         ix._refine_corpus, 5)
+        np.testing.assert_array_equal(np.asarray(i_skip), i_ref)
+        np.testing.assert_array_equal(np.asarray(v_skip), v_ref)
+        # queries with NO candidates (unknown manual) stay all-sentinel
+        v0, i0 = ix.search(q[:1], ["nope"], [0], k=5)
+        assert (np.asarray(i0) == -1).all()
+        assert (np.asarray(v0) <= R.NEG_INF / 2).all()

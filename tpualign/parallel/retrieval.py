@@ -154,6 +154,12 @@ def _device_streaming_topk(q, qk, c, ck, k: int):
 # splits the measured points.
 INT8_STREAM_SIM_BYTES = 512 * 2**20
 
+# Above this (Q, N) fp32 similarity-matrix footprint, _search_encoded_raw
+# routes to the O(Q*k) streaming kernel regardless of precision — the
+# dense matmul + lax.top_k path cannot hold the matrix (beyond-HBM
+# regime; refine over-fetches land here at capacity-ladder scale).
+STREAM_ONLY_SIM_BYTES = 4 * 1024**3
+
 
 @partial(jax.jit, static_argnames=("k", "int8_mxu"))
 def _device_streaming_topk_int8(q, qk, c_q, c_s, ck, k: int,
@@ -1472,7 +1478,8 @@ class RetrievalIndex:
                 # bound rather than falling onto a dense (Q, N) sims
                 # matrix the chip cannot hold
                 nq = len(queries)
-                big = (4 * nq * self.n > 4 * 1024**3 if self.mesh is None
+                big = (4 * nq * self.n > STREAM_ONLY_SIM_BYTES
+                       if self.mesh is None
                        else 4 * nq * self._n_local
                        > self.RING_THRESHOLD_BYTES)
                 if big:
@@ -1484,14 +1491,21 @@ class RetrievalIndex:
                         REFINE_MAX_STREAM_K,
                     )
                     kf = REFINE_MAX_STREAM_K
-            vals, idx = self._search_encoded_raw(queries, qk, kf, strategy)
+            vals, idx = self._search_encoded_raw(
+                queries, qk, kf, strategy,
+                # with a rescore corpus, the first-stage VALUES are
+                # never read (the rescore recomputes every valid
+                # candidate's score) — let the raw search skip fetching
+                # them from device where its sentinel discipline allows
+                skip_vals=self._refine_corpus is not None,
+            )
             return _refine_rescore(queries, vals, idx,
                                    self._refine_corpus, k)
         return self._search_encoded_raw(queries, qk, k, strategy)
 
     def _search_encoded_raw(
         self, queries: np.ndarray, qk: np.ndarray, k: int,
-        strategy: str = "auto",
+        strategy: str = "auto", skip_vals: bool = False,
     ) -> Tuple[np.ndarray, np.ndarray]:
         nq = len(queries)
         if nq == 0 or self.n == 0:
@@ -1529,7 +1543,7 @@ class RetrievalIndex:
             # fori merge is slower per block but still O(Q*k) memory —
             # in the beyond-HBM regime that is the only path that fits
             # (refine over-fetch lands here with k*refine up to ~64)
-            if k <= 64 and sim_bytes > 4 * 1024**3:
+            if k <= 64 and sim_bytes > STREAM_ONLY_SIM_BYTES:
                 from tpualign.ops.pallas_kernels import masked_sim_topk
 
                 # quantized corpora stream too (int8: 4x capacity,
@@ -1546,6 +1560,16 @@ class RetrievalIndex:
                     ),
                     int8_mxu=_use_int8_mxu(),
                 )
+                if skip_vals:
+                    # the kernel marks every empty/masked slot with
+                    # SENTINEL_IDX (>= n), so indices alone identify
+                    # validity — fetch HALF the bytes (a refined search
+                    # at the 24M point fetched 67 ms/iter through the
+                    # relay; values are recomputed by the rescore)
+                    idx = np.asarray(idx).astype(np.int64)
+                    idx = np.where(idx >= self.n, -1, idx)
+                    synth = np.where(idx >= 0, 0.0, NEG_INF)
+                    return synth.astype(np.float32), idx
                 vals = np.asarray(vals)
                 idx = np.where(np.asarray(idx) >= self.n, -1, np.asarray(idx))
                 return _sentinel(vals, idx)
