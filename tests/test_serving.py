@@ -1855,7 +1855,7 @@ def test_auto_compact_covers_every_index_type():
 
 
 @pytest.mark.parametrize("mode", [
-    "explicit", "auto", "coalesced", "ivf", "hnsw"])
+    "explicit", "auto", "coalesced", "ivf", "hnsw", "refine_memmap"])
 def test_compact_under_concurrent_searches(mode):
     """Compaction racing live searches (VERDICT r3 weak #1): a request
     that finished its index search under the OLD row numbering and then
@@ -1888,6 +1888,14 @@ def test_compact_under_concurrent_searches(mode):
     kw = {}
     if mode == "ivf":
         kw = {"index_type": "ivf", "ivf_lists": 4, "ivf_probes": 4}
+    elif mode == "refine_memmap":
+        # int8 + memmap rescore corpus (r4): every compaction streams a
+        # NEW rescore file and unlinks the old one when its last
+        # snapshot dies — in-flight searches must keep rescoring from
+        # the rows they captured (one-hot rows quantize exactly at
+        # int8, so a correct rescore still returns score ~1.0)
+        kw = {"precision": "int8", "refine": 4,
+              "refine_store": "memmap"}
     elif mode == "hnsw":
         from tpualign.native import native_available
 

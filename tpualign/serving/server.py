@@ -770,6 +770,16 @@ class RetrievalService:
             "index": type(self.index).__name__,
             "precision": self.index.precision,
             "refine": getattr(self.index, "refine", 0),
+            # where the refine rescore rows live (ram/fp16/memmap) and
+            # what they actually pin in host RAM — an operator watching
+            # a capacity-ladder serve should see ~0 resident for memmap
+            "refine_store": (
+                {"mode": rc.mode,
+                 "rows": len(rc),
+                 "resident_bytes": rc.nbytes_resident}
+                if (rc := getattr(self.index, "_refine_corpus", None))
+                is not None else None
+            ),
             # tombstones awaiting POST /compact (pgvector dead tuples)
             "dead_rows": getattr(self.index, "dead", 0),
             # autovacuum analogue: dead-row fraction that triggers an
