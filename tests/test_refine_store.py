@@ -267,3 +267,45 @@ class TestSkipValsFetch:
         v0, i0 = ix.search(q[:1], ["nope"], [0], k=5)
         assert (np.asarray(i0) == -1).all()
         assert (np.asarray(v0) <= R.NEG_INF / 2).all()
+
+
+class TestMemmap16:
+    def test_memmap16_matches_fp16(self, rows):
+        """fp16-on-disk holds the same values as fp16-in-RAM (the rows
+        fixture is fp16-representable, so gathers are bit-exact against
+        the source), at half the disk bytes of fp32 memmap."""
+        c = _RefineCorpus.build(rows, "memmap16")
+        assert c.mode == "memmap16" and c.nbytes_resident == 0
+        assert c._file.path.endswith(".f16")
+        assert os.path.getsize(c._file.path) == rows.nbytes // 2
+        idx = np.random.default_rng(2).integers(0, len(rows), (5, 3))
+        np.testing.assert_array_equal(c.take(idx), rows[idx])
+        c2 = c.appended(rows[:9])
+        assert c2._tail.dtype == np.float16
+        sel = c2.selected(np.arange(0, 209, 2))
+        assert sel.mode == "memmap16" and sel._file.path.endswith(".f16")
+        np.testing.assert_array_equal(
+            sel.take(np.arange(3)), np.concatenate([rows, rows[:9]])[[0, 2, 4]]
+        )
+        assert c.empty().mode == "fp16"
+
+    def test_memmap16_end_to_end_int2(self):
+        """The mode it exists for: int2 first stage + fp16-on-disk
+        rescore returns the fp16-rescored ranking (vs the int2-only
+        ranking, which near-ties scramble)."""
+        rng = np.random.default_rng(5)
+        emb = rng.standard_normal((300, 64)).astype(np.float32)
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        man, pages = ["m"] * 300, [1] * 300
+        q = emb[42:43] + 1e-3 * rng.standard_normal((1, 64)).astype(np.float32)
+        ix = RetrievalIndex(emb, man, pages, precision="int2",
+                            refine=8, refine_store="memmap16")
+        assert ix._refine_corpus.mode == "memmap16"
+        v, i = ix.search(q, k=5, global_search=True)
+        exact16 = (q[0].astype(np.float64)
+                   @ emb.astype(np.float16).astype(np.float64).T)
+        # the true neighbor survives int2's noise into the top-k*R and
+        # the fp16 rescore ranks it first
+        assert int(np.asarray(i)[0, 0]) == 42
+        want = np.argsort(-exact16)[:1]
+        assert int(np.asarray(i)[0, 0]) == int(want[0])

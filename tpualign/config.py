@@ -403,7 +403,10 @@ class PipelineConfig:
     # "memmap" (fp32 rows in a disk file, ~0 resident RSS — the
     # capacity-ladder rung: a 24M x 512 corpus's rescore rows are 49 GB,
     # which should page through the OS cache like postgres' heap tables
-    # do, not pin process RAM). RETRIEVAL_REFINE_DIR picks the memmap
+    # do, not pin process RAM), or "memmap16" (fp16 rows on disk — half
+    # the DISK bytes too, for the extreme rungs where even the fp32
+    # file won't fit: 96M x 512 int2 needs 196 GB fp32 but 98 GB fp16;
+    # ~5e-4 rounding). RETRIEVAL_REFINE_DIR picks the memmap
     # directory (default: system temp dir).
     retrieval_refine_store: str = "auto"
     # Image feed: "host" (PIL bicubic, torchvision parity) or "device"

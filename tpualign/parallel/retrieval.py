@@ -696,7 +696,7 @@ REFINE_MAX_STREAM_K = 64
 # Knobs: RETRIEVAL_REFINE_STORE (mode) and RETRIEVAL_REFINE_DIR (where
 # memmap files land; default the system temp dir).
 
-REFINE_STORE_MODES = ("auto", "ram", "fp16", "memmap")
+REFINE_STORE_MODES = ("auto", "ram", "fp16", "memmap", "memmap16")
 
 # "auto" keeps the rescore rows in RAM below this; past it they go to a
 # disk memmap. 2 GiB =~ a 1M x 512 fp32 corpus — comfortably in the dense
@@ -724,36 +724,38 @@ def _unlink_quiet(path: str) -> None:
 
 
 class _MemmapFile:
-    """A read-only fp32 row file shared by copy-on-write refine-corpus
-    snapshots; the file is unlinked when the LAST snapshot referencing
-    it is garbage-collected (in-flight serving searches hold their
-    snapshot, so a racing compact can never yank rows out from under a
-    rescore)."""
+    """A read-only row file (fp32 or fp16) shared by copy-on-write
+    refine-corpus snapshots; the file is unlinked when the LAST snapshot
+    referencing it is garbage-collected (in-flight serving searches hold
+    their snapshot, so a racing compact can never yank rows out from
+    under a rescore)."""
 
-    def __init__(self, path: str, n: int, dim: int):
+    def __init__(self, path: str, n: int, dim: int, dtype=np.float32):
         self.path = path
-        self.arr = np.memmap(path, np.float32, mode="r", shape=(n, dim))
+        self.arr = np.memmap(path, dtype, mode="r", shape=(n, dim))
         self._finalizer = weakref.finalize(self, _unlink_quiet, path)
 
 
-def _write_refine_memmap(n: int, dim: int, get_rows) -> _MemmapFile:
+def _write_refine_memmap(n: int, dim: int, get_rows,
+                         dtype=np.float32) -> _MemmapFile:
     """Stream rows into a fresh memmap file in bounded-RAM chunks.
-    ``get_rows(start, stop)`` returns that fp32 slice; only one chunk is
-    ever resident during the copy."""
+    ``get_rows(start, stop)`` returns that fp32 slice (cast to ``dtype``
+    on write); only one chunk is ever resident during the copy."""
     dirpath = (os.environ.get("RETRIEVAL_REFINE_DIR")
                or tempfile.gettempdir())
     os.makedirs(dirpath, exist_ok=True)
     fd, path = tempfile.mkstemp(
-        prefix="tpualign_refine_", suffix=".f32", dir=dirpath
+        prefix="tpualign_refine_",
+        suffix=".f16" if dtype == np.float16 else ".f32", dir=dirpath,
     )
     os.close(fd)
-    mm = np.memmap(path, np.float32, mode="w+", shape=(n, dim))
+    mm = np.memmap(path, dtype, mode="w+", shape=(n, dim))
     for s in range(0, n, _REFINE_WRITE_CHUNK):
         e = min(n, s + _REFINE_WRITE_CHUNK)
         mm[s:e] = get_rows(s, e)
     mm.flush()
     del mm  # drop the writable mapping before the read-only one opens
-    return _MemmapFile(path, n, dim)
+    return _MemmapFile(path, n, dim, dtype)
 
 
 class _RefineCorpus:
@@ -781,22 +783,30 @@ class _RefineCorpus:
         if mode == "auto":
             mode = ("ram" if rows.shape[0] * rows.shape[1] * 4
                     <= REFINE_RAM_MAX_BYTES else "memmap")
-        if mode == "memmap" and rows.shape[0] == 0:
-            mode = "ram"  # a 0-byte file cannot be memmapped
+        if mode.startswith("memmap") and rows.shape[0] == 0:
+            # a 0-byte file cannot be memmapped
+            mode = "fp16" if mode == "memmap16" else "ram"
         if mode == "fp16":
             return cls("fp16", np.asarray(rows, np.float32)
                        .astype(np.float16))
-        if mode == "memmap":
+        if mode.startswith("memmap"):
+            # "memmap16" halves the DISK bytes too (fp16 rows on disk,
+            # ~5e-4 rounding): the extreme-capacity rung's rescore —
+            # 96M x 512 int2 needs 196 GB as fp32 but 98 GB as fp16
+            dt = np.float16 if mode == "memmap16" else np.float32
             f = _write_refine_memmap(
                 rows.shape[0], rows.shape[1],
                 lambda s, e: np.asarray(rows[s:e], np.float32),
+                dtype=dt,
             )
             log.info(
-                "refine corpus: %d x %d fp32 memmapped at %s (%.1f GB "
+                "refine corpus: %d x %d %s memmapped at %s (%.1f GB "
                 "on disk, ~0 resident)", rows.shape[0], rows.shape[1],
-                f.path, rows.shape[0] * rows.shape[1] * 4 / 2**30,
+                np.dtype(dt).name, f.path,
+                rows.shape[0] * rows.shape[1] * np.dtype(dt).itemsize
+                / 2**30,
             )
-            return cls("memmap", f.arr, None, f)
+            return cls(mode, f.arr, None, f)
         return cls("ram", np.array(rows, np.float32))
 
     def __len__(self) -> int:
@@ -809,7 +819,7 @@ class _RefineCorpus:
     def nbytes_resident(self) -> int:
         """Host RAM actually pinned by this snapshot (memmap base pages
         ride the OS page cache and don't count)."""
-        n = 0 if self.mode == "memmap" else self._base.nbytes
+        n = 0 if self.mode.startswith("memmap") else self._base.nbytes
         if self._tail is not None:
             n += self._tail.nbytes
         return n
@@ -830,10 +840,12 @@ class _RefineCorpus:
 
     def appended(self, rows) -> "_RefineCorpus":
         rows = np.asarray(rows, np.float32)
-        if self.mode == "memmap":
+        if self.mode.startswith("memmap"):
+            if self.mode == "memmap16":
+                rows = rows.astype(np.float16)
             tail = (rows if self._tail is None
                     else np.concatenate([self._tail, rows]))
-            return _RefineCorpus("memmap", self._base,
+            return _RefineCorpus(self.mode, self._base,
                                  np.ascontiguousarray(tail), self._file)
         base = np.concatenate([self._base,
                                rows.astype(self._base.dtype)])
@@ -846,20 +858,23 @@ class _RefineCorpus:
         if sel.dtype == bool:
             sel = np.flatnonzero(sel)
         sel = sel.astype(np.int64)
-        if self.mode == "memmap":
+        if self.mode.startswith("memmap"):
             if sel.size == 0:
                 return self.empty()
             f = _write_refine_memmap(
-                sel.size, self.dim, lambda s, e: self.take(sel[s:e])
+                sel.size, self.dim, lambda s, e: self.take(sel[s:e]),
+                dtype=(np.float16 if self.mode == "memmap16"
+                       else np.float32),
             )
-            return _RefineCorpus("memmap", f.arr, None, f)
+            return _RefineCorpus(self.mode, f.arr, None, f)
         rows = self.take(sel)
         if self.mode == "fp16":
             return _RefineCorpus("fp16", rows.astype(np.float16))
         return _RefineCorpus("ram", rows)
 
     def empty(self) -> "_RefineCorpus":
-        mode = "ram" if self.mode == "memmap" else self.mode
+        mode = {"memmap": "ram", "memmap16": "fp16"}.get(self.mode,
+                                                         self.mode)
         dt = np.float16 if mode == "fp16" else np.float32
         return _RefineCorpus(mode, np.zeros((0, self.dim), dt))
 
