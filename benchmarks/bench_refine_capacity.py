@@ -55,6 +55,11 @@ def main() -> None:
         _write_refine_memmap,
     )
 
+    prec = os.environ.get("REFINE_BENCH_PRECISION", "int8")
+    int4 = prec == "int4"
+    store_mode = os.environ.get("REFINE_BENCH_STORE",
+                                "memmap16" if int4 else "memmap")
+    store_dt = np.float16 if store_mode == "memmap16" else np.float32
     millions = float(sys.argv[1]) if len(sys.argv) > 1 else 24.0
     q_n = int(sys.argv[2]) if len(sys.argv) > 2 else 256
     k = int(sys.argv[3]) if len(sys.argv) > 3 else 10
@@ -80,13 +85,18 @@ def main() -> None:
 
     @partial(jax.jit, static_argnames=("m",))
     def make_seg(k_, m):
+        if int4:
+            # packed nibble pairs, values in [1, 15] (offset-8 in-range)
+            b = jax.random.randint(k_, (m, d // 2, 2), 1, 16, jnp.uint8)
+            return b[..., 0] | (b[..., 1] << 4)
         return jax.random.randint(k_, (m, d), -127, 128, jnp.int8)
 
     # device-resident int8 segments (threefry on the TPU)
     parts = [make_seg(jnp.asarray(sk), m)
              for sk, m in zip(seg_keys, seg_sizes)]
+    inv = 7.0 if int4 else 127.0
     seg_meta = [
-        (jnp.full((m,), 1.0 / 127.0, jnp.float32),
+        (jnp.full((m,), 1.0 / inv, jnp.float32),
          jnp.zeros((m,), jnp.int32))
         for m in seg_sizes
     ]
@@ -95,6 +105,7 @@ def main() -> None:
     # streamed into the memmap refine corpus (one segment resident at a
     # time; dequantized fp32 row = int8_row / 127)
     host_cache = {"i": -1, "rows": None}
+    head_rows: dict = {}  # first raw rows per segment, captured in-stream
 
     def host_segment(i: int) -> np.ndarray:
         if host_cache["i"] != i:
@@ -102,9 +113,18 @@ def main() -> None:
                 raw = make_seg(jnp.asarray(seg_keys[i]), seg_sizes[i])
                 host_cache["rows"] = np.asarray(raw)
                 host_cache["i"] = i
+            head_rows.setdefault(i, host_cache["rows"][:2].copy())
         return host_cache["rows"]
 
     seg_starts = np.cumsum([0] + seg_sizes)
+
+    def dequant(raw: np.ndarray) -> np.ndarray:
+        if int4:
+            b = raw.astype(np.int32)
+            lo = ((b & 15) - 8).astype(np.float32)   # dims [0, D/2)
+            hi = ((b >> 4) - 8).astype(np.float32)   # dims [D/2, D)
+            return np.concatenate([lo, hi], axis=1) / 7.0
+        return raw.astype(np.float32) / 127.0
 
     def get_rows(s: int, e: int) -> np.ndarray:
         out = np.empty((e - s, d), np.float32)
@@ -113,22 +133,22 @@ def main() -> None:
             i = int(np.searchsorted(seg_starts, pos, "right") - 1)
             lo = pos - seg_starts[i]
             hi = min(e - seg_starts[i], seg_sizes[i])
-            out[pos - s: pos - s + (hi - lo)] = (
-                host_segment(i)[lo:hi].astype(np.float32) / 127.0
+            out[pos - s: pos - s + (hi - lo)] = dequant(
+                host_segment(i)[lo:hi]
             )
             pos = seg_starts[i] + hi
         return out
 
     t0 = time.perf_counter()
-    f = _write_refine_memmap(n, d, get_rows)
-    corpus = _RefineCorpus("memmap", f.arr, None, f)
+    f = _write_refine_memmap(n, d, get_rows, dtype=store_dt)
+    corpus = _RefineCorpus(store_mode, f.arr, None, f)
     build_s = time.perf_counter() - t0
 
-    # genuineness gate: device bytes == host bytes, per segment
+    # genuineness gate: device bytes == host bytes, per segment (head
+    # rows were captured DURING the streaming build — no re-generation)
     for i, p in enumerate(parts):
         dev_rows = np.asarray(p[:2])  # tiny fetch through the relay
-        host_rows = host_segment(i)[:2]
-        if not np.array_equal(dev_rows, host_rows):
+        if not np.array_equal(dev_rows, head_rows[i]):
             raise SystemExit(
                 f"segment {i}: device and host threefry rows DIVERGE — "
                 "the rescore corpus would not match the chip"
@@ -143,7 +163,7 @@ def main() -> None:
     @partial(jax.jit, static_argnames=("kk",))
     def search_seg(q, qk, c, ck, cs, kk):
         return masked_sim_topk(q, qk, c, ck, kk, corpus_scales=cs,
-                               int8_mxu=True)
+                               int8_mxu=not int4)
 
     def sweep(q, qk, kk):
         vs, is_ = [], []
@@ -165,10 +185,12 @@ def main() -> None:
     q_np = np.asarray(qs)
 
     results = {"metric": "refined_search_capacity",
+               "precision": prec, "refine_store": store_mode,
                "corpus_millions": round(n / 1e6, 2),
                "q": q_n, "k": k, "d": d,
                "corpus_build_s": round(build_s, 1),
-               "refine_disk_gb": round(n * d * 4 / 2**30, 1),
+               "refine_disk_gb": round(
+                   n * d * np.dtype(store_dt).itemsize / 2**30, 1),
                "points": []}
 
     # baseline: plain int8 search at kk=k (scalar-sync, matching
