@@ -279,3 +279,31 @@ def test_lazy_column_accessor(tmp_path):
     assert ids == store2.column("vanilla_clip", "text_chunks", "chunk_id")
     # full materialization still works afterwards and stays consistent
     assert store2.chunks("vanilla_clip")[2]["chunk_id"] == ids[2]
+
+
+def test_save_is_atomic_under_live_memmap(tmp_path):
+    """Re-saving a MUTATED table while another store instance holds a
+    live memmap view must not corrupt that view: writes go to a temp
+    file and rename over (new inode) — the old mapping keeps its data,
+    and no .tmp litter survives."""
+    store = EmbeddingStore(tmp_path / "s", embed_dim=4)
+    store.setup(["vanilla_clip"])
+    emb = np.arange(12, dtype=np.float32).reshape(3, 4)
+    store.insert_images("vanilla_clip", [img_row(i) for i in range(3)], emb)
+    store.save(["vanilla_clip"])
+
+    reader = EmbeddingStore(tmp_path / "s", embed_dim=4)
+    _, old_view = reader.embedding_matrix("vanilla_clip", "images")
+    writer = EmbeddingStore(tmp_path / "s", embed_dim=4)
+    writer.insert_images("vanilla_clip", [img_row(9)],
+                         np.full((1, 4), 5.0, np.float32))
+    writer.save(["vanilla_clip"])
+    # the reader's snapshot view is intact (old inode)
+    np.testing.assert_array_equal(np.asarray(old_view), emb)
+    # a fresh open sees the new row
+    store3 = EmbeddingStore(tmp_path / "s", embed_dim=4)
+    ids, mat = store3.embedding_matrix("vanilla_clip", "images")
+    assert len(ids) == 4
+    np.testing.assert_array_equal(np.asarray(mat[3]), np.full(4, 5.0))
+    leftovers = list((tmp_path / "s").rglob("*.tmp*"))
+    assert not leftovers, leftovers

@@ -43,6 +43,7 @@ row) is still readable; ``save`` always writes v2.
 from __future__ import annotations
 
 import json
+import os
 import shutil
 from pathlib import Path
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -64,6 +65,27 @@ _CHUNK_COLS = ("chunk_id", "manual_id", "page", "bbox", "text")
 _ALIGN_COLS = ("image_id", "chunk_id", "weak_score", "alignment_type")
 
 _EMB_GROW = 1024  # minimum embedding-matrix capacity grant
+
+
+def _atomic_npy_save(path: Path, arr: np.ndarray) -> None:
+    """Write-temp-then-rename (postgres WAL-rename discipline): a crash
+    mid-save leaves the OLD file intact, and readers holding a memmap of
+    the old inode keep their data — an in-place ``np.save`` would
+    truncate the very pages a live ``embedding_matrix`` view is backed
+    by."""
+    # keep the .npy suffix on the temp name — np.save appends one to
+    # anything else, and the rename target must match what it wrote
+    tmp = path.with_suffix(".tmp.npy")
+    np.save(tmp, arr)
+    os.replace(tmp, path)
+
+
+def _atomic_parquet_save(path: Path, table) -> None:
+    import pyarrow.parquet as pq
+
+    tmp = path.with_suffix(path.suffix + ".tmp")
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
 
 
 class _Table:
@@ -241,11 +263,10 @@ class _Table:
 
     def save(self, meta_path: Path) -> None:
         import pyarrow as pa
-        import pyarrow.parquet as pq
 
         cols = self._ensure_columns()
-        pq.write_table(
-            pa.table({c: cols[c] for c in self.col_names}), meta_path
+        _atomic_parquet_save(
+            meta_path, pa.table({c: cols[c] for c in self.col_names})
         )
         emb_path = meta_path.with_suffix(".emb.npy")
         emb = (self.emb[: self.n] if self.emb is not None
@@ -253,12 +274,12 @@ class _Table:
         if not (isinstance(self.emb, np.memmap)
                 and Path(self.emb.filename or "") == emb_path):
             # (an unmodified read-only memmap of this very file is
-            # already its own serialization — rewriting through it
-            # would truncate the mapping mid-read)
-            np.save(emb_path, np.ascontiguousarray(emb))
+            # already its own serialization; the rename below would
+            # otherwise replace the inode pointlessly)
+            _atomic_npy_save(emb_path, np.ascontiguousarray(emb))
         mask_path = meta_path.with_suffix(".hasemb.npy")
         if self.has_emb is not None and not bool(self.has_emb[: self.n].all()):
-            np.save(mask_path, self.has_emb[: self.n])
+            _atomic_npy_save(mask_path, self.has_emb[: self.n])
         elif mask_path.exists():
             mask_path.unlink()
 
@@ -323,7 +344,6 @@ class _AlignmentTable:
 
     def save(self, path: Path) -> None:
         import pyarrow as pa
-        import pyarrow.parquet as pq
 
         self._ensure()
         if self.cols["image_id"]:
@@ -336,7 +356,7 @@ class _AlignmentTable:
                 )
                 for c in _ALIGN_COLS
             })
-        pq.write_table(adata, path)
+        _atomic_parquet_save(path, adata)
 
 
 class _Schema:
