@@ -309,3 +309,22 @@ class TestMemmap16:
         assert int(np.asarray(i)[0, 0]) == 42
         want = np.argsort(-exact16)[:1]
         assert int(np.asarray(i)[0, 0]) == int(want[0])
+
+
+def test_empty_index_with_refine_builds_then_grows():
+    """Regression (r4 review): a quantized+refine index built BEFORE any
+    rows exist must construct (ingest-then-add workflows), and the first
+    add() re-initializes the rescore corpus from the real rows."""
+    ix = RetrievalIndex(
+        np.zeros((0,), np.float32), [], [], precision="int8",
+        refine=8, refine_store="memmap",
+    )
+    assert ix.n == 0
+    v, i = ix.search(np.zeros((2, 16), np.float32), k=3, global_search=True)
+    assert (np.asarray(i) == -1).all()
+    rng = np.random.default_rng(0)
+    emb = rng.standard_normal((50, 16)).astype(np.float32)
+    ix.add(emb, ["m"] * 50, [1] * 50)
+    assert len(ix._refine_corpus) == 50
+    v, i = ix.search(emb[7:8], k=1, global_search=True)
+    assert int(np.asarray(i)[0, 0]) == 7

@@ -317,6 +317,19 @@ class HNSWIndex:
             self._key_counts.subtract(self._keys[fresh].tolist())
         return int(fresh.size)
 
+    def __copy__(self):
+        """Shallow copy with a PRIVATE readers-writer lock: the serving
+        layer compacts on a copy so in-flight searches keep the old
+        snapshot — sharing the lock would make the copy's whole-graph
+        rebuild block every reader of the original. The native core and
+        row arrays are still shared (compact() replaces them with fresh
+        ones on the copy; mutating BOTH objects through add()/remove()
+        is outside the snapshot discipline)."""
+        new = object.__new__(type(self))
+        new.__dict__.update(self.__dict__)
+        new._rw = _RWLock()
+        return new
+
     def compact(self) -> np.ndarray:
         """Reclaim tombstoned rows — pgvector's VACUUM analogue for the
         HNSW rung: dead nodes stay traversable in the graph (they cost

@@ -780,6 +780,10 @@ class _RefineCorpus:
     def build(cls, rows, store: Optional[str] = None) -> "_RefineCorpus":
         mode = _refine_store_mode(store)
         rows = np.asarray(rows)
+        if rows.ndim != 2:
+            # an empty index builds with a dimension-less () / (0,)
+            # corpus; add() re-runs setup with real rows later
+            rows = rows.reshape(0, 1 if rows.size == 0 else rows.size)
         if mode == "auto":
             mode = ("ram" if rows.shape[0] * rows.shape[1] * 4
                     <= REFINE_RAM_MAX_BYTES else "memmap")

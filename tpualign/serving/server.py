@@ -507,10 +507,14 @@ class RetrievalService:
         If a chunk id was added more than once, the LATEST copy is the
         one removed."""
         wanted = [str(c) for c in chunk_ids]
-        pos_of = {cid: i for i, cid in enumerate(self.chunk_ids)}
-        found = [pos_of[c] for c in wanted if c in pos_of]
-        missing = [c for c in wanted if c not in pos_of]
         with self._add_lock:
+            # id -> row positions must be computed under the SAME lock
+            # acquisition that applies the remove: a compact (explicit,
+            # auto, or another delete's trigger) renumbers rows, and a
+            # mapping captured before it would tombstone the wrong rows
+            pos_of = {cid: i for i, cid in enumerate(self.chunk_ids)}
+            found = [pos_of[c] for c in wanted if c in pos_of]
+            missing = [c for c in wanted if c not in pos_of]
             removed = self.index.remove(found) if found else 0
             self._removed_ids.update(c for c in wanted if c in pos_of)
         self._query_cache_clear()  # cached rankings may hold removed rows
@@ -1107,6 +1111,14 @@ def _make_handler(registry: "_ServiceRegistry",
         # stays valid across requests on one connection. Measured A/B:
         # docs/SERVING.md "HTTP/1.1 keep-alive".
         protocol_version = "HTTP/1.1"
+        # keep-alive means idle sockets now persist — without a read
+        # timeout every silent client (crashed peer, port scanner,
+        # health probe that never closes) pins a server thread forever,
+        # and a Content-Length longer than the bytes actually sent
+        # hangs do_POST indefinitely. BaseHTTPRequestHandler applies
+        # this to the connection socket; a timed-out idle connection is
+        # simply closed (the stdlib sets close_connection).
+        timeout = 60
 
         def log_message(self, fmt, *args):  # route to our logger, not stderr
             log.debug("http: " + fmt, *args)

@@ -123,9 +123,28 @@ class _Table:
             # v2: metadata stays on disk, embeddings memory-map
             t.emb = np.load(emb_path, mmap_mode="r")
             t.n = int(t.emb.shape[0])
+            # each file renames atomically, but the SET does not — a
+            # crash (or a concurrent reader) between renames could pair
+            # new metadata with an old matrix. Detect the tear from the
+            # Parquet footer (row count only, no column read) and fail
+            # loudly instead of serving misaligned ids.
+            import pyarrow.parquet as pq
+
+            meta_rows = pq.ParquetFile(meta_path).metadata.num_rows
+            if meta_rows != t.n:
+                raise ValueError(
+                    f"{meta_path}: metadata has {meta_rows} rows but "
+                    f"{emb_path.name} has {t.n} — torn save; re-run "
+                    f"save() from the writing process"
+                )
             mask_path = meta_path.with_suffix(".hasemb.npy")
             t.has_emb = (np.load(mask_path) if mask_path.exists()
                          else None)  # None = every row has one
+            if t.has_emb is not None and len(t.has_emb) != t.n:
+                raise ValueError(
+                    f"{mask_path.name}: stale mask ({len(t.has_emb)} "
+                    f"rows vs {t.n}) — torn save; re-run save()"
+                )
             t.columns = None
             t.index = None
             t._meta_path = meta_path
@@ -265,14 +284,17 @@ class _Table:
         import pyarrow as pa
 
         cols = self._ensure_columns()
-        _atomic_parquet_save(
-            meta_path, pa.table({c: cols[c] for c in self.col_names})
-        )
+        # matrix and mask land BEFORE metadata: the Parquet file is the
+        # commit record (from_dir cross-checks its row count against
+        # the matrix), so a crash at any point leaves either the old
+        # consistent set or a detectable tear — never a silent
+        # id/row misalignment
         emb_path = meta_path.with_suffix(".emb.npy")
         emb = (self.emb[: self.n] if self.emb is not None
                else np.zeros((0, 0), np.float32))
         if not (isinstance(self.emb, np.memmap)
-                and Path(self.emb.filename or "") == emb_path):
+                and Path(self.emb.filename or "").resolve()
+                == emb_path.resolve()):
             # (an unmodified read-only memmap of this very file is
             # already its own serialization; the rename below would
             # otherwise replace the inode pointlessly)
@@ -282,6 +304,9 @@ class _Table:
             _atomic_npy_save(mask_path, self.has_emb[: self.n])
         elif mask_path.exists():
             mask_path.unlink()
+        _atomic_parquet_save(
+            meta_path, pa.table({c: cols[c] for c in self.col_names})
+        )
 
 
 class _AlignmentTable:
