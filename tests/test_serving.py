@@ -2023,3 +2023,39 @@ def test_http11_keepalive_persistent_connection(service):
         conn.close()
     finally:
         srv.shutdown()
+
+
+def test_idle_keepalive_connection_times_out(service):
+    """SERVE_IDLE_TIMEOUT: a keep-alive client that goes silent is
+    disconnected after the timeout (its thread and socket are reaped)
+    while an active client on its own connection keeps being served."""
+    import http.client
+    import socket as socket_mod
+    import time as _time
+
+    svc, emb, ids, manuals, pages = service
+    srv = serve(svc, port=0, idle_timeout=0.5)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        silent = http.client.HTTPConnection("127.0.0.1", port, timeout=5)
+        silent.request("GET", "/healthz")
+        assert silent.getresponse().status == 200  # connection now idle
+        _time.sleep(1.2)  # > idle_timeout: the server must have closed it
+        busy = http.client.HTTPConnection("127.0.0.1", port, timeout=5)
+        busy.request("GET", "/healthz")
+        assert busy.getresponse().status == 200
+        # the silent connection is dead: reusing it fails (server closed)
+        try:
+            silent.request("GET", "/healthz")
+            resp = silent.getresponse()
+            # some stacks surface the close only on read
+            assert resp.status is None, "idle connection was never closed"
+        except (http.client.HTTPException, ConnectionError,
+                socket_mod.timeout, OSError):
+            pass  # expected: remote end closed
+        busy.close()
+    finally:
+        srv.shutdown()
+        srv.server_close()

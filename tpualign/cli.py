@@ -433,7 +433,9 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             )
         default = schemas[0] if schemas[0] in boxes else sorted(boxes)[0]
         httpd = serve_schemas(boxes, default, host=args.host, port=args.port,
-                              token=getattr(config, "serve_token", None))
+                              token=getattr(config, "serve_token", None),
+                              idle_timeout=getattr(
+                                  config, "serve_idle_timeout", 60.0))
         print(f"tpualign serve [{', '.join(sorted(boxes))}; default "
               f"{default}]: {boxes[default].service.stats()} on "
               f"http://{args.host}:{httpd.server_address[1]}")

@@ -437,6 +437,10 @@ class PipelineConfig:
     # credentialed; an exposed daemon must be too). None = open
     # (loopback-only deployments).
     serve_token: Optional[str] = None
+    # Idle keep-alive read timeout (seconds): a silent client's
+    # connection is closed after this long, so crashed peers and
+    # never-closing probes cannot pin daemon threads.
+    serve_idle_timeout: float = 60.0
     # auto-compaction threshold (SERVE_AUTO_COMPACT, fraction in (0, 1]):
     # when a delete leaves the served index's dead-row fraction at or
     # above it, the daemon compacts in place — postgres autovacuum
@@ -668,5 +672,6 @@ def load_config(
         ),
         serve_query_cache=int(_env(env, "SERVE_QUERY_CACHE", "1024")),
         serve_token=_env(env, "SERVE_TOKEN", "") or None,
+        serve_idle_timeout=float(_env(env, "SERVE_IDLE_TIMEOUT", "60")),
         serve_auto_compact=serve_auto_compact,
     )

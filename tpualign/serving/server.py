@@ -1099,7 +1099,8 @@ class _ServiceRegistry:
 
 
 def _make_handler(registry: "_ServiceRegistry",
-                  token: Optional[str] = None):
+                  token: Optional[str] = None,
+                  idle_timeout: float = 60.0):
     class Handler(BaseHTTPRequestHandler):
         # HTTP/1.1: persistent connections by default. Under HTTP/1.0 the
         # stdlib closed the TCP connection after every reply, so every
@@ -1117,8 +1118,9 @@ def _make_handler(registry: "_ServiceRegistry",
         # and a Content-Length longer than the bytes actually sent
         # hangs do_POST indefinitely. BaseHTTPRequestHandler applies
         # this to the connection socket; a timed-out idle connection is
-        # simply closed (the stdlib sets close_connection).
-        timeout = 60
+        # simply closed (the stdlib sets close_connection). Tune with
+        # SERVE_IDLE_TIMEOUT.
+        timeout = idle_timeout
 
         def log_message(self, fmt, *args):  # route to our logger, not stderr
             log.debug("http: " + fmt, *args)
@@ -1347,6 +1349,7 @@ def serve(
     rebuild: Optional[Callable[[], RetrievalService]] = None,
     fetch: Optional[Callable[[], tuple]] = None,
     token: Optional[str] = None,
+    idle_timeout: float = 60.0,
 ) -> ThreadingHTTPServer:
     """Create (but do not start) the HTTP server; call ``serve_forever`` on
     the result, or use it with a thread in tests.
@@ -1361,13 +1364,14 @@ def serve(
     """
     box = _ServiceBox(service, rebuild, fetch)
     return serve_schemas({service.schema: box}, service.schema, host, port,
-                         token=token)
+                         token=token, idle_timeout=idle_timeout)
 
 
 def serve_schemas(
     boxes: Dict[str, "_ServiceBox"], default: str,
     host: str = "127.0.0.1", port: int = 8321,
     token: Optional[str] = None,
+    idle_timeout: float = 60.0,
 ) -> ThreadingHTTPServer:
     """Multi-schema daemon: one endpoint serving several schemas, the
     way the reference's single PostgreSQL holds all four experimental
@@ -1380,7 +1384,8 @@ def serve_schemas(
     """
     return _Server(
         (host, port),
-        _make_handler(_ServiceRegistry(boxes, default), token=token),
+        _make_handler(_ServiceRegistry(boxes, default), token=token,
+                      idle_timeout=idle_timeout),
     )
 
 
