@@ -1970,9 +1970,10 @@ def test_compact_under_concurrent_searches(mode):
 
 def test_http11_keepalive_persistent_connection(service):
     """The daemon speaks HTTP/1.1 (VERDICT r3 weak #2): one persistent
-    connection serves many requests — including early-reply paths (401,
-    400, 404) whose bodies must be drained so framing survives — and
-    chunked bodies get 411 + close instead of corrupting the stream."""
+    connection serves many requests — authorized bodies are drained so
+    framing survives across 404/400 replies — while REJECTED requests
+    (401, 411, 413) close the connection instead of reading the body
+    (r5 hardening: unauthenticated payloads are never buffered)."""
     import http.client
 
     svc, emb, ids, manuals, pages = service
@@ -2001,6 +2002,11 @@ def test_http11_keepalive_persistent_connection(service):
         assert st == 200 and out["results"][0][0]["chunk_id"] == ids[3]
         st, out = roundtrip("POST", "/search", body)  # no token
         assert st == 401
+        # a 401 closes the connection (the body is deliberately never
+        # read — r5 hardening); reconnect explicitly (auto_open=0 means
+        # a silent reconnect cannot mask this)
+        conn.close()
+        conn.connect()
         st, out = roundtrip("POST", "/search", body, auth)
         assert st == 200 and out["results"][0][0]["chunk_id"] == ids[3]
         st, out = roundtrip("POST", "/nope", body, auth)
@@ -2009,7 +2015,8 @@ def test_http11_keepalive_persistent_connection(service):
         assert st == 400
         st, out = roundtrip("POST", "/search", body, auth)
         assert st == 200 and out["results"][0][0]["chunk_id"] == ids[3]
-        # 6 requests, zero reconnects: auto_open=0 would have raised
+        # post-401 requests rode ONE reconnect: auth'd 404/400 paths
+        # drain and keep the connection; only rejections close it
 
         # chunked transfer: 411 and the server closes the connection
         conn.putrequest("POST", "/search")
@@ -2056,6 +2063,222 @@ def test_idle_keepalive_connection_times_out(service):
                 socket_mod.timeout, OSError):
             pass  # expected: remote end closed
         busy.close()
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def _raw_connect(port, timeout=10.0):
+    import socket as socket_mod
+
+    s = socket_mod.create_connection(("127.0.0.1", port), timeout=timeout)
+    return s
+
+
+def _recv_response_head(sock):
+    """Read until the end of the response headers (or EOF)."""
+    buf = b""
+    while b"\r\n\r\n" not in buf:
+        chunk = sock.recv(4096)
+        if not chunk:
+            break
+        buf += chunk
+    return buf
+
+
+def test_oversize_body_rejected_before_read(service):
+    """SERVE_MAX_BODY_BYTES (VERDICT r4 weak #1): a Content-Length above
+    the cap gets 413 + close BEFORE any body byte is read — the reply
+    arrives while the client has sent only headers, proving the server
+    never waited on (let alone buffered) the claimed 8 GB payload."""
+    svc, *_ = service
+    srv = serve(svc, port=0, max_body_bytes=1024)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        s = _raw_connect(port)
+        s.sendall(
+            b"POST /search HTTP/1.1\r\nHost: x\r\n"
+            b"Content-Length: 8589934592\r\n"
+            b"Content-Type: application/json\r\n\r\n"
+        )  # headers only; the 8 GB body is never sent
+        head = _recv_response_head(s)
+        assert b"413" in head.split(b"\r\n", 1)[0]
+        # and the connection closes (framing cannot survive an unread
+        # body): draining the rest of the reply hits EOF
+        s.settimeout(10)
+        while s.recv(4096):
+            pass
+        s.close()
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_unauthenticated_body_never_read(service):
+    """401s are decided on the HEADERS: an unauthenticated POST gets its
+    reply while only the headers are on the wire, and the connection
+    closes without the server reading the (never-sent) body."""
+    svc, *_ = service
+    srv = serve(svc, port=0, token="sekrit")
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        s = _raw_connect(port)
+        s.sendall(
+            b"POST /search HTTP/1.1\r\nHost: x\r\n"
+            b"Content-Length: 1000000\r\n\r\n"
+        )
+        head = _recv_response_head(s)
+        assert b"401" in head.split(b"\r\n", 1)[0]
+        s.close()
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_negative_content_length_rejected(service):
+    """A negative Content-Length must 400, not rfile.read(-1) (which
+    reads to EOF and pins the thread until the idle timeout; ADVICE
+    r4)."""
+    svc, *_ = service
+    srv = serve(svc, port=0)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        s = _raw_connect(port)
+        s.sendall(
+            b"POST /search HTTP/1.1\r\nHost: x\r\n"
+            b"Content-Length: -5\r\n\r\n"
+        )
+        head = _recv_response_head(s)
+        assert b"400" in head.split(b"\r\n", 1)[0]
+        s.close()
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_connection_cap_sheds_excess(service):
+    """SERVE_MAX_CONNECTIONS: past the cap, new connections are shed
+    with 503 + close — and the shed does NOT break service for the
+    connections already admitted."""
+    svc, *_ = service
+    srv = serve(svc, port=0, max_connections=2)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        import http.client
+        import time as _time
+
+        # two admitted keep-alive connections occupy the cap
+        held = []
+        for _ in range(2):
+            c = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+            c.request("GET", "/healthz")
+            r = c.getresponse()
+            assert r.status == 200
+            r.read()  # finish the response so the connection is reusable
+            held.append(c)  # keep-alive: still occupying its slot
+        _time.sleep(0.1)  # let the handler threads re-enter their reads
+        # the third connection is shed
+        s = _raw_connect(port)
+        head = _recv_response_head(s)
+        assert b"503" in head.split(b"\r\n", 1)[0]
+        assert s.recv(4096) == b""  # and closed
+        s.close()
+        # an already-admitted connection still serves
+        held[0].request("GET", "/healthz")
+        r = held[0].getresponse()
+        assert r.status == 200
+        r.read()
+        # releasing a slot admits a new connection
+        held[1].close()
+        _time.sleep(1.5)  # server notices the close and frees the slot
+        c = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+        c.request("GET", "/healthz")
+        assert c.getresponse().status == 200
+        c.close()
+        held[0].close()
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_drip_feed_request_hits_deadline(service):
+    """The total-request read deadline (SERVE_REQUEST_DEADLINE): a
+    client dripping one byte at a time defeats the per-read idle
+    timeout forever, but the watchdog cuts the connection once
+    idle_timeout + request_deadline elapses."""
+    import time as _time
+
+    svc, *_ = service
+    srv = serve(svc, port=0, idle_timeout=0.5, request_deadline=1.0)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        s = _raw_connect(port)
+        s.settimeout(0.2)
+        line = b"POST /search HTTP/1.1\r\nX-Drip: " + b"a" * 200
+        deadline = _time.monotonic() + 15.0
+        cut = False
+        i = 0
+        while _time.monotonic() < deadline:
+            try:
+                s.sendall(line[i % len(line):i % len(line) + 1])
+                i += 1
+            except (BrokenPipeError, ConnectionError, OSError):
+                cut = True
+                break
+            try:
+                if s.recv(1) == b"":
+                    cut = True
+                    break
+            except TimeoutError:
+                pass  # no data yet; keep dripping
+            _time.sleep(0.1)
+        assert cut, "drip-feeding client was never disconnected"
+        # the cut happened near the deadline (idle 0.5 + deadline 1.0 +
+        # watchdog tick 1.0 + slack), far before the 15 s test bound
+        s.close()
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_slow_processing_not_cut_by_deadline():
+    """The read deadline must bound READING only: a request whose
+    PROCESSING outlasts idle_timeout + request_deadline still completes
+    (the deadline is disarmed once the body is fully read)."""
+    import time as _time
+    import urllib.request
+
+    emb = np.eye(4, dtype=np.float32)
+
+    def slow_encoder(texts):
+        _time.sleep(2.5)  # > idle 0.5 + deadline 1.0 + watchdog tick
+        return emb[: len(texts)]
+
+    svc = RetrievalService(emb, list("abcd"), ["m"] * 4, [1] * 4,
+                           text_encoder=slow_encoder)
+    srv = serve(svc, port=0, idle_timeout=0.5, request_deadline=1.0)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/search_text",
+            data=json.dumps({"texts": ["x"], "k": 1,
+                             "global": True}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        out = json.loads(urllib.request.urlopen(req, timeout=30).read())
+        assert len(out["results"][0]) == 1
     finally:
         srv.shutdown()
         srv.server_close()

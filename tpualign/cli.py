@@ -435,7 +435,13 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         httpd = serve_schemas(boxes, default, host=args.host, port=args.port,
                               token=getattr(config, "serve_token", None),
                               idle_timeout=getattr(
-                                  config, "serve_idle_timeout", 60.0))
+                                  config, "serve_idle_timeout", 60.0),
+                              max_body_bytes=getattr(
+                                  config, "serve_max_body_bytes", 64 * 2**20),
+                              max_connections=getattr(
+                                  config, "serve_max_connections", 128),
+                              request_deadline=getattr(
+                                  config, "serve_request_deadline", 30.0))
         print(f"tpualign serve [{', '.join(sorted(boxes))}; default "
               f"{default}]: {boxes[default].service.stats()} on "
               f"http://{args.host}:{httpd.server_address[1]}")

@@ -441,6 +441,21 @@ class PipelineConfig:
     # connection is closed after this long, so crashed peers and
     # never-closing probes cannot pin daemon threads.
     serve_idle_timeout: float = 60.0
+    # Request-body ceiling (SERVE_MAX_BODY_BYTES): a Content-Length
+    # above it is rejected with 413 BEFORE any body byte is read, so an
+    # unauthenticated client claiming an 8 GB body allocates nothing.
+    # The default (64 MiB) leaves ample room for /search_image_bytes
+    # base64 payloads and bulk /add batches.
+    serve_max_body_bytes: int = 64 * 2**20
+    # Live-connection cap (SERVE_MAX_CONNECTIONS): ThreadingHTTPServer
+    # is thread-per-connection and keep-alive makes threads live as long
+    # as connections — past the cap new connections are shed with 503.
+    serve_max_connections: int = 128
+    # Total-request READ deadline (SERVE_REQUEST_DEADLINE, seconds) on
+    # top of the idle timeout: the per-read timeout bounds silence, not
+    # drip-feeds (1 byte / 59 s never times out); the watchdog cuts
+    # connections still reading past idle_timeout + this.
+    serve_request_deadline: float = 30.0
     # auto-compaction threshold (SERVE_AUTO_COMPACT, fraction in (0, 1]):
     # when a delete leaves the served index's dead-row fraction at or
     # above it, the daemon compacts in place — postgres autovacuum
@@ -673,5 +688,12 @@ def load_config(
         serve_query_cache=int(_env(env, "SERVE_QUERY_CACHE", "1024")),
         serve_token=_env(env, "SERVE_TOKEN", "") or None,
         serve_idle_timeout=float(_env(env, "SERVE_IDLE_TIMEOUT", "60")),
+        serve_max_body_bytes=int(
+            _env(env, "SERVE_MAX_BODY_BYTES", str(64 * 2**20))
+        ),
+        serve_max_connections=int(_env(env, "SERVE_MAX_CONNECTIONS", "128")),
+        serve_request_deadline=float(
+            _env(env, "SERVE_REQUEST_DEADLINE", "30")
+        ),
         serve_auto_compact=serve_auto_compact,
     )
