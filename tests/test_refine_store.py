@@ -328,3 +328,60 @@ def test_empty_index_with_refine_builds_then_grows():
     assert len(ix._refine_corpus) == 50
     v, i = ix.search(emb[7:8], k=1, global_search=True)
     assert int(np.asarray(i)[0, 0]) == 7
+
+
+class TestStaleFileReclaim:
+    """r5: orphan and failed-write reclamation for refine memmap files
+    (VERDICT r4 weak #5 + ADVICE r4 #2)."""
+
+    def _dead_pid(self):
+        import subprocess
+
+        p = subprocess.Popen(["true"])
+        p.wait()
+        return p.pid  # just exited; reuse within this test is unlikely
+
+    def test_sweep_reclaims_dead_owner_files(self, tmp_path):
+        d = str(tmp_path)
+        dead = self._dead_pid()
+        orphan = tmp_path / f"tpualign_refine_{dead}_abc.f32"
+        orphan.write_bytes(b"x" * 64)
+        mine = tmp_path / f"tpualign_refine_{os.getpid()}_def.f32"
+        mine.write_bytes(b"y" * 64)
+        other = tmp_path / "unrelated.f32"
+        other.write_bytes(b"z")
+        legacy = tmp_path / "tpualign_refine_noPid.f32"  # pre-r5 naming
+        legacy.write_bytes(b"w")
+        removed = R._sweep_stale_refine_files(d)
+        assert removed == 1
+        assert not orphan.exists()          # dead owner: reclaimed
+        assert mine.exists()                # live owner (us): kept
+        assert other.exists()               # non-matching name: kept
+        assert legacy.exists()              # unparseable pid: kept
+
+    def test_build_triggers_sweep_once(self, rows, tmp_path, monkeypatch):
+        d = tmp_path / "rf"
+        d.mkdir()
+        monkeypatch.setenv("RETRIEVAL_REFINE_DIR", str(d))
+        monkeypatch.setattr(R, "_swept_refine_dirs", set())
+        dead = self._dead_pid()
+        orphan = d / f"tpualign_refine_{dead}_abc.f32"
+        orphan.write_bytes(b"x" * 64)
+        c = _RefineCorpus.build(rows, "memmap")
+        assert not orphan.exists()  # first build swept the orphan
+        # and our OWN freshly-written file survived the sweep
+        assert len(c) == len(rows)
+        np.testing.assert_array_equal(c.take([0]), rows[None, 0])
+
+    def test_failed_write_unlinks_temp_file(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("RETRIEVAL_REFINE_DIR", str(tmp_path))
+        monkeypatch.setattr(R, "_swept_refine_dirs", {str(tmp_path)})
+
+        def bad_rows(s, e):
+            raise OSError("disk full")
+
+        with pytest.raises(OSError, match="disk full"):
+            R._write_refine_memmap(10, 4, bad_rows)
+        left = [p for p in os.listdir(tmp_path)
+                if p.startswith("tpualign_refine_")]
+        assert left == []  # the temp file did not orphan
