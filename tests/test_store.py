@@ -283,9 +283,10 @@ def test_lazy_column_accessor(tmp_path):
 
 def test_save_is_atomic_under_live_memmap(tmp_path):
     """Re-saving a MUTATED table while another store instance holds a
-    live memmap view must not corrupt that view: writes go to a temp
-    file and rename over (new inode) — the old mapping keeps its data,
-    and no .tmp litter survives."""
+    live memmap view must not corrupt that view: appends land past the
+    reader's mapped rows (in-place tail append, r5) and full rewrites
+    rename over a temp file — either way the old mapping keeps its
+    data, and no .tmp litter survives."""
     store = EmbeddingStore(tmp_path / "s", embed_dim=4)
     store.setup(["vanilla_clip"])
     emb = np.arange(12, dtype=np.float32).reshape(3, 4)
@@ -307,3 +308,263 @@ def test_save_is_atomic_under_live_memmap(tmp_path):
     np.testing.assert_array_equal(np.asarray(mat[3]), np.full(4, 5.0))
     leftovers = list((tmp_path / "s").rglob("*.tmp*"))
     assert not leftovers, leftovers
+
+
+# -- O(delta) mutation on disk-backed stores (round 5: VERDICT r4 #1) ------
+
+
+def _mk_base(tmp_path, n=40, d=4, schema="vanilla_clip"):
+    store = EmbeddingStore(tmp_path / "s", embed_dim=d)
+    store.setup([schema])
+    rng = np.random.default_rng(3)
+    emb = rng.normal(size=(n, d)).astype(np.float32)
+    store.insert_chunks(schema, [chunk_row(i) for i in range(n)], emb)
+    store.insert_images(schema, [img_row(0)], np.zeros((1, d), np.float32))
+    store.save([schema])
+    return tmp_path / "s", emb
+
+
+def test_delta_upsert_roundtrip_matches_oracle(tmp_path):
+    """A mixed delta batch (new keys + base updates + in-batch dups)
+    through the O(delta) path must land exactly like the same ops on a
+    RAM-native oracle store."""
+    root, emb = _mk_base(tmp_path, n=40)
+    d = 4
+    rng = np.random.default_rng(9)
+
+    def apply(store):
+        s = "vanilla_clip"
+        # update base rows 3 and 7, add 50..54, duplicate 52 (last wins)
+        recs = ([chunk_row(3), chunk_row(7)]
+                + [chunk_row(i) for i in range(50, 55)]
+                + [chunk_row(52)])
+        e = rng.normal(size=(len(recs), d)).astype(np.float32)
+        store.insert_chunks(s, recs, e)
+        # second batch: update a delta row (51) and append one more
+        recs2 = [chunk_row(51), chunk_row(60)]
+        e2 = rng.normal(size=(2, d)).astype(np.float32)
+        store.insert_chunks(s, recs2, e2)
+        store.save([s])
+
+    rng_state = rng.bit_generator.state
+    delta_store = EmbeddingStore(root, embed_dim=d)
+    apply(delta_store)
+
+    # oracle: same base + same ops built entirely in RAM
+    rng.bit_generator.state = rng_state
+    oracle = EmbeddingStore(tmp_path / "oracle", embed_dim=d)
+    oracle.setup(["vanilla_clip"])
+    oracle.insert_chunks("vanilla_clip",
+                         [chunk_row(i) for i in range(40)], emb)
+    apply(oracle)
+
+    got = EmbeddingStore(root, embed_dim=d)
+    ids, mat = got.embedding_matrix("vanilla_clip", "text_chunks")
+    oids, omat = oracle.embedding_matrix("vanilla_clip", "text_chunks")
+    assert ids == oids
+    np.testing.assert_array_equal(np.asarray(mat), np.asarray(omat))
+    assert got.chunks("vanilla_clip") == oracle.chunks("vanilla_clip")
+
+
+def test_delta_save_writes_o_delta_bytes(tmp_path):
+    """VERDICT r4 weak #2: upserting into a disk-backed table must NOT
+    rewrite the base — the matrix file keeps its inode (in-place tail
+    append, size grows by exactly the delta rows), the base Parquet is
+    untouched, and the sidecars carry the delta."""
+    import os
+
+    root, emb = _mk_base(tmp_path, n=100)
+    sdir = root / "vanilla_clip"
+    emb_st = os.stat(sdir / "text_chunks.emb.npy")
+    meta_st = os.stat(sdir / "text_chunks.parquet")
+
+    store = EmbeddingStore(root, embed_dim=4)
+    new = np.full((5, 4), 2.5, np.float32)
+    store.insert_chunks("vanilla_clip",
+                        [chunk_row(i) for i in range(200, 205)], new)
+    upd = np.full((2, 4), 7.5, np.float32)
+    store.insert_chunks("vanilla_clip", [chunk_row(1), chunk_row(2)], upd)
+    store.save(["vanilla_clip"])
+
+    emb_st2 = os.stat(sdir / "text_chunks.emb.npy")
+    assert emb_st2.st_ino == emb_st.st_ino, "matrix was rewritten, not appended"
+    assert emb_st2.st_size == emb_st.st_size + 5 * 4 * 4
+    meta_st2 = os.stat(sdir / "text_chunks.parquet")
+    assert (meta_st2.st_ino, meta_st2.st_mtime_ns) == \
+        (meta_st.st_ino, meta_st.st_mtime_ns), "base metadata was rewritten"
+    assert (sdir / "text_chunks.delta.parquet").exists()
+    assert (sdir / "text_chunks.emb.overlay.npz").exists()
+
+    got = EmbeddingStore(root, embed_dim=4)
+    ids, mat = got.embedding_matrix("vanilla_clip", "text_chunks")
+    assert len(ids) == 105
+    np.testing.assert_array_equal(np.asarray(mat[1]), upd[0])
+    np.testing.assert_array_equal(np.asarray(mat[100]), new[0])
+    np.testing.assert_array_equal(np.asarray(mat[0]), emb[0])
+
+
+def test_delta_compaction_folds_sidecars(tmp_path):
+    """Past _COMPACT_FRACTION of the base, save() folds: sidecars gone,
+    base Parquet carries every row, overlay applied into the matrix."""
+    root, emb = _mk_base(tmp_path, n=20)
+    store = EmbeddingStore(root, embed_dim=4)
+    new = np.full((10, 4), 3.0, np.float32)  # 50% of base: compacts
+    store.insert_chunks("vanilla_clip",
+                        [chunk_row(i) for i in range(100, 110)], new)
+    store.insert_chunks("vanilla_clip", [chunk_row(0)],
+                        np.full((1, 4), 8.0, np.float32))
+    store.save(["vanilla_clip"])
+    sdir = root / "vanilla_clip"
+    assert not (sdir / "text_chunks.delta.parquet").exists()
+    assert not (sdir / "text_chunks.emb.overlay.npz").exists()
+    import pyarrow.parquet as pq
+
+    assert pq.ParquetFile(sdir / "text_chunks.parquet").metadata.num_rows == 30
+    raw = np.load(sdir / "text_chunks.emb.npy")
+    assert raw.shape == (30, 4)
+    np.testing.assert_array_equal(raw[0], np.full(4, 8.0))  # overlay folded
+    got = EmbeddingStore(root, embed_dim=4)
+    ids, mat = got.embedding_matrix("vanilla_clip", "text_chunks")
+    assert len(ids) == 30 and ids[20] == chunk_row(100)["chunk_id"]
+    # post-compaction: further delta upserts still work
+    store2 = EmbeddingStore(root, embed_dim=4)
+    store2.insert_chunks("vanilla_clip", [chunk_row(300)],
+                         np.ones((1, 4), np.float32))
+    store2.save(["vanilla_clip"])
+    got2 = EmbeddingStore(root, embed_dim=4)
+    assert got2.counts("vanilla_clip")["text_chunks"] == 31
+
+
+def test_overlay_visible_before_save_and_cow(tmp_path):
+    """An embedding update on a disk-backed row is visible immediately
+    (copy-on-write patch — only the touched page is private) while the
+    on-disk base matrix keeps the old bytes until compaction."""
+    root, emb = _mk_base(tmp_path, n=30)
+    store = EmbeddingStore(root, embed_dim=4)
+    upd = np.full((1, 4), 6.25, np.float32)
+    store.insert_chunks("vanilla_clip", [chunk_row(5)], upd)
+    _, mat = store.embedding_matrix("vanilla_clip", "text_chunks")
+    np.testing.assert_array_equal(np.asarray(mat[5]), upd[0])
+    store.save(["vanilla_clip"])
+    raw = np.load(root / "vanilla_clip" / "text_chunks.emb.npy")
+    np.testing.assert_array_equal(raw[5], emb[5])  # disk base unchanged
+    got = EmbeddingStore(root, embed_dim=4)
+    _, mat2 = got.embedding_matrix("vanilla_clip", "text_chunks")
+    np.testing.assert_array_equal(np.asarray(mat2[5]), upd[0])  # overlay wins
+
+
+def test_matrix_flushes_pending_delta(tmp_path):
+    """matrix() on a table with PENDING appended rows checkpoints them
+    (O(delta) save) instead of materializing a stitched base copy, and
+    the disk state it leaves is consistent."""
+    root, _ = _mk_base(tmp_path, n=30)
+    store = EmbeddingStore(root, embed_dim=4)
+    store.insert_chunks("vanilla_clip", [chunk_row(500)],
+                        np.full((1, 4), 4.5, np.float32))
+    ids, mat = store.embedding_matrix("vanilla_clip", "text_chunks")
+    assert len(ids) == 31
+    np.testing.assert_array_equal(np.asarray(mat[30]), np.full(4, 4.5))
+    assert isinstance(mat, np.memmap)
+    got = EmbeddingStore(root, embed_dim=4)  # fresh open: consistent disk
+    assert got.counts("vanilla_clip")["text_chunks"] == 31
+
+
+def test_clean_tables_skipped_on_save(tmp_path):
+    """VERDICT r4 weak #3: save() must not rewrite tables that were
+    only read — across every file of every untouched table."""
+    import os
+
+    root, _ = _mk_base(tmp_path, n=10)
+    sdir = root / "vanilla_clip"
+    before = {p.name: os.stat(p).st_mtime_ns for p in sdir.iterdir()}
+    store = EmbeddingStore(root, embed_dim=4)
+    _ = store.embedding_matrix("vanilla_clip", "text_chunks")  # read-only
+    _ = store.images("vanilla_clip")
+    _ = store.alignments("vanilla_clip")
+    store.save(["vanilla_clip"])
+    after = {p.name: os.stat(p).st_mtime_ns for p in sdir.iterdir()}
+    assert before == after, "a clean table was rewritten"
+    # mutating ONE table leaves the others untouched
+    store.insert_chunks("vanilla_clip", [chunk_row(99)],
+                        np.ones((1, 4), np.float32))
+    store.save(["vanilla_clip"])
+    after2 = {p.name: os.stat(p).st_mtime_ns for p in sdir.iterdir()
+              if p.name.startswith(("images", "alignments"))}
+    assert after2 == {k: v for k, v in before.items()
+                      if k.startswith(("images", "alignments"))}
+
+
+def test_uncommitted_matrix_tail_self_heals(tmp_path):
+    """A crash between the in-place matrix append and the delta Parquet
+    commit leaves trailing matrix rows with no metadata: the next open
+    ignores them (the Parquet is the commit record) and the next append
+    overwrites them."""
+    from tpualign.store.embedding_store import _append_npy_rows
+
+    root, emb = _mk_base(tmp_path, n=12)
+    path = root / "vanilla_clip" / "text_chunks.emb.npy"
+    _append_npy_rows(path, np.full((3, 4), 9.9, np.float32), 12)
+    assert np.load(path).shape == (15, 4)
+
+    store = EmbeddingStore(root, embed_dim=4)
+    ids, mat = store.embedding_matrix("vanilla_clip", "text_chunks")
+    assert len(ids) == 12 and mat.shape[0] == 12
+    # the next committed append lands where the garbage was
+    store.insert_chunks("vanilla_clip", [chunk_row(700)],
+                        np.full((1, 4), 1.5, np.float32))
+    store.save(["vanilla_clip"])
+    got = EmbeddingStore(root, embed_dim=4)
+    ids2, mat2 = got.embedding_matrix("vanilla_clip", "text_chunks")
+    assert len(ids2) == 13
+    np.testing.assert_array_equal(np.asarray(mat2[12]), np.full(4, 1.5))
+
+
+def test_stale_delta_sidecar_after_fold_dropped(tmp_path):
+    """A crash between the compaction fold and the sidecar unlink leaves
+    a delta Parquet whose rows are already in the base: the next open
+    detects base_rows == matrix_rows and drops the sidecar."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root, _ = _mk_base(tmp_path, n=8)
+    sdir = root / "vanilla_clip"
+    # craft the stale sidecar: rows that are ALREADY part of the base
+    base = pq.read_table(sdir / "text_chunks.parquet")
+    pq.write_table(base.slice(6, 2), sdir / "text_chunks.delta.parquet")
+    store = EmbeddingStore(root, embed_dim=4)
+    ids, mat = store.embedding_matrix("vanilla_clip", "text_chunks")
+    assert len(ids) == 8 and len(set(ids)) == 8, "stale delta double-counted"
+    assert not (sdir / "text_chunks.delta.parquet").exists()
+
+
+def test_torn_metadata_without_matrix_rows_raises(tmp_path):
+    """Metadata claiming MORE rows than the matrix holds is a real tear
+    (data loss) and must fail loudly, exactly as in v2."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root, _ = _mk_base(tmp_path, n=8)
+    sdir = root / "vanilla_clip"
+    extra = pa.table({
+        "chunk_id": ["zz1", "zz2"], "manual_id": ["m", "m"],
+        "page": [1, 1], "bbox": [None, None], "text": [None, None],
+    })
+    base = pq.read_table(sdir / "text_chunks.parquet")
+    pq.write_table(
+        pa.concat_tables([
+            base,
+            extra.cast(base.schema),
+        ]),
+        sdir / "text_chunks.parquet",
+    )
+    store = EmbeddingStore(root, embed_dim=4)
+    with pytest.raises(ValueError, match="torn"):
+        store.counts("vanilla_clip")
+
+
+def test_delta_dim_mismatch_raises(tmp_path):
+    root, _ = _mk_base(tmp_path, n=6)
+    store = EmbeddingStore(root, embed_dim=4)
+    with pytest.raises(ValueError, match="dim"):
+        store.insert_chunks("vanilla_clip", [chunk_row(50)],
+                            np.ones((1, 8), np.float32))
