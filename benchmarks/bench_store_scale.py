@@ -15,8 +15,16 @@ measures exactly that:
            time and RSS. The RSS bound (default 4 GB) fails the run if
            the matrix was ever materialized.
 
+  phase 3 (r5, a FRESH subprocess): upsert a 10k-row delta (plus 1k
+           embedding updates to existing rows) into the saved 10M-row
+           store and save — the `tpualign ingest`-into-big-store regime
+           (VERDICT r4 weak #2). Reports RssAnon (bound: 1 GB — the
+           19 GB base must never materialize) and the bytes written to
+           disk (bound: proportional to the delta, not the corpus).
+
 Usage: python benchmarks/bench_store_scale.py [N_millions] [D]
-       (internal: --load <root> <n> <d> runs phase 2)
+       (internal: --load <root> <n> <d> runs phase 2,
+                  --delta <root> <n> <d> runs phase 3)
 
 Prints one JSON line per phase.
 """
@@ -87,9 +95,78 @@ def load_phase(root: str, n: int, d: int) -> None:
     }), flush=True)
 
 
+def delta_phase(root: str, n: int, d: int) -> None:
+    import numpy as np
+
+    from tpualign.store import EmbeddingStore
+
+    sdir = os.path.join(root, "vanilla_clip")
+    files_before = {
+        f: os.stat(os.path.join(sdir, f))
+        for f in os.listdir(sdir)
+    }
+    add_n, upd_n = 10_000, 1_000
+    rng = np.random.default_rng(5)
+    t0 = time.perf_counter()
+    store = EmbeddingStore(root, embed_dim=d)
+    recs = [
+        {"chunk_id": f"delta{i}", "manual_id": "mD", "page": 1,
+         "bbox": None, "text": None}
+        for i in range(add_n)
+    ] + [
+        {"chunk_id": f"c{int(i)}", "manual_id": "mD", "page": 1,
+         "bbox": None, "text": None}
+        for i in rng.integers(0, n, upd_n)
+    ]
+    emb = rng.standard_normal((len(recs), d), dtype=np.float32)
+    store.insert_chunks("vanilla_clip", recs, emb)
+    upsert_s = time.perf_counter() - t0
+    t1 = time.perf_counter()
+    store.save(["vanilla_clip"])
+    save_s = time.perf_counter() - t1
+
+    emb_path = os.path.join(sdir, "text_chunks.emb.npy")
+    emb_after = os.stat(emb_path)
+    base_kept = (
+        emb_after.st_ino == files_before["text_chunks.emb.npy"].st_ino
+    )
+    meta_after = os.stat(os.path.join(sdir, "text_chunks.parquet"))
+    meta_kept = (
+        meta_after.st_mtime_ns
+        == files_before["text_chunks.parquet"].st_mtime_ns
+    )
+    grew = emb_after.st_size - files_before["text_chunks.emb.npy"].st_size
+    sidecar_bytes = sum(
+        os.path.getsize(os.path.join(sdir, f))
+        for f in os.listdir(sdir)
+        if ".delta." in f or ".overlay." in f
+    )
+    m = mem_gb()
+    store2 = EmbeddingStore(root, embed_dim=d)
+    counts = store2.counts("vanilla_clip")
+    print(json.dumps({
+        "metric": "store_delta_upsert",
+        "base_rows": n, "added": add_n, "updated": upd_n, "dim": d,
+        "upsert_s": round(upsert_s, 2),
+        "save_s": round(save_s, 2),
+        "rss_anon_gb": m.get("RssAnon"),
+        "peak_rss_gb": m.get("VmHWM"),
+        "base_matrix_inode_kept": bool(base_kept),
+        "base_parquet_untouched": bool(meta_kept),
+        "matrix_growth_mb": round(grew / 2**20, 1),
+        "delta_rows_mb": round(add_n * d * 4 / 2**20, 1),
+        "sidecar_mb": round(sidecar_bytes / 2**20, 1),
+        "reopen_rows": counts["text_chunks"],
+    }), flush=True)
+    assert counts["text_chunks"] == n + add_n, counts
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--load":
         load_phase(sys.argv[2], int(sys.argv[3]), int(sys.argv[4]))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--delta":
+        delta_phase(sys.argv[2], int(sys.argv[3]), int(sys.argv[4]))
         return
 
     import numpy as np
@@ -153,6 +230,29 @@ def main() -> None:
             f"load anonymous RSS {rec['rss_anon_gb']} GB exceeds the "
             f"{bound_gb} GB bound — the matrix was materialized"
         )
+
+    # phase 3: the O(delta) mutation regime, in its own process so RSS
+    # accounting starts clean
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--delta", root,
+         str(n), str(d)],
+        capture_output=True, text=True,
+    )
+    sys.stdout.write(out.stdout)
+    if out.returncode != 0:
+        sys.stderr.write(out.stderr)
+        raise SystemExit("delta phase failed")
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    delta_bound_gb = float(
+        os.environ.get("STORE_DELTA_RSS_BOUND_GB", "1")
+    )
+    if rec["rss_anon_gb"] > delta_bound_gb:
+        raise SystemExit(
+            f"delta upsert RSS {rec['rss_anon_gb']} GB exceeds the "
+            f"{delta_bound_gb} GB bound — the base was materialized"
+        )
+    if not rec["base_matrix_inode_kept"]:
+        raise SystemExit("delta save rewrote the base matrix")
     import shutil
 
     shutil.rmtree(root, ignore_errors=True)
