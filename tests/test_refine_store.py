@@ -138,6 +138,7 @@ class TestRefineCorpus:
         assert c.mode == "ram" and len(c) == 0
 
 
+@pytest.mark.slow
 class TestIndexIntegration:
     @pytest.fixture
     def corpus(self):
@@ -234,6 +235,7 @@ class TestIndexIntegration:
         assert svc.index._refine_corpus.mode == "memmap"
 
 
+@pytest.mark.slow
 class TestSkipValsFetch:
     def test_streaming_refine_skips_vals_fetch_identically(self, monkeypatch):
         """In the beyond-HBM streaming branch a refined search fetches

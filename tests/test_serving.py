@@ -116,6 +116,7 @@ def test_no_text_tower_mode():
         svc.search_text(["x"])
 
 
+@pytest.mark.slow
 def test_service_on_mesh():
     """Service over a sharded index (8-device CPU mesh) returns the same
     results as single-device."""
@@ -593,6 +594,7 @@ def test_search_text_routes_through_encode_coalescer(service):
     assert "encode_coalescer" in st
 
 
+@pytest.mark.slow
 def test_service_index_type_and_precision_knobs():
     """RETRIEVAL_INDEX / RETRIEVAL_PRECISION routing through the service:
     ivf builds an IVFIndex, int8 quantizes the resident corpus, and both
@@ -624,6 +626,7 @@ def test_service_index_type_and_precision_knobs():
     assert [r[0]["chunk_id"] for r in res] == ids[:3]
 
 
+@pytest.mark.slow
 def test_serving_int4_precision():
     """precision="int4" serves through the same surface: self-retrieval
     survives 4-bit quantization, and /stats reports the precision for
@@ -671,6 +674,7 @@ def test_stats_reports_ivf_geometry():
     assert s2["index"] == "RetrievalIndex" and "ivf" not in s2
 
 
+@pytest.mark.slow
 def test_cli_index_builds_artifact(tmp_path, capsys):
     """`tpualign index` builds + persists the IVF structure offline (the
     reference created its ANN index at setup time); a subsequent serve
@@ -1658,6 +1662,7 @@ def test_auth_handles_non_ascii_header_and_token():
         httpd.server_close()
 
 
+@pytest.mark.slow
 def test_service_mesh_add_and_sync():
     """Sharded serving mutations (r3 late): /add-equivalent inserts and
     /sync deltas work on a mesh-sharded exact index — new chunks become
@@ -1702,6 +1707,7 @@ def test_service_mesh_add_and_sync():
     assert r[0][0]["chunk_id"] == "fresh"
 
 
+@pytest.mark.slow
 def test_service_mesh_ivf_add_remove_and_sync():
     """Sharded IVF serving mutations (r3 late): /add routes rows to the
     globally nearest shard+list, /remove tombstones, /sync applies store
@@ -1741,6 +1747,7 @@ def test_service_mesh_ivf_add_remove_and_sync():
     assert r[0][0]["chunk_id"] == "fresh"
 
 
+@pytest.mark.slow
 def test_compact_endpoint_reclaims_and_remaps():
     """POST /compact (pgvector VACUUM parity): tombstoned rows reclaim,
     the chunk-id list remaps to the renumbered survivors, and results
@@ -1833,6 +1840,7 @@ def test_auto_compact_threshold():
     assert svc.index.n == n - 4 and svc.index.dead == n - 4
 
 
+@pytest.mark.slow
 def test_auto_compact_covers_every_index_type():
     """The autovacuum reflex is index-agnostic: IVF re-packs around its
     centroids, HNSW rewrites its graph — both through the same
@@ -1854,6 +1862,7 @@ def test_auto_compact_covers_every_index_type():
         assert r[0][0]["chunk_id"] == "c20", (kw, r)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("mode", [
     "explicit", "auto", "coalesced", "ivf", "hnsw", "refine_memmap"])
 def test_compact_under_concurrent_searches(mode):
