@@ -387,3 +387,18 @@ class TestStaleFileReclaim:
         left = [p for p in os.listdir(tmp_path)
                 if p.startswith("tpualign_refine_")]
         assert left == []  # the temp file did not orphan
+
+    def test_ram_mode_build_still_sweeps(self, rows, tmp_path, monkeypatch):
+        """A daemon that crashed in memmap mode and restarted in ram
+        mode must still reclaim the orphan (the sweep rides EVERY first
+        build, not just memmap ones)."""
+        d = tmp_path / "rf2"
+        d.mkdir()
+        monkeypatch.setenv("RETRIEVAL_REFINE_DIR", str(d))
+        monkeypatch.setattr(R, "_swept_refine_dirs", set())
+        dead = self._dead_pid()
+        orphan = d / f"tpualign_refine_{dead}_x.f16"
+        orphan.write_bytes(b"x" * 64)
+        c = _RefineCorpus.build(rows, "ram")
+        assert not orphan.exists()
+        assert c.mode == "ram"

@@ -841,6 +841,14 @@ class _RefineCorpus:
     @classmethod
     def build(cls, rows, store: Optional[str] = None) -> "_RefineCorpus":
         mode = _refine_store_mode(store)
+        # reclaim orphans on EVERY first build, whatever this corpus's
+        # mode lands on — a daemon that crashed in memmap mode and
+        # restarted in ram mode must still free the 45+ GB file
+        dirpath = (os.environ.get("RETRIEVAL_REFINE_DIR")
+                   or tempfile.gettempdir())
+        if dirpath not in _swept_refine_dirs:
+            _swept_refine_dirs.add(dirpath)
+            _sweep_stale_refine_files(dirpath)
         rows = np.asarray(rows)
         if rows.ndim != 2:
             # an empty index builds with a dimension-less () / (0,)
