@@ -63,12 +63,28 @@ def main() -> None:
     qs = make_queries(jax.random.PRNGKey(7))
     qk = jnp.zeros((q_n,), jnp.int32)
 
-    def sweep(kk):
+    # one jitted executable per (kk, skip-arm): eager dispatch through
+    # the relay costs ~100x (measured the hard way)
+    from functools import lru_cache
+
+    @lru_cache(maxsize=None)
+    def seg_fn(kk, skip):
+        @partial(jax.jit, static_argnames=())
+        def f(q, qk_, c, ck, cs):
+            pk._exact_skip_override = skip  # trace-time constant
+            try:
+                return masked_sim_topk(q, qk_, c, ck, kk,
+                                       corpus_scales=cs, int8_mxu=True)
+            finally:
+                pk._exact_skip_override = None
+        return f
+
+    def sweep(kk, skip):
         vs, is_ = [], []
         off = 0
+        f = seg_fn(kk, skip)
         for p, (cs, ck) in zip(parts, seg_meta):
-            v, i = masked_sim_topk(qs, qk, p, ck, kk, corpus_scales=cs,
-                                   int8_mxu=True)
+            v, i = f(qs, qk, p, ck, cs)
             vs.append(v)
             is_.append(i + off)
             off += len(p)
@@ -87,19 +103,15 @@ def main() -> None:
         point = {"k": kk}
         ref = {}
         for arm, override in (("skip_off", False), ("skip_on", True)):
-            pk._exact_skip_override = override
-            try:
-                v, i = sweep(kk)
-                _ = float(jnp.sum(v))  # scalar sync through the relay
-                t0 = time.perf_counter()
-                for _ in range(iters):
-                    v, i = sweep(kk)
-                _ = float(jnp.sum(v))
-                dt = time.perf_counter() - t0
-                point[arm + "_qps"] = round(q_n * iters / dt, 1)
-                ref[arm] = (np.asarray(v), np.asarray(i))
-            finally:
-                pk._exact_skip_override = None
+            v, i = sweep(kk, override)
+            _ = float(jnp.sum(v))  # scalar sync through the relay
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                v, i = sweep(kk, override)
+            _ = float(jnp.sum(v))
+            dt = time.perf_counter() - t0
+            point[arm + "_qps"] = round(q_n * iters / dt, 1)
+            ref[arm] = (np.asarray(v), np.asarray(i))
         point["bit_identical"] = bool(
             np.array_equal(ref["skip_off"][0], ref["skip_on"][0])
             and np.array_equal(ref["skip_off"][1], ref["skip_on"][1])
