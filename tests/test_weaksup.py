@@ -250,3 +250,72 @@ class TestCalibration:
         raw_order = np.argsort(weak, kind="stable")
         cal = np.array([new[(f"i{k}", f"c{k}")] for k in range(n)])
         assert (np.diff(cal[raw_order]) >= -1e-6).all()
+
+
+def test_batched_alignments_match_dense_oracle(monkeypatch):
+    """r5: compute_alignments now batches images (O(valid pairs) memory,
+    not O(I*C) — the 94 GB cliff bench_pipeline_scale caught). The
+    batched path must emit EXACTLY what the dense-grid formulation
+    emits — same records, same order — including with a batch size
+    forced small enough to split every page group."""
+    import numpy as np
+
+    from tpualign.weaksup import alignment as A
+    from tpualign.weaksup.alignment import (
+        COMBINED_THRESHOLD, LEXICAL_THRESHOLD, POSITIONAL_THRESHOLD,
+        alignment_grids, compute_alignments,
+    )
+
+    rng = np.random.default_rng(11)
+    images, chunks = [], []
+    for m in range(3):
+        for p in range(5):
+            for i in range(rng.integers(0, 4)):
+                x, y = rng.uniform(0, 500, 2)
+                images.append({
+                    "image_id": f"m{m}_p{p}_i{i}", "manual_id": f"m{m}",
+                    "page": p, "bbox": [x, y, x + 80, y + 60],
+                })
+            for c in range(rng.integers(1, 7)):
+                x, y = rng.uniform(0, 500, 2)
+                chunks.append({
+                    "chunk_id": f"m{m}_p{p}_c{c}", "manual_id": f"m{m}",
+                    "page": p, "bbox": [x, y, x + 120, y + 12],
+                    "text": "de filter pomp" if c % 2 else "niets hier",
+                })
+    rng.shuffle(images)  # image order need not be page-contiguous
+    terms = ["filter", "pomp"]
+
+    def dense(use_lex, use_pos):
+        mask, lex, pos = alignment_grids(images, chunks, terms,
+                                         use_lex, use_pos)
+        out = []
+        for i, j in np.argwhere(mask):
+            lex_hit = use_lex and lex[i, j] > LEXICAL_THRESHOLD
+            pos_hit = use_pos and pos[i, j] > POSITIONAL_THRESHOLD
+            if use_lex and use_pos and lex_hit and pos_hit:
+                comb = (float(lex[i, j]) + float(pos[i, j])) / 2.0
+                if comb > COMBINED_THRESHOLD:
+                    out.append((images[i]["image_id"],
+                                chunks[j]["chunk_id"], comb, "combined"))
+            else:
+                if lex_hit:
+                    out.append((images[i]["image_id"],
+                                chunks[j]["chunk_id"], float(lex[i, j]),
+                                "lexical"))
+                if pos_hit:
+                    out.append((images[i]["image_id"],
+                                chunks[j]["chunk_id"], float(pos[i, j]),
+                                "positional"))
+        return out
+
+    for use_lex, use_pos in ((True, True), (True, False), (False, True)):
+        want = dense(use_lex, use_pos)
+        got = compute_alignments(images, chunks, terms, use_lex, use_pos)
+        assert got == want
+        # force pathologically small batches: output must not change
+        monkeypatch.setattr(A, "_ALIGN_BATCH_CELLS", 1)
+        got_small = compute_alignments(images, chunks, terms,
+                                       use_lex, use_pos)
+        monkeypatch.setattr(A, "_ALIGN_BATCH_CELLS", 8 * 1024 * 1024)
+        assert got_small == want

@@ -89,6 +89,16 @@ def _bbox4(bbox) -> List[float]:
     return [float(v) for v in bbox]
 
 
+# Dense-grid cell budget per image batch. The full (I, C) cartesian is
+# O(I*C) memory — 20k images x 500k chunks would be three ~40 GB grids
+# (found by benchmarks/bench_pipeline_scale.py at the 1M-pair scale:
+# 94 GB RSS peak, r5) — while the VALID pairs are only the same-page
+# ones. Batching images and scoring each batch against just ITS pages'
+# chunks bounds the dense work at ~batch_cells fp32 cells with
+# bit-identical per-pair math and emission order.
+_ALIGN_BATCH_CELLS = 8 * 1024 * 1024
+
+
 def compute_alignments(
     images: Sequence[dict],
     chunks: Sequence[dict],
@@ -97,33 +107,91 @@ def compute_alignments(
     use_positional: bool,
 ) -> List[Tuple[str, str, float, str]]:
     """All (image_id, chunk_id, weak_score, alignment_type) records for one
-    schema, reference-ordered."""
+    schema, reference-ordered (image-major, chunk-minor,
+    lexical-before-positional — ref:src/insert_clip_embeddings.py:369-414).
+
+    Memory is O(valid pairs + batch), not O(I*C): images are processed
+    in batches, each scored only against the chunks of its own
+    (manual, page) keys."""
     if not (use_lexical or use_positional):
         return []
-    mask, lex, pos = alignment_grids(
-        images, chunks, lexical_terms, use_lexical, use_positional
+    I, C = len(images), len(chunks)
+    if I == 0 or C == 0:
+        return []
+    lex_c = (
+        np.asarray(
+            lexical_scores([c["text"] for c in chunks], lexical_terms),
+            np.float32,
+        )
+        if use_lexical
+        else np.zeros(C, np.float32)
     )
-    lex_ok = use_lexical & (lex > LEXICAL_THRESHOLD)
-    pos_ok = use_positional & (pos > POSITIONAL_THRESHOLD)
+    key_to_idx: Dict[Tuple, List[int]] = {}
+    for j, c in enumerate(chunks):
+        key_to_idx.setdefault((c["manual_id"], c.get("page")), []).append(j)
+    img_keys = [(img["manual_id"], img.get("page")) for img in images]
+    chunks_per_key = {k: len(v) for k, v in key_to_idx.items()}
+
+    if use_positional:
+        chk_bb = np.asarray([_bbox4(c.get("bbox")) for c in chunks],
+                            np.float32)
 
     records: List[Tuple[str, str, float, str]] = []
     both_mode = use_lexical and use_positional
-    I, C = mask.shape
-    cand = np.argwhere(mask)
-    for i, j in cand:
-        if both_mode and lex_ok[i, j] and pos_ok[i, j]:
-            combined = (float(lex[i, j]) + float(pos[i, j])) / 2.0
-            if combined > COMBINED_THRESHOLD:
-                records.append(
-                    (images[i]["image_id"], chunks[j]["chunk_id"], combined, "combined")
+    i0 = 0
+    while i0 < I:
+        # grow the image batch until its dense sub-grid hits the budget
+        i1 = i0
+        keys: Dict[Tuple, None] = {}
+        cols = 0
+        while i1 < I:
+            k = img_keys[i1]
+            extra = 0 if k in keys else chunks_per_key.get(k, 0)
+            if i1 > i0 and (i1 - i0 + 1) * (cols + extra) > _ALIGN_BATCH_CELLS:
+                break
+            if k not in keys:
+                keys[k] = None
+                cols += extra
+            i1 += 1
+        union: List[int] = sorted(
+            j for k in keys for j in key_to_idx.get(k, ())
+        )
+        if union:
+            col_of = {j: bj for bj, j in enumerate(union)}
+            if use_positional:
+                img_bb = np.asarray(
+                    [_bbox4(images[i].get("bbox")) for i in range(i0, i1)],
+                    np.float32,
                 )
-        else:
-            if lex_ok[i, j]:
-                records.append(
-                    (images[i]["image_id"], chunks[j]["chunk_id"], float(lex[i, j]), "lexical")
+                pos_grid = np.asarray(
+                    positional_scores(img_bb, chk_bb[union]), np.float32
                 )
-            if pos_ok[i, j]:
-                records.append(
-                    (images[i]["image_id"], chunks[j]["chunk_id"], float(pos[i, j]), "positional")
-                )
+            for i in range(i0, i1):
+                for j in key_to_idx.get(img_keys[i], ()):
+                    lex_v = float(lex_c[j])
+                    pos_v = (
+                        float(pos_grid[i - i0, col_of[j]])
+                        if use_positional else 0.0
+                    )
+                    lex_hit = use_lexical and lex_v > LEXICAL_THRESHOLD
+                    pos_hit = use_positional and pos_v > POSITIONAL_THRESHOLD
+                    if both_mode and lex_hit and pos_hit:
+                        combined = (lex_v + pos_v) / 2.0
+                        if combined > COMBINED_THRESHOLD:
+                            records.append((
+                                images[i]["image_id"],
+                                chunks[j]["chunk_id"], combined, "combined",
+                            ))
+                    else:
+                        if lex_hit:
+                            records.append((
+                                images[i]["image_id"],
+                                chunks[j]["chunk_id"], lex_v, "lexical",
+                            ))
+                        if pos_hit:
+                            records.append((
+                                images[i]["image_id"],
+                                chunks[j]["chunk_id"], pos_v, "positional",
+                            ))
+        i0 = i1
     return records
