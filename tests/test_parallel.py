@@ -1675,3 +1675,35 @@ def test_precision_recall_strategy_contract_matrix(mesh8):
     msgs = [r.getMessage() for r in records]
     assert any("routing to" in m for m in msgs)  # ring x quantized
     assert any("no-op" in m for m in msgs)       # refine x exact fp32
+
+
+def test_large_k_beyond_hbm_slabs_match_dense(monkeypatch):
+    """r5: k > 64 (past the streaming kernel's validated merge bound) on
+    a beyond-HBM corpus routes to query-batched dense slabs — results
+    must be identical to the one-shot dense path (found by
+    bench_pipeline_scale: the evaluator's k=100 window at 20k x 500k
+    compiled a 40 GB sims allocation)."""
+    import numpy as np
+
+    from tpualign.parallel import retrieval as R
+
+    rng = np.random.default_rng(3)
+    n, d, q_n, k = 700, 16, 37, 100
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+    manuals = [f"m{i % 3}" for i in range(n)]
+    pages = [i % 5 for i in range(n)]
+    idx = R.RetrievalIndex(corpus, manuals, pages)
+    q = rng.standard_normal((q_n, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    qm = [f"m{i % 3}" for i in range(q_n)]
+    qp = [i % 5 for i in range(q_n)]
+
+    want_v, want_i = idx.search(q, qm, qp, k=k)  # dense (fits "HBM")
+    # force the beyond-HBM route with a tiny budget: k=100 > 64 must
+    # take the query-slab path (bq floors at 128 > q_n, then a second
+    # pass with an even smaller floor exercises multi-slab + padding)
+    monkeypatch.setattr(R, "STREAM_ONLY_SIM_BYTES", 1024)
+    got_v, got_i = idx.search(q, qm, qp, k=k)
+    np.testing.assert_array_equal(got_i, want_i)
+    np.testing.assert_allclose(got_v, want_v, atol=1e-6)

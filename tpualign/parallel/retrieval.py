@@ -1662,6 +1662,38 @@ class RetrievalIndex:
                 vals = np.asarray(vals)
                 idx = np.where(np.asarray(idx) >= self.n, -1, np.asarray(idx))
                 return _sentinel(vals, idx)
+            if sim_bytes > STREAM_ONLY_SIM_BYTES:
+                # k > 64: past the streaming kernel's validated merge
+                # bound AND too big for one dense (Q, N) sims matrix —
+                # batch the QUERIES so each dense slab fits. Found by
+                # bench_pipeline_scale at the 1M-pair corpus: the
+                # evaluator's k=100 window over 20k x 500k compiled a
+                # 40 GB sims allocation (remote-compile HTTP 500 loop).
+                bq = max(128, int(STREAM_ONLY_SIM_BYTES // (8 * self.n)))
+                out_v, out_i = [], []
+                for s0 in range(0, nq, bq):
+                    q_b = np.asarray(queries[s0:s0 + bq])
+                    k_b = np.asarray(qk[s0:s0 + bq])
+                    if len(q_b) < bq:  # pad: one compiled shape for all
+                        pad = bq - len(q_b)
+                        q_b = np.concatenate(
+                            [q_b, np.zeros((pad, q_b.shape[1]), q_b.dtype)]
+                        )
+                        k_b = np.concatenate(
+                            [k_b, np.full(pad, -2, np.int32)]
+                        )
+                    v, i = self.search_device(
+                        jnp.asarray(q_b), jnp.asarray(k_b, jnp.int32),
+                        k, strategy,
+                    )
+                    keep = min(bq, nq - s0)
+                    out_v.append(np.asarray(v)[:keep])
+                    out_i.append(np.asarray(i)[:keep])
+                vals = np.concatenate(out_v)
+                idx = np.concatenate(out_i)
+                idx = np.where(idx >= self.n, -1, idx)
+                vals, idx = _pad_results(vals, idx, k)
+                return _sentinel(vals, idx)
 
         vals, idx = self.search_device(
             jnp.asarray(queries), jnp.asarray(qk, jnp.int32), k, strategy
